@@ -1,0 +1,79 @@
+"""Device mesh and sharding-axis conventions.
+
+Replaces the reference's process-level parallelism (gunicorn workers,
+``torch.distributed`` FSDP at ``/root/reference/wan/distributed/fsdp.py``,
+xfuser USP at ``/root/reference/wan/distributed/xdit_context_parallel.py``)
+with one JAX device mesh and named axes:
+
+- ``dp``: data parallel — independent requests / guidance micro-batches.
+- ``sp``: sequence parallel — video-token sequence (Ulysses all-to-all +
+  ring attention live on this axis).
+- ``tp``: tensor parallel — attention heads and FFN hidden dim.
+
+All collectives are XLA-compiled (``psum`` / ``all_gather`` /
+``all_to_all`` / ``ppermute``) over ICI; there is no NCCL analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+SEQUENCE_AXIS = "sp"
+TENSOR_AXIS = "tp"
+AXIS_NAMES = (DATA_AXIS, SEQUENCE_AXIS, TENSOR_AXIS)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh shape. ``-1`` on one axis means "use remaining devices"."""
+
+    dp: int = 1
+    sp: int = 1
+    tp: int = -1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        dims = [self.dp, self.sp, self.tp]
+        free = [i for i, d in enumerate(dims) if d == -1]
+        fixed = math.prod(d for d in dims if d != -1)
+        if n_devices % fixed != 0:
+            raise ValueError(
+                f"{n_devices} devices not divisible by fixed mesh dims {dims}"
+            )
+        if len(free) > 1:
+            raise ValueError("at most one mesh axis may be -1")
+        if free:
+            dims[free[0]] = n_devices // fixed
+        elif math.prod(dims) != n_devices:
+            raise ValueError(f"mesh {dims} != {n_devices} devices")
+        return tuple(dims)
+
+
+def make_mesh(
+    config: MeshConfig | None = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 3-axis ``Mesh`` over the given (default: all) devices."""
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    shape = config.resolve(len(devices))
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, AXIS_NAMES)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(MeshConfig(dp=1, sp=1, tp=1), devices=jax.devices()[:1])
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
