@@ -1,0 +1,90 @@
+"""Attention dispatch.
+
+The TPU-native analogue of the reference's ``pay_attention``
+(``/root/reference/wan/modules/attention.py:161-399``): one entry point that
+selects an implementation. Unlike the reference (global mutable
+``offload.shared_state["_attention"]``), the choice is an explicit argument
+or an automatic backend probe — Pallas flash attention on TPU, unfused XLA
+elsewhere (tests / CPU dry-runs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention, reference_attention
+from .padding import pad_axis, round_up, unpad_axis
+
+AttentionMode = Literal["auto", "pallas", "xla"]
+
+_FORCED_MODE: AttentionMode = "auto"
+
+
+def set_attention_mode(mode: AttentionMode) -> None:
+    """Process-wide override (parity with the reference's ``--attention``
+    CLI flag, ``/root/reference/inference.py:592``)."""
+    global _FORCED_MODE
+    if mode not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown attention mode {mode!r}")
+    _FORCED_MODE = mode
+
+
+def get_attention_mode() -> AttentionMode:
+    return _FORCED_MODE
+
+
+@functools.cache
+def _default_backend_is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    mode: AttentionMode = "auto",
+) -> jax.Array:
+    """Multi-head attention over ``[B, H, S, D]`` tensors.
+
+    Sequence lengths need not be 128-multiples: inputs are padded here and
+    pad tokens masked via segment ids (id 0 = padding).
+    """
+    if mode == "auto":
+        mode = _FORCED_MODE
+    if mode == "auto":
+        mode = "pallas" if _default_backend_is_tpu() else "xla"
+
+    if mode == "xla":
+        return reference_attention(
+            q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal
+        )
+
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p, skv_p = round_up(sq, 128), round_up(skv, 128)
+    needs_pad = (sq_p != sq) or (skv_p != skv)
+    if needs_pad or q_segment_ids is not None:
+        if q_segment_ids is None:
+            q_segment_ids = jnp.ones((b, sq), jnp.int32)
+            kv_segment_ids = jnp.ones((b, skv), jnp.int32)
+        q = pad_axis(q, 2, 128)
+        k = pad_axis(k, 2, 128)
+        v = pad_axis(v, 2, 128)
+        q_segment_ids = pad_axis(q_segment_ids, 1, 128)
+        kv_segment_ids = pad_axis(kv_segment_ids, 1, 128)
+    out = flash_attention(
+        q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal
+    )
+    return unpad_axis(out, 2, sq)

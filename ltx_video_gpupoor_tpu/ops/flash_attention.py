@@ -1,0 +1,281 @@
+"""Pallas TPU flash attention with segment-id masking.
+
+This single kernel replaces the reference's attention zoo — SDPA /
+SageAttention 1&2 / FlashAttention 2&3 / xformers, dispatched at
+``/root/reference/wan/modules/attention.py:161-399`` (``pay_attention``) —
+and makes the reference's special-case TPU offload path
+(``/root/reference/ltx_video/models/transformers/attention.py:1080-1110``,
+torch_xla Pallas flash attention with q/kv segment ids) the first-class
+implementation.
+
+Varlen batching (the reference's cu_seqlens packing,
+``attention.py:244-266``) is expressed as segment ids: token *i* may attend
+token *j* iff ``q_seg[i] == kv_seg[j]`` and ``kv_seg[j] > 0`` — id 0 marks
+padding. Fully-masked (padding) query rows produce zeros, not NaNs.
+
+Layout: ``q: [B, H, Sq, D]``, ``k/v: [B, H, Skv, D]``. Sequence lengths
+must be multiples of the block size (128); use
+:func:`ltx_video_gpupoor_tpu.ops.padding.pad_to_block` + segment ids for
+arbitrary lengths. fp32 online-softmax statistics, fp32 MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_KV = 1024
+NEG_INF = -1e30
+# Floor for the running max: any real score is far above this, while masked
+# scores (NEG_INF) land ~1e10 below it, so exp underflows to exactly 0 and
+# fully-masked rows need no special-casing in the inner loop.
+M_FLOOR = -1e20
+LOG2E = 1.4426950408889634
+
+
+def _flash_kernel(
+    q_ref,       # [1, 1, Bq, D]
+    k_ref,       # [1, 1, Bkv, D]
+    v_ref,       # [1, 1, Bkv, D]
+    qseg_ref,    # [1, 1, Bq]  (int32) or None
+    kseg_ref,    # [1, 1, Bkv] (int32) or None
+    o_ref,       # [1, 1, Bq, D]
+    m_scratch,   # [Bq, 128] fp32
+    l_scratch,   # [Bq, 128] fp32
+    acc_scratch,  # [Bq, D] fp32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    use_segments: bool,
+):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[:, 0:1] = jnp.full((m_scratch.shape[0], 1), M_FLOOR,
+                                     m_scratch.dtype)
+        l_scratch[:, 0:1] = jnp.zeros((l_scratch.shape[0], 1),
+                                      l_scratch.dtype)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q_idx = pl.program_id(2)
+
+    def _compute():
+        # Matmul in the input dtype (bf16 on the fast path) with fp32
+        # accumulation — casting inputs to fp32 here would force the MXU
+        # onto its fp32 path (~8x slower). `scale` is folded into the exp2
+        # argument below instead of touching the [Bq, Bkv] tile twice.
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [Bq, Bkv]
+
+        if use_segments:
+            qseg = qseg_ref[0, 0]                               # [Bq]
+            kseg = kseg_ref[0, 0]                               # [Bkv]
+            mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] > 0)
+            s = jnp.where(mask, s, NEG_INF)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(rows >= cols, s, NEG_INF)
+
+        # Online softmax in raw-score space: max commutes with the positive
+        # scale, so p = exp2((s - m) * scale * log2(e)). The M_FLOOR clamp
+        # makes masked entries underflow to 0 with no extra selects.
+        c = scale * LOG2E
+        m_prev = m_scratch[:, 0:1]                              # [Bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)               # [Bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)                      # >= M_FLOOR
+        p = jnp.exp2((s - m_new) * c)                           # [Bq, Bkv]
+        alpha = jnp.exp2((m_prev - m_new) * c)                  # [Bq, 1]
+        l_new = alpha * l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [Bq, D]
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        m_scratch[:, 0:1] = m_new
+        l_scratch[:, 0:1] = l_new
+
+    if causal:
+        # Skip fully-masked kv blocks above the diagonal.
+        @pl.when(kv_idx * block_kv <= (q_idx + 1) * block_q - 1)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0, ...] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "causal", "block_q", "block_kv", "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tiled online-softmax attention. See module docstring for layout."""
+    b, h, sq, d = q.shape
+    _, _, skv, _ = k.shape
+    block_q = min(block_q, sq)
+    block_kv = min(block_kv, skv)
+    if sq % block_q or skv % block_kv:
+        raise ValueError(
+            f"seq lens ({sq}, {skv}) must be multiples of blocks "
+            f"({block_q}, {block_kv}); pad + use segment ids"
+        )
+    if scale is None:
+        scale = d ** -0.5
+    use_segments = q_segment_ids is not None
+    if use_segments and kv_segment_ids is None:
+        raise ValueError("q_segment_ids given without kv_segment_ids")
+
+    num_q_blocks = sq // block_q
+    num_kv_blocks = skv // block_kv
+    grid = (b, h, num_q_blocks, num_kv_blocks)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [q, k, v]
+    if use_segments:
+        # [B, 1, S] layout keeps the minor dims tile-legal on TPU
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q), lambda b_, h_, i, j: (b_, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args += [
+            q_segment_ids.astype(jnp.int32)[:, None, :],
+            kv_segment_ids.astype(jnp.int32)[:, None, :],
+        ]
+    base = functools.partial(
+        _flash_kernel,
+        scale=float(scale),
+        causal=causal,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        use_segments=use_segments,
+    )
+    if use_segments:
+        kernel = base
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
+            return base(q_ref, k_ref, v_ref, None, None, o_ref, m_s, l_s, acc_s)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # b/h/q grid dims are embarrassingly parallel -> Mosaic may split
+            # them across the two TPU megacores; the kv dim is the online-
+            # softmax reduction and must stay sequential.
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Unfused XLA attention — numerics oracle for the Pallas kernel and the
+    fallback path on non-TPU backends."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if q_segment_ids is not None:
+        mask = (
+            q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
+        ) & (kv_segment_ids[:, None, None, :] > 0)
+        s = jnp.where(mask, s, NEG_INF)
+    if causal:
+        rows = jnp.arange(sq)[:, None]
+        cols = jnp.arange(skv)[None, :]
+        s = jnp.where(rows >= cols, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - jnp.maximum(m, NEG_INF / 2))
+    p = jnp.where(m > NEG_INF / 2, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    o = o / jnp.where(l > 0, l, 1.0)
+    return o.astype(q.dtype)

@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_video_gpupoor_tpu.ops.attention import attention
+from ltx_video_gpupoor_tpu.ops.flash_attention import (
+    flash_attention,
+    reference_attention,
+)
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("sq,skv", [(128, 128), (256, 128), (256, 384)])
+def test_flash_matches_reference(sq, skv):
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    b, h, d = 2, 4, 64
+    q = _rand(k1, (b, h, sq, d))
+    k = _rand(k2, (b, h, skv, d))
+    v = _rand(k3, (b, h, skv, d))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_segment_ids_varlen():
+    key = jax.random.key(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, s, d = 2, 2, 256, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    # sample 0: 200 real tokens, 56 pad; sample 1: two segments 100+80, pad 76
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :200] = 1
+    seg[1, :100] = 1
+    seg[1, 100:180] = 2
+    seg = jnp.asarray(seg)
+    out = flash_attention(q, k, v, seg, seg, interpret=True)
+    ref = reference_attention(q, k, v, seg, seg)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # padding rows must be exactly zero (masked everywhere)
+    np.testing.assert_array_equal(np.asarray(out[0, :, 200:, :]), 0.0)
+
+
+def test_flash_causal():
+    k1, k2, k3 = jax.random.split(jax.random.key(2), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    ref = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16_tolerance():
+    k1, k2, k3 = jax.random.split(jax.random.key(3), 3)
+    b, h, s, d = 1, 2, 128, 128
+    q = _rand(k1, (b, h, s, d), jnp.bfloat16)
+    k = _rand(k2, (b, h, s, d), jnp.bfloat16)
+    v = _rand(k3, (b, h, s, d), jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        out.astype(np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_attention_dispatch_pads_arbitrary_lengths():
+    # 9-frame 16x16 latent = 2304 tokens + 77 text tokens: not 128-multiples
+    k1, k2, k3 = jax.random.split(jax.random.key(4), 3)
+    b, h, d = 1, 2, 64
+    q = _rand(k1, (b, h, 300, d))
+    k = _rand(k2, (b, h, 77, d))
+    v = _rand(k3, (b, h, 77, d))
+    out = attention(q, k, v, mode="xla")
+    assert out.shape == (b, h, 300, d)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
