@@ -1,0 +1,185 @@
+"""Rotary position embeddings: LTX fractional 3D RoPE, Wan N-d RoPE, RIFLEx.
+
+Parity targets (math, not code):
+- LTX fractional-coordinate RoPE: ``precompute_freqs_cis`` at
+  ``/root/reference/ltx_video/models/transformers/transformer3d.py:202-255``
+  (spacings exp / exp_2 / linear / sqrt over ``dim // 6`` frequencies,
+  fractional positions = grid / max_pos, pair-interleaved cos/sin).
+- Interleaved-pair rotation: ``apply_rotary_emb`` at
+  ``/root/reference/ltx_video/models/transformers/attention.py:960-975``
+  and ``/root/reference/wan/modules/posemb_layers.py:229-293``.
+- Wan N-d RoPE with head_dim split [44, 42, 42]:
+  ``get_nd_rotary_pos_embed`` / ``get_rotary_pos_embed``
+  (``/root/reference/wan/modules/posemb_layers.py:299-472``).
+- RIFLEx long-video frequency clamp:
+  ``get_1d_rotary_pos_embed_riflex`` / ``identify_k``
+  (``/root/reference/wan/modules/posemb_layers.py:8-92``).
+
+All precompute is fp32 (the reference insists on full precision here);
+application casts to fp32 and back.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rotate_pairs(x: jax.Array) -> jax.Array:
+    """(x1, x2, x3, x4, ...) -> (-x2, x1, -x4, x3, ...)."""
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    a, b = x2[..., 0], x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+
+
+def apply_rotary_emb(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply interleaved-pair RoPE. ``cos``/``sin`` broadcast against ``x``
+    and are already pair-duplicated to the last dim of ``x``."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    out = xf * cos + rotate_pairs(xf) * sin
+    return out.astype(dtype)
+
+
+def _interleave2(x: jax.Array) -> jax.Array:
+    """repeat_interleave(2, axis=-1)."""
+    return jnp.repeat(x, 2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# LTX fractional-coordinate RoPE
+# ---------------------------------------------------------------------------
+
+def ltx_freqs_cis(
+    indices_grid: jax.Array,
+    dim: int,
+    theta: float = 10000.0,
+    max_pos: Sequence[int] = (20, 2048, 2048),
+    spacing: str = "exp",
+) -> tuple[jax.Array, jax.Array]:
+    """Fractional 3D RoPE tables.
+
+    Args:
+      indices_grid: ``[B, 3, S]`` per-token (frame, y, x) latent coordinates
+        (possibly fractional — conditioning tokens may sit off-grid).
+      dim: model inner dim (frequencies span ``dim // 6`` per axis-pair).
+    Returns:
+      ``(cos, sin)`` each ``[B, S, dim]`` fp32.
+    """
+    fractional = jnp.stack(
+        [indices_grid[:, i].astype(jnp.float32) / max_pos[i] for i in range(3)],
+        axis=-1,
+    )  # [B, S, 3]
+    n = dim // 6
+    if spacing == "exp":
+        indices = theta ** jnp.linspace(
+            math.log(1.0, theta) if theta != 1.0 else 0.0,
+            1.0,
+            n,
+            dtype=jnp.float32,
+        )
+    elif spacing == "exp_2":
+        indices = 1.0 / theta ** (jnp.arange(0, dim, 6, dtype=jnp.float32) / dim)
+    elif spacing == "linear":
+        indices = jnp.linspace(1.0, theta, n, dtype=jnp.float32)
+    elif spacing == "sqrt":
+        indices = jnp.sqrt(
+            jnp.linspace(1.0, float(theta) ** 2, n, dtype=jnp.float32)
+        )
+    else:
+        raise ValueError(f"unknown spacing {spacing!r}")
+    indices = indices * math.pi / 2
+
+    if spacing == "exp_2":
+        # freqs[b, s, i*3 + axis] = indices[i] * frac[b, s, axis]
+        freqs = (
+            indices[None, None, :, None] * fractional[:, :, None, :]
+        ).reshape(*fractional.shape[:2], -1)
+    else:
+        freqs = (
+            indices[None, None, :, None]
+            * (fractional[:, :, None, :] * 2 - 1)
+        ).reshape(*fractional.shape[:2], -1)
+
+    cos = _interleave2(jnp.cos(freqs))
+    sin = _interleave2(jnp.sin(freqs))
+    pad = dim % 6
+    if pad:
+        cos = jnp.concatenate([jnp.ones_like(cos[..., :pad]), cos], axis=-1)
+        sin = jnp.concatenate([jnp.zeros_like(sin[..., :pad]), sin], axis=-1)
+    return cos, sin
+
+
+# ---------------------------------------------------------------------------
+# Wan N-d RoPE (+ RIFLEx)
+# ---------------------------------------------------------------------------
+
+def identify_k(b: float, d: int, n: int) -> tuple[int, int]:
+    """Find the intrinsic RoPE frequency index whose period is closest to
+    ``n`` latent frames (RIFLEx Eq. 7)."""
+    periods = [
+        round(2 * math.pi * (b ** (2 * (j - 1) / d))) for j in range(1, d // 2 + 1)
+    ]
+    diffs = [abs(p - n) for p in periods]
+    k = diffs.index(min(diffs)) + 1
+    return k, periods[k - 1]
+
+
+def rope_1d(
+    dim: int,
+    pos: jax.Array,
+    theta: float = 10000.0,
+    riflex_k: int | None = None,
+    riflex_l_test: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """1-D RoPE tables ``(cos, sin)`` each ``[S, dim]`` (pair-duplicated).
+
+    With ``riflex_k`` set, the k-th frequency is clamped so the extrapolated
+    video stays within 90% of one period (RIFLEx Eq. 8).
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    freqs = 1.0 / theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    if riflex_k is not None:
+        freqs = freqs.at[riflex_k - 1].set(0.9 * 2 * math.pi / riflex_l_test)
+    angles = jnp.outer(pos, freqs)  # [S, dim//2]
+    return _interleave2(jnp.cos(angles)), _interleave2(jnp.sin(angles))
+
+
+def wan_rope_freqs(
+    grid_sizes: Sequence[int],
+    head_dim: int = 128,
+    rope_dims: Sequence[int] = (44, 42, 42),
+    theta: float = 10000.0,
+    enable_riflex: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Wan RoPE tables over a (F, H, W) token grid, flattened row-major to
+    ``[F*H*W, head_dim]`` with the head dim split per axis as ``rope_dims``.
+
+    The time axis optionally gets the RIFLEx clamp with ``k=6`` and
+    ``L_test = F`` (matching ``get_rotary_pos_embed``,
+    ``/root/reference/wan/modules/posemb_layers.py:434-472``).
+    """
+    assert sum(rope_dims) == head_dim
+    f, h, w = grid_sizes
+    axes_pos = [np.arange(f), np.arange(h), np.arange(w)]
+    coses, sins = [], []
+    for i, (d, p) in enumerate(zip(rope_dims, axes_pos)):
+        if i == 0 and enable_riflex:
+            c, s = rope_1d(d, p, theta, riflex_k=6, riflex_l_test=f)
+        else:
+            c, s = rope_1d(d, p, theta)
+        coses.append(c)
+        sins.append(s)
+
+    def expand(tabs):
+        # tabs[i]: [axis_len_i, rope_dims_i*? ]; broadcast to [F,H,W,·]
+        tf = jnp.broadcast_to(tabs[0][:, None, None, :], (f, h, w, tabs[0].shape[-1]))
+        th = jnp.broadcast_to(tabs[1][None, :, None, :], (f, h, w, tabs[1].shape[-1]))
+        tw = jnp.broadcast_to(tabs[2][None, None, :, :], (f, h, w, tabs[2].shape[-1]))
+        return jnp.concatenate([tf, th, tw], axis=-1).reshape(f * h * w, -1)
+
+    return expand(coses), expand(sins)
