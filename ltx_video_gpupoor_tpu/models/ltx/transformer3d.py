@@ -1,0 +1,383 @@
+"""LTX-Video 3D diffusion transformer (DiT), TPU-native.
+
+Parity target: ``Transformer3DModel`` at
+``/root/reference/ltx_video/models/transformers/transformer3d.py`` and
+``BasicTransformerBlock`` / ``Attention`` at
+``/root/reference/ltx_video/models/transformers/attention.py``:
+
+- token-space DiT: ``patchify_proj`` linear in (``transformer3d.py:93``),
+  N blocks, adaLN-single per-block 6-way modulation
+  (``attention.py:236-262``), final 2-way modulation + ``proj_out``
+  (``transformer3d.py:489-506``);
+- fractional-coordinate 3D RoPE on self-attention q/k after RMS qk-norm
+  (``attention.py:1050-1058``), none on cross-attention;
+- per-token (per-frame-group) timesteps (``transformer3d.py:423-425``);
+- skip-layer masks for STG (``transformer3d.py:171-186``,
+  ``attention.py:1056-1144``).
+
+TPU-first redesign decisions:
+- parameters for all blocks are stacked on a leading layer axis and the
+  block is a single ``lax.scan`` body — one compilation for any depth, and
+  layer weights shard cleanly over the mesh;
+- guidance streams (uncond/cond/perturbed) are just batch rows — the
+  reference's joint_pass/per-stream loop dichotomy disappears;
+- attention runs through the framework-wide Pallas flash kernel with
+  segment ids (text padding mask == kv segment ids);
+- chunked in-place FFNs are unnecessary (XLA fuses; HBM-resident bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...core.dtypes import DtypePolicy, DEFAULT_POLICY
+from ...ops.attention import attention
+from ...ops.norms import layer_norm, rms_norm
+from ...ops.rope import apply_rotary_emb, ltx_freqs_cis
+
+
+@dataclasses.dataclass(frozen=True)
+class LTXTransformerConfig:
+    """Mirror of the reference's transformer config (values for LTXV 13B /
+    2B checkpoints come from safetensors metadata /
+    ``diffusers_config_mapping.py:74-105``)."""
+
+    num_attention_heads: int = 32
+    attention_head_dim: int = 64
+    in_channels: int = 128
+    out_channels: int = 128
+    num_layers: int = 28
+    cross_attention_dim: int = 2048
+    caption_channels: int = 4096
+    qk_norm: Optional[str] = "rms_norm"
+    standardization_norm: str = "rms_norm"  # or "layer_norm"
+    activation_fn: str = "gelu-approximate"  # or "geglu"
+    adaptive_norm: str = "single_scale_shift"
+    norm_eps: float = 1e-6
+    attention_bias: bool = True
+    positional_embedding_theta: float = 10000.0
+    positional_embedding_max_pos: tuple = (20, 2048, 2048)
+    timestep_scale_multiplier: float = 1000.0
+    ffn_mult: int = 4
+    frequency_embedding_size: int = 256
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.inner_dim * self.ffn_mult
+
+
+# Skip-layer strategies for STG
+# (``/root/reference/ltx_video/utils/skip_layer_strategy.py:4-8``)
+class SkipLayerStrategy:
+    AttentionSkip = "attention_skip"
+    AttentionValues = "attention_values"
+    Residual = "residual"
+    TransformerBlock = "transformer_block"
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tests / random models; checkpoints overwrite)
+# ---------------------------------------------------------------------------
+
+def _linear(key, d_in, d_out, bias=True):
+    k1, _ = jax.random.split(key)
+    p = {"kernel": jax.random.normal(k1, (d_in, d_out)) * (d_in**-0.5)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,))
+    return p
+
+
+def init_params(key: jax.Array, cfg: LTXTransformerConfig) -> dict:
+    d = cfg.inner_dim
+    keys = iter(jax.random.split(key, 64))
+
+    def blk(key):
+        ks = iter(jax.random.split(key, 16))
+        p = {
+            "scale_shift_table": jax.random.normal(next(ks), (6, d)) / d**0.5,
+            "attn1": {
+                "to_q": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_k": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_v": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_out": _linear(next(ks), d, d, True),
+            },
+            "attn2": {
+                "to_q": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_k": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_v": _linear(next(ks), d, d, cfg.attention_bias),
+                "to_out": _linear(next(ks), d, d, True),
+            },
+            "ff": {
+                "proj_in": _linear(
+                    next(ks),
+                    d,
+                    cfg.ffn_dim * (2 if cfg.activation_fn == "geglu" else 1),
+                ),
+                "proj_out": _linear(next(ks), cfg.ffn_dim, d),
+            },
+        }
+        if cfg.qk_norm:
+            p["attn1"]["q_norm"] = {"weight": jnp.ones((d,))}
+            p["attn1"]["k_norm"] = {"weight": jnp.ones((d,))}
+            p["attn2"]["q_norm"] = {"weight": jnp.ones((d,))}
+            p["attn2"]["k_norm"] = {"weight": jnp.ones((d,))}
+        return p
+
+    block_keys = jax.random.split(next(keys), cfg.num_layers)
+    blocks = jax.vmap(blk)(block_keys)
+
+    params = {
+        "patchify_proj": _linear(next(keys), cfg.in_channels, d),
+        "adaln": {
+            "emb_linear_1": _linear(next(keys), cfg.frequency_embedding_size, d),
+            "emb_linear_2": _linear(next(keys), d, d),
+            "linear": _linear(next(keys), d, 6 * d),
+        },
+        "caption_projection": {
+            "linear_1": _linear(next(keys), cfg.caption_channels, d),
+            "linear_2": _linear(next(keys), d, d),
+        },
+        "blocks": blocks,
+        "scale_shift_table": jax.random.normal(next(keys), (2, d)) / d**0.5,
+        "proj_out": _linear(next(keys), d, cfg.out_channels),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _apply_linear(p, x, accum=jnp.float32):
+    y = jax.lax.dot_general(
+        x, p["kernel"].astype(x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=accum,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def timestep_embedding(
+    t: jax.Array, dim: int, max_period: float = 10000.0
+) -> jax.Array:
+    """Sinusoidal embedding, diffusers convention: ``flip_sin_to_cos=True``,
+    ``downscale_freq_shift=0`` → output is [cos | sin]
+    (``/root/reference/ltx_video/models/transformers/embeddings.py:10-50``)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _std_norm(cfg: LTXTransformerConfig, x):
+    if cfg.standardization_norm == "rms_norm":
+        return rms_norm(x, eps=cfg.norm_eps)
+    return layer_norm(x, eps=cfg.norm_eps)
+
+
+def _qk_norm(p, name, x):
+    if name in p:
+        return rms_norm(x, p[name]["weight"], eps=1e-5)
+    return x
+
+
+def _ffn(cfg: LTXTransformerConfig, p, x):
+    h = _apply_linear(p["proj_in"], x)
+    if cfg.activation_fn == "geglu":
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+    elif cfg.activation_fn == "gelu-approximate":
+        h = jax.nn.gelu(h, approximate=True)
+    elif cfg.activation_fn == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        raise ValueError(cfg.activation_fn)
+    return _apply_linear(p["proj_out"], h)
+
+
+def _broadcast_groups(vals: jax.Array, n_tokens: int) -> jax.Array:
+    """Expand per-group modulation values [B, G, D] to [B, n_tokens, D]
+    (the reference reshapes hidden states to [B, G, T/G, D] instead —
+    ``attention.py:34-41``; same numbers)."""
+    b, g, dim = vals.shape
+    if g == 1:
+        return jnp.broadcast_to(vals, (b, n_tokens, dim))
+    assert n_tokens % g == 0, (n_tokens, g)
+    rep = n_tokens // g
+    return jnp.repeat(vals, rep, axis=1)
+
+
+def _block_forward(
+    cfg: LTXTransformerConfig,
+    p: dict,
+    x: jax.Array,                  # [B, S, D]
+    context: jax.Array,            # [B, Sc, D] (caption-projected)
+    context_mask: Optional[jax.Array],  # [B, Sc] 1=keep
+    ada: jax.Array,                # [B, G, 6, D] fp32 timestep table
+    freqs: tuple[jax.Array, jax.Array],  # cos/sin [B, S, D] fp32
+    skip_mask: Optional[jax.Array],      # [B] 1=keep, 0=perturb  (this layer)
+    skip_strategy: Optional[str],
+    attn_mode: str,
+) -> jax.Array:
+    b, s, d = x.shape
+    heads = cfg.num_attention_heads
+    hd = cfg.attention_head_dim
+
+    table = p["scale_shift_table"].astype(jnp.float32)  # [6, D]
+    ada_v = table[None, None] + ada  # [B, G, 6, D]
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+        _broadcast_groups(ada_v[:, :, i], s).astype(x.dtype) for i in range(6)
+    ]
+
+    original_x = x
+
+    # --- self attention -----------------------------------------------------
+    h = _std_norm(cfg, x)
+    h = h * (1 + scale_msa) + shift_msa
+
+    q = _qk_norm(p["attn1"], "q_norm", _apply_linear(p["attn1"]["to_q"], h))
+    k = _qk_norm(p["attn1"], "k_norm", _apply_linear(p["attn1"]["to_k"], h))
+    v = _apply_linear(p["attn1"]["to_v"], h)
+    cos, sin = freqs
+    q = apply_rotary_emb(q, cos, sin)
+    k = apply_rotary_emb(k, cos, sin)
+
+    def to_heads(t):
+        return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+
+    def from_heads(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)
+
+    attn_raw = from_heads(
+        attention(to_heads(q), to_heads(k), to_heads(v), mode=attn_mode)
+    )
+    # STG perturbation mixes BEFORE the output projection
+    # (``attention.py:1128-1144``): AttentionSkip swaps in the pre-attention
+    # (modulated, normed) input; AttentionValues swaps in the raw values.
+    if skip_mask is not None and skip_strategy == SkipLayerStrategy.AttentionSkip:
+        m = skip_mask.astype(x.dtype)[:, None, None]
+        attn_raw = attn_raw * m + h * (1 - m)
+    elif skip_mask is not None and skip_strategy == SkipLayerStrategy.AttentionValues:
+        m = skip_mask.astype(x.dtype)[:, None, None]
+        attn_raw = attn_raw * m + v * (1 - m)
+    x = x + gate_msa * _apply_linear(p["attn1"]["to_out"], attn_raw)
+
+    # --- cross attention ----------------------------------------------------
+    q = _qk_norm(p["attn2"], "q_norm", _apply_linear(p["attn2"]["to_q"], x))
+    k = _qk_norm(p["attn2"], "k_norm", _apply_linear(p["attn2"]["to_k"], context))
+    v = _apply_linear(p["attn2"]["to_v"], context)
+    sc = context.shape[1]
+    kv_seg = (
+        context_mask.astype(jnp.int32)
+        if context_mask is not None
+        else jnp.ones((b, sc), jnp.int32)
+    )
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ca = attention(
+        q.reshape(b, s, heads, hd).transpose(0, 2, 1, 3),
+        k.reshape(b, sc, heads, hd).transpose(0, 2, 1, 3),
+        v.reshape(b, sc, heads, hd).transpose(0, 2, 1, 3),
+        q_seg,
+        kv_seg,
+        mode=attn_mode,
+    )
+    ca = ca.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)
+    x = x + _apply_linear(p["attn2"]["to_out"], ca)
+
+    # --- feed-forward -------------------------------------------------------
+    h = _std_norm(cfg, x)
+    h = h * (1 + scale_mlp) + shift_mlp
+    x = x + gate_mlp * _ffn(cfg, p["ff"], h)
+
+    if skip_mask is not None and skip_strategy == SkipLayerStrategy.TransformerBlock:
+        m = skip_mask.astype(x.dtype)[:, None, None]
+        x = x * m + original_x * (1 - m)
+
+    return x
+
+
+def forward(
+    params: dict,
+    cfg: LTXTransformerConfig,
+    latents: jax.Array,            # [B, S, C_in] patchified tokens
+    indices_grid: jax.Array,       # [B, 3, S] fractional latent coords
+    timestep: jax.Array,           # [B] or [B, G] in [0, 1]
+    caption: jax.Array,            # [B, Sc, caption_channels]
+    caption_mask: Optional[jax.Array] = None,  # [B, Sc]
+    skip_layer_mask: Optional[jax.Array] = None,  # [L, B] 1=keep
+    skip_layer_strategy: Optional[str] = None,
+    attn_mode: str = "auto",
+) -> jax.Array:
+    """Denoiser forward: returns velocity prediction ``[B, S, C_out]``.
+
+    Guidance streams are batch rows; per-token timesteps are expressed as
+    per-group timesteps ``[B, G]`` where G divides S (the reference reduces
+    per-token t the same way — ``transformer3d.py:423-425``).
+    """
+    d = cfg.inner_dim
+    b, s, _ = latents.shape
+
+    x = _apply_linear(params["patchify_proj"], latents)
+
+    t = jnp.asarray(timestep)
+    if t.ndim == 1:
+        t = t[:, None]  # [B, 1]
+    t = t * cfg.timestep_scale_multiplier
+    g = t.shape[1]
+
+    # adaLN-single: sinusoidal -> MLP -> embedded; linear(silu) -> 6-chunk
+    emb = timestep_embedding(t.reshape(-1), cfg.frequency_embedding_size)
+    emb = _apply_linear(params["adaln"]["emb_linear_1"], emb)
+    emb = jax.nn.silu(emb)
+    embedded = _apply_linear(params["adaln"]["emb_linear_2"], emb)  # [B*G, D]
+    ada = _apply_linear(params["adaln"]["linear"], jax.nn.silu(embedded))
+    ada = ada.reshape(b, g, 6, d).astype(jnp.float32)
+    embedded = embedded.reshape(b, g, d).astype(jnp.float32)
+
+    # caption projection (PixArtAlphaTextProjection: linear-gelu_tanh-linear)
+    ctx = _apply_linear(params["caption_projection"]["linear_1"],
+                        caption.astype(x.dtype))
+    ctx = jax.nn.gelu(ctx, approximate=True)
+    ctx = _apply_linear(params["caption_projection"]["linear_2"], ctx)
+
+    cos, sin = ltx_freqs_cis(
+        indices_grid,
+        d,
+        theta=cfg.positional_embedding_theta,
+        max_pos=cfg.positional_embedding_max_pos,
+    )
+
+    if skip_layer_mask is None:
+        skip_layer_mask = jnp.ones((cfg.num_layers, b), jnp.float32)
+
+    def body(x, layer):
+        layer_params, layer_skip = layer
+        x = _block_forward(
+            cfg, layer_params, x, ctx, caption_mask,
+            ada, (cos, sin), layer_skip, skip_layer_strategy, attn_mode,
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], skip_layer_mask))
+
+    # final modulation + projection
+    table = params["scale_shift_table"].astype(jnp.float32)  # [2, D]
+    vals = table[None, None] + embedded[:, :, None]  # [B, G, 2, D]
+    shift = _broadcast_groups(vals[:, :, 0], s).astype(x.dtype)
+    scale = _broadcast_groups(vals[:, :, 1], s).astype(x.dtype)
+    x = layer_norm(x, eps=1e-6)
+    x = x * (1 + scale) + shift
+    return _apply_linear(params["proj_out"], x)
