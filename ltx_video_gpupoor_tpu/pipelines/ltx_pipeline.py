@@ -1,0 +1,500 @@
+"""LTX-Video generation pipeline (single-scale pass), TPU-native.
+
+Parity target: ``LTXVideoPipeline`` at
+``/root/reference/ltx_video/pipelines/pipeline_ltx_video.py``:
+- guidance-stream assembly [uncond, cond, perturbed] (``:1036-1051``),
+- per-token conditioning timesteps ``min(t, 1 - conditioning_mask)``
+  (``:1145-1150``), denoise-step masking of conditioned tokens
+  (``denoising_step`` ``:1309-1342``),
+- per-step conditioning-noise refresh
+  (``add_noise_to_image_conditioning_latents`` ``:606-629``),
+- CFG with CFG-star rescale (``:1189-1204``), spatio-temporal guidance
+  (STG) with std-rescaling (``:1206-1222``),
+- fractional RoPE coords: pixel coords / frame_rate on the time axis
+  (``:1086-1088``), causal first-frame fix
+  (``vae_encode.py:190-225``),
+- initial latents from noised media (``prepare_latents`` ``:632-710``),
+  decode-time noise augmentation (``:1269-1298``).
+
+TPU-first redesign: the whole denoise loop is ONE ``lax.scan`` inside one
+jit — per-step guidance scales / STG scales / skip-layer masks are scanned
+arrays; guidance streams are batch rows (no joint_pass plumbing); interrupt
+is host-side between jitted calls when running step-by-step mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ltx import patchifier
+from ..models.ltx import vae as ltx_vae
+from ..models.ltx.transformer3d import (
+    LTXTransformerConfig,
+    SkipLayerStrategy,
+    forward as transformer_forward,
+)
+from ..schedulers import rf
+
+
+# ---------------------------------------------------------------------------
+# Conditioning
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ConditioningItem:
+    """In-grid conditioning media (ref ``ConditioningItem``,
+    ``pipeline_ltx_video.py:202-219``): pixels ``[F, H, W, C]`` in [-1, 1]
+    placed at ``frame_number`` (must map onto the latent grid)."""
+
+    media: np.ndarray | jax.Array
+    frame_number: int = 0
+    strength: float = 1.0
+
+
+def latent_to_pixel_coords(
+    latent_coords: jax.Array,
+    scale_factors: tuple[int, int, int],
+    causal_fix: bool = True,
+) -> jax.Array:
+    """``[B, 3, N]`` latent coords -> pixel coords; the causal first frame
+    covers 1 pixel frame instead of ``temporal_factor``
+    (``vae_encode.py:215-225``)."""
+    factors = jnp.asarray(scale_factors)[None, :, None]
+    pixel = latent_coords * factors
+    if causal_fix:
+        t_fixed = jnp.clip(pixel[:, 0] + 1 - scale_factors[0], 0, None)
+        pixel = pixel.at[:, 0].set(t_fixed)
+    return pixel
+
+
+def apply_conditioning(
+    init_latents: jax.Array,       # [B, F', H', W', C] noise-free latents
+    items: Sequence[ConditioningItem],
+    vae_params: dict,
+    vae_cfg: ltx_vae.VAEConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Write conditioning latents into the grid; return (latents,
+    conditioning strength per latent frame position [B, F', H', W'])."""
+    b, f_lat, h_lat, w_lat, c = init_latents.shape
+    mask = jnp.zeros((b, f_lat, h_lat, w_lat), init_latents.dtype)
+    latents = init_latents
+    t_factor = vae_cfg.temporal_downscale_factor
+    for item in items:
+        media = jnp.asarray(item.media)
+        if media.ndim == 4:
+            media = media[None]
+        enc = ltx_vae.encode(vae_params, vae_cfg, media)
+        z = ltx_vae.sample_posterior(enc)
+        z = ltx_vae.normalize_latents(z, vae_params["per_channel_statistics"])
+        assert item.frame_number % t_factor == 0, (
+            f"conditioning frame {item.frame_number} not on the latent grid"
+        )
+        f0 = item.frame_number // t_factor
+        fz = z.shape[1]
+        latents = jax.lax.dynamic_update_slice(
+            latents, z.astype(latents.dtype), (0, f0, 0, 0, 0)
+        )
+        mask = jax.lax.dynamic_update_slice(
+            mask,
+            jnp.full((b, fz, h_lat, w_lat), item.strength, mask.dtype),
+            (0, f0, 0, 0),
+        )
+    return latents, mask
+
+
+# ---------------------------------------------------------------------------
+# Guidance schedule
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceSchedule:
+    """Per-step guidance arrays (built host-side from YAML pipeline
+    configs — ``ltx_video/configs/*.yaml``)."""
+
+    guidance_scale: np.ndarray    # [steps]
+    stg_scale: np.ndarray         # [steps]
+    rescaling_scale: np.ndarray   # [steps]
+    skip_layer_mask: np.ndarray   # [steps, num_layers, num_conds]
+    num_conds: int
+    skip_layer_strategy: Optional[str]
+    cfg_star_rescale: bool = True
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.num_conds >= 2 and bool(np.any(self.guidance_scale != 1.0))
+
+    @property
+    def do_stg(self) -> bool:
+        return bool(np.any(self.stg_scale > 0))
+
+
+def _per_timestep(values, timesteps, guidance_timesteps):
+    """Map per-guidance-timestep lists onto the sampled timesteps
+    (the reference indexes guidance arrays by retrieved timestep —
+    ``ltxv.py:398-409`` semantics: value applies for t <= guidance_t)."""
+    if not isinstance(values, (list, tuple)):
+        return np.full(len(timesteps), float(values), np.float32)
+    if guidance_timesteps is None:
+        # per-step list already
+        vals = list(values)
+        if len(vals) < len(timesteps):
+            vals = vals + [vals[-1]] * (len(timesteps) - len(vals))
+        return np.asarray(vals[: len(timesteps)], np.float32)
+    out = []
+    for t in np.asarray(timesteps):
+        idx = 0
+        for j, gt in enumerate(guidance_timesteps):
+            if t <= gt:
+                idx = j
+        out.append(values[idx])
+    return np.asarray(out, np.float32)
+
+
+def build_guidance_schedule(
+    timesteps: np.ndarray,
+    num_layers: int,
+    guidance_scale=1.0,
+    stg_scale=0.0,
+    rescaling_scale=1.0,
+    skip_block_list=None,
+    guidance_timesteps=None,
+    skip_layer_strategy: Optional[str] = SkipLayerStrategy.AttentionValues,
+    cfg_star_rescale: bool = True,
+) -> GuidanceSchedule:
+    steps = len(timesteps)
+    g = _per_timestep(guidance_scale, timesteps, guidance_timesteps)
+    s = _per_timestep(stg_scale, timesteps, guidance_timesteps)
+    r = _per_timestep(rescaling_scale, timesteps, guidance_timesteps)
+    do_cfg = bool(np.any((g != 0.0) & (g != 1.0)))
+    do_stg = bool(np.any(s > 0))
+    num_conds = 1 + (1 if do_cfg else 0) + (1 if do_stg else 0)
+
+    # per-step skip-block lists -> [steps, L, num_conds] keep-masks
+    mask = np.ones((steps, num_layers, num_conds), np.float32)
+    if do_stg and skip_block_list is not None:
+        ptb = num_conds - 1
+        if len(skip_block_list) and isinstance(skip_block_list[0], (list, tuple)):
+            if guidance_timesteps is not None:
+                per_step_lists = []
+                for t in np.asarray(timesteps):
+                    idx = 0
+                    for j, gt in enumerate(guidance_timesteps):
+                        if t <= gt:
+                            idx = j
+                    per_step_lists.append(
+                        skip_block_list[min(idx, len(skip_block_list) - 1)]
+                    )
+            else:
+                per_step_lists = [
+                    skip_block_list[min(i, len(skip_block_list) - 1)]
+                    for i in range(steps)
+                ]
+        else:
+            per_step_lists = [skip_block_list] * steps
+        for i, blocks in enumerate(per_step_lists):
+            for blk in blocks:
+                if blk < num_layers:
+                    mask[i, blk, ptb] = 0.0
+    return GuidanceSchedule(
+        guidance_scale=g, stg_scale=s, rescaling_scale=r,
+        skip_layer_mask=mask, num_conds=num_conds,
+        skip_layer_strategy=skip_layer_strategy if do_stg else None,
+        cfg_star_rescale=cfg_star_rescale,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Denoise loop
+# ---------------------------------------------------------------------------
+
+def denoise(
+    transformer_params: dict,
+    transformer_cfg: LTXTransformerConfig,
+    latents: jax.Array,            # [1, N, C] patchified tokens (noised)
+    init_latents: jax.Array,       # [1, N, C] conditioning reference
+    conditioning_mask: jax.Array,  # [1, N] strength per token (0 = free)
+    indices_grid: jax.Array,       # [1, 3, N] fractional coords
+    timesteps: jax.Array,          # [steps]
+    schedule: GuidanceSchedule,
+    prompt_embeds: jax.Array,      # [2 or 1, Sc, caption_dim] (neg, pos)
+    prompt_mask: jax.Array,        # same leading dim
+    key: jax.Array,
+    num_frame_groups: int,
+    image_cond_noise_scale: float = 0.0,
+    stochastic_sampling: bool = False,
+    attn_mode: str = "auto",
+) -> jax.Array:
+    """Run the full denoise loop as one scanned, jittable program."""
+    num_conds = schedule.num_conds
+    n_tokens = latents.shape[1]
+    b = latents.shape[0]
+    assert b == 1, "guidance streams occupy the batch dim; batch=1 per call"
+
+    # assemble per-stream text embeddings: [uncond, cond, perturbed=cond]
+    if num_conds == 1:
+        ctx = prompt_embeds[-1:]
+        ctx_mask = prompt_mask[-1:]
+    else:
+        rows = []
+        if schedule.do_cfg:
+            rows = [0, 1]
+        else:
+            rows = [1] if prompt_embeds.shape[0] > 1 else [0]
+        if schedule.do_stg:
+            rows.append(rows[-1])
+        ctx = jnp.concatenate([prompt_embeds[i:i + 1] for i in rows], axis=0)
+        ctx_mask = jnp.concatenate([prompt_mask[i:i + 1] for i in rows], axis=0)
+
+    rf_sched = rf.RectifiedFlowSchedule(timesteps=jnp.asarray(timesteps))
+    coords = jnp.concatenate([indices_grid] * num_conds, axis=0)
+    cond_mask_tokens = conditioning_mask  # [1, N]
+    tokens_per_group = n_tokens // num_frame_groups
+
+    per_step = {
+        "t": jnp.asarray(timesteps, jnp.float32),
+        "g": jnp.asarray(schedule.guidance_scale),
+        "stg": jnp.asarray(schedule.stg_scale),
+        "rescale": jnp.asarray(schedule.rescaling_scale),
+        "skip": jnp.asarray(schedule.skip_layer_mask),  # [steps, L, conds]
+        "key": jax.random.split(key, len(np.asarray(timesteps))),
+    }
+
+    def body(carry, step):
+        latents = carry
+        t = step["t"]
+        k_noise, k_step = jax.random.split(step["key"])
+
+        if image_cond_noise_scale > 0.0:
+            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+            need = (cond_mask_tokens > 1.0 - 1e-6)[..., None]
+            noised = init_latents + image_cond_noise_scale * noise * (t**2)
+            latents = jnp.where(need, noised, latents)
+
+        # per-token timesteps: conditioned tokens freeze at 1 - strength
+        t_tokens = jnp.minimum(t, 1.0 - cond_mask_tokens)  # [1, N]
+        t_groups = t_tokens.reshape(1, num_frame_groups, tokens_per_group)[
+            :, :, 0
+        ]  # [1, G]
+
+        x = jnp.concatenate([latents] * num_conds, axis=0)
+        tg = jnp.concatenate([t_groups] * num_conds, axis=0)
+        skip = step["skip"]  # [L, num_conds]; stream rows ARE the batch
+
+        pred = transformer_forward(
+            transformer_params, transformer_cfg,
+            x, coords, tg, ctx, ctx_mask,
+            skip_layer_mask=skip,
+            skip_layer_strategy=schedule.skip_layer_strategy,
+            attn_mode=attn_mode,
+        ).astype(jnp.float32)
+
+        streams = jnp.split(pred, num_conds, axis=0)
+        if schedule.do_stg:
+            pred_text, pred_ptb = streams[-2], streams[-1]
+        else:
+            pred_text = streams[-1]
+        if schedule.do_cfg:
+            pred_uncond = streams[0]
+            pred_text = streams[1]
+            if schedule.cfg_star_rescale:
+                dot = jnp.sum(pred_text * pred_uncond)
+                sq = jnp.sum(pred_uncond**2) + 1e-8
+                pred_uncond = (dot / sq) * pred_uncond
+            guided = pred_uncond + step["g"] * (pred_text - pred_uncond)
+            # g == 0 or 1 -> plain text prediction (ref skips CFG then)
+            use_cfg = (step["g"] != 0.0) & (step["g"] != 1.0)
+            noise_pred = jnp.where(use_cfg, guided, pred_text)
+        else:
+            noise_pred = pred_text
+        if schedule.do_stg:
+            noise_pred = noise_pred + step["stg"] * (pred_text - pred_ptb)
+            std_text = jnp.std(pred_text)
+            std_pred = jnp.std(noise_pred)
+            factor = std_text / (std_pred + 1e-8)
+            factor = step["rescale"] * factor + (1 - step["rescale"])
+            noise_pred = jnp.where(
+                step["stg"] > 0.0, noise_pred * factor, noise_pred
+            )
+
+        denoised = rf.step(
+            rf_sched, noise_pred.astype(latents.dtype), t_tokens, latents,
+            stochastic_sampling=stochastic_sampling, key=k_step,
+        )
+        # conditioned tokens only start moving once t < 1 - strength
+        to_denoise = (t - 1e-6 < (1.0 - cond_mask_tokens))[..., None]
+        latents = jnp.where(to_denoise, denoised, latents)
+        return latents, None
+
+    latents, _ = jax.lax.scan(body, latents, per_step)
+    return latents
+
+
+# ---------------------------------------------------------------------------
+# End-to-end single-pass generation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class LTXPipeline:
+    """Bundles params/configs; methods are thin wrappers over pure fns."""
+
+    transformer_params: dict
+    transformer_cfg: LTXTransformerConfig
+    vae_params: dict
+    vae_cfg: ltx_vae.VAEConfig
+    tokenizer: object = None          # HF tokenizer (optional in tests)
+    t5_params: dict = None
+    t5_cfg: object = None
+
+    def encode_prompt(self, prompts: list[str], max_len: int = 256):
+        """Tokenize + T5-encode. Returns (embeds [B, S, D], mask [B, S]).
+        Pads to ``max_len`` (a 128 multiple — the reference's TPU
+        constraint, ``pipeline_ltx_video.py:368-370``)."""
+        from ..models import t5 as jt5
+
+        enc = self.tokenizer(
+            prompts, padding="max_length", max_length=max_len,
+            truncation=True, return_tensors="np", add_special_tokens=True,
+        )
+        ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        embeds = jt5.encode(self.t5_params, self.t5_cfg, ids, mask)
+        return embeds, mask
+
+    def latent_shape(self, height: int, width: int, num_frames: int):
+        sf = self.vae_cfg.spatial_downscale_factor
+        tf = self.vae_cfg.temporal_downscale_factor
+        return (
+            (num_frames - 1) // tf + 1,
+            height // sf,
+            width // sf,
+        )
+
+    def generate(
+        self,
+        prompt_embeds: jax.Array,      # [2, S, D] (neg, pos) or [1, S, D]
+        prompt_mask: jax.Array,
+        height: int,
+        width: int,
+        num_frames: int,
+        num_inference_steps: int = 30,
+        timesteps: Optional[Sequence[float]] = None,
+        frame_rate: float = 25.0,
+        key: Optional[jax.Array] = None,
+        conditioning_items: Sequence[ConditioningItem] = (),
+        media_latents: Optional[jax.Array] = None,
+        initial_timestep: Optional[float] = None,
+        guidance_scale=3.0,
+        stg_scale=0.0,
+        rescaling_scale=1.0,
+        skip_block_list=None,
+        guidance_timesteps=None,
+        skip_layer_strategy=SkipLayerStrategy.AttentionValues,
+        image_cond_noise_scale: float = 0.0,
+        stochastic_sampling: bool = False,
+        sampler: str = "Uniform",
+        shift: Optional[float] = None,
+        shifting: Optional[str] = "SD3",
+        target_shift_terminal: Optional[float] = 0.1,
+        output_type: str = "latent",
+        decode_timestep: float = 0.0,
+        decode_noise_scale: Optional[float] = None,
+        attn_mode: str = "auto",
+    ):
+        key = key if key is not None else jax.random.key(0)
+        f_lat, h_lat, w_lat = self.latent_shape(height, width, num_frames)
+        c = self.transformer_cfg.in_channels
+
+        sched = rf.make_schedule(
+            num_inference_steps,
+            sampler=sampler,
+            shift=shift,
+            shifting=shifting,
+            n_media_tokens=f_lat * h_lat * w_lat,
+            target_shift_terminal=target_shift_terminal,
+            timesteps=None if timesteps is None else jnp.asarray(timesteps),
+        )
+        ts = np.asarray(sched.timesteps)
+
+        k_noise, k_denoise, k_decode = jax.random.split(key, 3)
+        noise = jax.random.normal(
+            k_noise, (1, f_lat * h_lat * w_lat, c), jnp.float32
+        )
+        noise_grid = patchifier.unpatchify(noise, h_lat, w_lat, c)
+
+        if media_latents is not None:
+            t0 = float(ts[0]) if initial_timestep is None else initial_timestep
+            init = t0 * noise_grid + (1 - t0) * media_latents.astype(jnp.float32)
+        else:
+            init = noise_grid
+
+        cond_mask_grid = jnp.zeros((1, f_lat, h_lat, w_lat), jnp.float32)
+        if conditioning_items:
+            cond_latents, cond_mask_grid = apply_conditioning(
+                jnp.zeros((1, f_lat, h_lat, w_lat, c), jnp.float32),
+                conditioning_items, self.vae_params, self.vae_cfg,
+            )
+            # lerp(noised init, clean conditioning latents, strength) at the
+            # conditioned positions (``pipeline_ltx_video.py:1443-1452``)
+            strength = cond_mask_grid[..., None]
+            init = init + strength * (cond_latents.astype(init.dtype) - init)
+
+        tokens, latent_coords = patchifier.patchify(init)
+        init_tokens = tokens
+        cond_mask_tokens = cond_mask_grid.reshape(1, -1)
+
+        scale_factors = (
+            self.vae_cfg.temporal_downscale_factor,
+            self.vae_cfg.spatial_downscale_factor,
+            self.vae_cfg.spatial_downscale_factor,
+        )
+        pixel_coords = latent_to_pixel_coords(
+            latent_coords, scale_factors, causal_fix=True
+        ).astype(jnp.float32)
+        pixel_coords = pixel_coords.at[:, 0].multiply(1.0 / frame_rate)
+
+        schedule = build_guidance_schedule(
+            ts, self.transformer_cfg.num_layers,
+            guidance_scale=guidance_scale, stg_scale=stg_scale,
+            rescaling_scale=rescaling_scale, skip_block_list=skip_block_list,
+            guidance_timesteps=guidance_timesteps,
+            skip_layer_strategy=skip_layer_strategy,
+        )
+
+        latents = denoise(
+            self.transformer_params, self.transformer_cfg,
+            tokens, init_tokens, cond_mask_tokens, pixel_coords,
+            sched.timesteps, schedule, prompt_embeds, prompt_mask,
+            k_denoise, num_frame_groups=f_lat,
+            image_cond_noise_scale=image_cond_noise_scale,
+            stochastic_sampling=stochastic_sampling,
+            attn_mode=attn_mode,
+        )
+
+        latent_grid = patchifier.unpatchify(latents, h_lat, w_lat, c)
+        if output_type == "latent":
+            return latent_grid
+        return self.decode(
+            latent_grid, decode_timestep, decode_noise_scale, k_decode
+        )
+
+    def decode(self, latent_grid, decode_timestep=0.0,
+               decode_noise_scale=None, key=None):
+        stats = self.vae_params["per_channel_statistics"]
+        z = ltx_vae.un_normalize_latents(latent_grid, stats)
+        t = None
+        if self.vae_cfg.timestep_conditioning:
+            key = key if key is not None else jax.random.key(0)
+            kn, kd = jax.random.split(key)
+            if decode_noise_scale is None:
+                decode_noise_scale = decode_timestep
+            noise = jax.random.normal(kn, z.shape, z.dtype)
+            z = z * (1 - decode_noise_scale) + noise * decode_noise_scale
+            t = jnp.asarray(decode_timestep)
+            return ltx_vae.decode(self.vae_params, self.vae_cfg, z, t, kd)
+        return ltx_vae.decode(self.vae_params, self.vae_cfg, z)

@@ -1,0 +1,113 @@
+"""Two-pass multi-scale LTX pipeline.
+
+Parity target: ``LTXMultiScalePipeline`` at
+``/root/reference/ltx_video/pipelines/pipeline_ltx_video.py:1741-1903``:
+pass 1 at ``downscale_factor`` resolution, latent 2x upsample via
+``LatentUpsampler`` in un-normalized latent space (``_upsample_latents``
+``:1760-1772``), AdaIN re-normalization against the pass-1 latents
+(``adain_filter_latent`` ``:1709-1737``), pass 2 at 2x resolution with its
+own guidance config, final decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ltx import latent_upsampler as lup
+from ..models.ltx import vae as ltx_vae
+from .ltx_pipeline import LTXPipeline
+
+
+def adain_filter_latent(
+    latents: jax.Array, reference: jax.Array, factor: float = 1.0
+) -> jax.Array:
+    """Per-(batch, channel) AdaIN over all (F, H, W) positions.
+
+    Layout here is channels-last [B, F, H, W, C]; statistics reduce over
+    the spatial-temporal axes (1, 2, 3), matching the reference's
+    per-[i, c] full reduction."""
+    axes = (1, 2, 3)
+    i_mean = jnp.mean(latents, axis=axes, keepdims=True)
+    i_sd = jnp.std(latents, axis=axes, keepdims=True)
+    r_mean = jnp.mean(reference, axis=axes, keepdims=True)
+    r_sd = jnp.std(reference, axis=axes, keepdims=True)
+    result = ((latents - i_mean) / (i_sd + 1e-8)) * r_sd + r_mean
+    return latents + factor * (result - latents)
+
+
+def upsample_latents(
+    upsampler_params: dict,
+    upsampler_cfg: lup.LatentUpsamplerConfig,
+    vae_stats: dict,
+    latents: jax.Array,
+) -> jax.Array:
+    """Un-normalize -> upsample -> re-normalize (``:1760-1772``)."""
+    z = ltx_vae.un_normalize_latents(latents, vae_stats)
+    z = lup.forward(upsampler_params, upsampler_cfg, z)
+    return ltx_vae.normalize_latents(z, vae_stats)
+
+
+@dataclasses.dataclass
+class MultiScalePipeline:
+    pipeline: LTXPipeline
+    upsampler_params: dict
+    upsampler_cfg: lup.LatentUpsamplerConfig
+    downscale_factor: float = 2 / 3
+
+    def generate(
+        self,
+        prompt_embeds,
+        prompt_mask,
+        height: int,
+        width: int,
+        num_frames: int,
+        first_pass: dict,
+        second_pass: dict,
+        key: Optional[jax.Array] = None,
+        output_type: str = "latent",
+        decode_timestep: float = 0.0,
+        decode_noise_scale: Optional[float] = None,
+        **kwargs,
+    ):
+        key = key if key is not None else jax.random.key(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        sf = self.pipeline.vae_cfg.spatial_downscale_factor
+        x_width = int(width * self.downscale_factor)
+        downscaled_width = x_width - (x_width % sf)
+        x_height = int(height * self.downscale_factor)
+        downscaled_height = x_height - (x_height % sf)
+
+        latents = self.pipeline.generate(
+            prompt_embeds, prompt_mask,
+            height=downscaled_height, width=downscaled_width,
+            num_frames=num_frames, key=k1, output_type="latent",
+            **first_pass, **kwargs,
+        )
+
+        up = upsample_latents(
+            self.upsampler_params, self.upsampler_cfg,
+            self.pipeline.vae_params["per_channel_statistics"],
+            latents,
+        )
+        up = adain_filter_latent(up, latents, factor=1.0)
+
+        second = dict(second_pass)
+        # pass 2 re-noises the upsampled latents to its first timestep
+        ts2 = second.get("timesteps")
+        t0 = float(ts2[0]) if ts2 is not None else None
+        result = self.pipeline.generate(
+            prompt_embeds, prompt_mask,
+            height=downscaled_height * 2, width=downscaled_width * 2,
+            num_frames=num_frames, key=k2,
+            media_latents=up, initial_timestep=t0,
+            output_type=output_type,
+            decode_timestep=decode_timestep,
+            decode_noise_scale=decode_noise_scale,
+            **second, **kwargs,
+        )
+        return result
