@@ -1,0 +1,145 @@
+"""Driver benchmark: end-to-end sec/video for the BASELINE.json headline
+config — LTX-2B-class DiT, 704x480, 121 frames, 30 denoise steps (CFG, two
+guidance streams), plus tiled-free full VAE decode. Random bf16 weights
+(real checkpoints are not downloadable in this zero-egress environment);
+compute cost is identical to real weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against an estimated 20 s/video for the
+reference's A100 low-VRAM path on the same config (no published numbers
+exist — SURVEY.md §6; estimate = 28-layer 2048-dim DiT at ~40% MFU on A100
+bf16 plus mmgp offload overhead and VAE decode). vs_baseline > 1 means
+faster than the estimated reference.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_video_gpupoor_tpu.models.ltx import vae as ltx_vae
+from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+    LTXTransformerConfig,
+    forward,
+    init_params,
+)
+from ltx_video_gpupoor_tpu.schedulers import rf
+
+BASELINE_SEC_PER_VIDEO = 20.0
+
+HEIGHT, WIDTH, FRAMES, STEPS = 480, 704, 121, 30
+NUM_CONDS = 2  # cfg streams
+
+
+def main():
+    cfg = LTXTransformerConfig(
+        num_attention_heads=32,
+        attention_head_dim=64,
+        in_channels=128,
+        out_channels=128,
+        num_layers=28,
+        cross_attention_dim=2048,
+        caption_channels=4096,
+    )
+    vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
+
+    f_lat = (FRAMES - 1) // vae_cfg.temporal_downscale_factor + 1
+    h_lat = HEIGHT // vae_cfg.spatial_downscale_factor
+    w_lat = WIDTH // vae_cfg.spatial_downscale_factor
+    n_tokens = f_lat * h_lat * w_lat
+
+    key = jax.random.key(0)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)
+    )
+    tokens = jax.random.normal(
+        key, (NUM_CONDS, n_tokens, cfg.in_channels), jnp.bfloat16
+    )
+    coords = jnp.tile(
+        jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(f_lat), jnp.arange(h_lat), jnp.arange(w_lat),
+                indexing="ij",
+            ),
+            0,
+        ).reshape(1, 3, -1).astype(jnp.float32),
+        (NUM_CONDS, 1, 1),
+    )
+    caption = jax.random.normal(key, (NUM_CONDS, 256, 4096), jnp.bfloat16)
+    cmask = jnp.ones((NUM_CONDS, 256), jnp.int32)
+    sched = rf.make_schedule(
+        STEPS, sampler="Uniform", shifting="SD3",
+        n_media_tokens=n_tokens, target_shift_terminal=0.1,
+    )
+
+    @jax.jit
+    def denoise(params, latents):
+        def body(lat, t):
+            x = jnp.concatenate([lat, lat], axis=0)
+            v = forward(
+                params, cfg, x, coords,
+                jnp.full((NUM_CONDS,), t), caption, cmask,
+            )
+            un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
+            pred = un + 3.0 * (co - un)
+            return rf.step(sched, pred.astype(lat.dtype), t, lat), None
+
+        lat, _ = jax.lax.scan(body, latents, sched.timesteps)
+        return lat[0, 0, 0].astype(jnp.float32)
+
+    latents = tokens[:1]
+    # warm up / compile
+    t0 = time.time()
+    float(np.asarray(denoise(params, latents)))
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    float(np.asarray(denoise(params, latents)))
+    denoise_s = time.time() - t0
+
+    # VAE decode at full res
+    vae_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        ltx_vae.init_params(jax.random.key(1), vae_cfg),
+    )
+    z = jax.random.normal(
+        jax.random.key(2), (1, f_lat, h_lat, w_lat, 128), jnp.bfloat16
+    )
+
+    @jax.jit
+    def decode(vp, z):
+        return ltx_vae.decode(vp, vae_cfg, z)[0, 0, 0, 0, 0].astype(jnp.float32)
+
+    t0 = time.time()
+    float(np.asarray(decode(vae_params, z)))
+    decode_compile_s = time.time() - t0
+    t0 = time.time()
+    float(np.asarray(decode(vae_params, z)))
+    decode_s = time.time() - t0
+
+    sec_per_video = denoise_s + decode_s
+    steps_per_sec = STEPS / denoise_s
+    result = {
+        "metric": "e2e_sec_per_video_ltx2b_704x480x121f_30steps",
+        "value": round(sec_per_video, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SEC_PER_VIDEO / sec_per_video, 2),
+    }
+    print(json.dumps(result))
+    # secondary detail on stderr-style line (driver reads line 1 only)
+    print(
+        json.dumps({
+            "denoise_s": round(denoise_s, 3),
+            "denoise_steps_per_sec": round(steps_per_sec, 2),
+            "vae_decode_s": round(decode_s, 3),
+            "compile_s": round(compile_s + decode_compile_s, 1),
+            "tokens": n_tokens,
+        })
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -147,13 +147,19 @@ def flash_attention(
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
     _, _, skv, _ = k.shape
-    block_q = min(block_q, sq)
-    block_kv = min(block_kv, skv)
-    if sq % block_q or skv % block_kv:
+    if sq % 128 or skv % 128:
         raise ValueError(
-            f"seq lens ({sq}, {skv}) must be multiples of blocks "
-            f"({block_q}, {block_kv}); pad + use segment ids"
+            f"seq lens ({sq}, {skv}) must be multiples of 128; "
+            "pad + use segment ids"
         )
+    # shrink blocks to the largest 128-multiple divisor of the seq len
+    def fit(block, s):
+        block = min(block, s)
+        while s % block:
+            block -= 128
+        return block
+    block_q = fit(block_q, sq)
+    block_kv = fit(block_kv, skv)
     if scale is None:
         scale = d ** -0.5
     use_segments = q_segment_ids is not None

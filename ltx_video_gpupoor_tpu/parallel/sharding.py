@@ -1,0 +1,64 @@
+"""Parameter and activation sharding rules over the (dp, sp, tp) mesh.
+
+Replaces the reference's FSDP wrapping (``/root/reference/wan/distributed/
+fsdp.py:10-32``) and xfuser USP plumbing with declarative
+``NamedSharding``s: XLA SPMD inserts the all-gathers / reduce-scatters over
+ICI. Tensor parallelism splits attention heads and FFN hidden dims;
+sequence parallelism splits the token axis (XLA gathers K/V for
+attention — the dedicated Ulysses/ring path lives in parallel/ulysses.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.params import flatten, unflatten
+
+# flat-key substring -> PartitionSpec for the LTX transformer tree
+# kernels are [*, in, out] ([L, in, out] for scanned blocks)
+_TRANSFORMER_RULES = [
+    # attention projections: split heads (output dim) over tp
+    (".to_q.kernel", P(None, None, "tp")),
+    (".to_k.kernel", P(None, None, "tp")),
+    (".to_v.kernel", P(None, None, "tp")),
+    (".to_q.bias", P(None, "tp")),
+    (".to_k.bias", P(None, "tp")),
+    (".to_v.bias", P(None, "tp")),
+    # output projection: split input (head) dim over tp
+    (".to_out.kernel", P(None, "tp", None)),
+    # FFN: hidden dim over tp
+    ("ff.proj_in.kernel", P(None, None, "tp")),
+    ("ff.proj_in.bias", P(None, "tp")),
+    ("ff.proj_out.kernel", P(None, "tp", None)),
+]
+
+
+def transformer_param_shardings(mesh: Mesh, params: dict) -> dict:
+    """NamedSharding pytree matching the transformer param tree."""
+    flat = flatten(params)
+    out: dict[str, Any] = {}
+    for key, value in flat.items():
+        spec = P()
+        for pattern, rule in _TRANSFORMER_RULES:
+            if pattern in key and value.ndim == len(rule):
+                spec = rule
+                break
+        out[key] = NamedSharding(mesh, spec)
+    return unflatten(out)
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """Activations [B(streams), S, C]: streams over dp, tokens over sp."""
+    return NamedSharding(mesh, P("dp", "sp", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params: dict) -> dict:
+    shardings = transformer_param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -199,8 +199,8 @@ def step(
         x0 = sample - t_full * model_output
         next_t = t_full - dt
         noise = jax.random.normal(key, sample.shape, sample.dtype)
-        return add_noise(x0, noise, next_t)
-    return sample - dt * model_output
+        return add_noise(x0, noise, next_t).astype(sample.dtype)
+    return (sample - dt * model_output).astype(sample.dtype)
 
 
 def add_noise(
