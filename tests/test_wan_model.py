@@ -1,0 +1,162 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_video_gpupoor_tpu.models.wan.model import (
+    WanConfig,
+    embed_clip,
+    forward,
+    init_params,
+    sinusoidal_embedding_1d,
+    time_modulation,
+)
+from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+
+TINY = WanConfig(
+    model_type="t2v", patch_size=(1, 2, 2), text_len=16, in_dim=4,
+    dim=64, ffn_dim=128, freq_dim=32, text_dim=24, out_dim=4,
+    num_heads=2, num_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return init_params(jax.random.key(0), TINY)
+
+
+def _inputs(b=2, f=3, h=6, w=6):
+    x = jax.random.normal(jax.random.key(1), (b, f, h, w, TINY.in_dim))
+    t = jnp.full((b,), 500.0)
+    ctx = jax.random.normal(jax.random.key(2), (b, TINY.text_len, TINY.text_dim))
+    cmask = jnp.ones((b, TINY.text_len), jnp.int32).at[:, -4:].set(0)
+    freqs = wan_rope_freqs((f, h // 2, w // 2), head_dim=32,
+                           rope_dims=(12, 10, 10))
+    return x, t, ctx, cmask, freqs
+
+
+def test_sinusoidal_matches_reference_formula():
+    import torch
+    pos = jnp.asarray([0.0, 1.0, 500.0])
+    mine = np.asarray(sinusoidal_embedding_1d(32, pos))
+    tpos = torch.tensor([0.0, 1.0, 500.0])
+    sinusoid = torch.outer(
+        tpos, torch.pow(10000, -torch.arange(16).float().div(16))
+    )
+    ref = torch.cat([torch.cos(sinusoid), torch.sin(sinusoid)], dim=1)
+    np.testing.assert_allclose(mine, ref.numpy(), atol=1e-5)
+
+
+def test_forward_shapes(model):
+    x, t, ctx, cmask, freqs = _inputs()
+    out, residual = forward(model, TINY, x, t, ctx, cmask, freqs)
+    assert out.shape == x.shape[:4] + (TINY.out_dim,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_context_mask_matters(model):
+    x, t, ctx, cmask, freqs = _inputs()
+    o1, _ = forward(model, TINY, x, t, ctx, cmask, freqs)
+    ctx2 = ctx.at[:, -1].add(50.0)  # masked token
+    o2, _ = forward(model, TINY, x, t, ctx2, cmask, freqs)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    ctx3 = ctx.at[:, 0].add(50.0)
+    o3, _ = forward(model, TINY, x, t, ctx3, cmask, freqs)
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-4
+
+
+def test_per_frame_timesteps_df_mode(model):
+    x, t, ctx, cmask, freqs = _inputs(f=3)
+    t2d = jnp.tile(jnp.asarray([[1000.0, 500.0, 0.0]]), (2, 1))  # [B, F]
+    out, _ = forward(model, TINY, x, t2d, ctx, cmask, freqs)
+    assert out.shape == x.shape[:4] + (TINY.out_dim,)
+    # uniform per-frame t == scalar t
+    t_same = jnp.full((2, 3), 500.0)
+    o_a, _ = forward(model, TINY, x, t_same, ctx, cmask, freqs)
+    o_b, _ = forward(model, TINY, x, jnp.full((2,), 500.0), ctx, cmask, freqs)
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=2e-5)
+
+
+def test_slg_layer_skip(model):
+    x, t, ctx, cmask, freqs = _inputs()
+    base, _ = forward(model, TINY, x, t, ctx, cmask, freqs)
+    keep = jnp.ones((TINY.num_layers, 2)).at[1, 1].set(0.0)
+    out, _ = forward(model, TINY, x, t, ctx, cmask, freqs, slg_keep=keep)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(out[1]) - np.asarray(base[1])).max() > 1e-5
+
+
+def test_teacache_residual_reuse(model):
+    x, t, ctx, cmask, freqs = _inputs()
+    out1, res = forward(model, TINY, x, t, ctx, cmask, freqs, compute=True)
+    out2, _ = forward(
+        model, TINY, x, t, ctx, cmask, freqs,
+        compute=False, previous_residual=res,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    # traced-bool variant via lax.cond
+    out3, _ = forward(
+        model, TINY, x, t, ctx, cmask, freqs,
+        compute=jnp.asarray(False), previous_residual=res,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out3), atol=1e-5)
+
+
+def test_i2v_clip_context():
+    cfg = WanConfig(
+        model_type="i2v", patch_size=(1, 2, 2), text_len=16, in_dim=8,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=24, out_dim=4,
+        num_heads=2, num_layers=2,
+    )
+    params = init_params(jax.random.key(3), cfg)
+    b, f, h, w = 1, 2, 4, 4
+    x = jax.random.normal(jax.random.key(1), (b, f, h, w, cfg.in_dim))
+    t = jnp.full((b,), 500.0)
+    ctx = jax.random.normal(jax.random.key(2), (b, cfg.text_len, cfg.text_dim))
+    cmask = jnp.ones((b, cfg.text_len), jnp.int32)
+    clip = jax.random.normal(jax.random.key(4), (b, 257, 1280))
+    freqs = wan_rope_freqs((f, h // 2, w // 2), head_dim=32,
+                           rope_dims=(12, 10, 10))
+    o1, _ = forward(params, cfg, x, t, ctx, cmask, freqs, clip_features=clip)
+    # note: pure scaling is invariant under MLPProj's input LayerNorm
+    clip_perturbed = clip.at[:, 0].add(
+        jax.random.normal(jax.random.key(9), clip.shape[-1:]) * 5.0
+    )
+    o2, _ = forward(params, cfg, x, t, ctx, cmask, freqs,
+                    clip_features=clip_perturbed)
+    assert o1.shape == (b, f, h, w, cfg.out_dim)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5
+
+
+def test_vace_hints():
+    cfg = WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=16, in_dim=4,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=24, out_dim=4,
+        num_heads=2, num_layers=2, vace_layers=(0,), vace_in_dim=8,
+    )
+    params = init_params(jax.random.key(5), cfg)
+    b, f, h, w = 1, 2, 4, 4
+    x = jax.random.normal(jax.random.key(1), (b, f, h, w, cfg.in_dim))
+    t = jnp.full((b,), 500.0)
+    ctx = jax.random.normal(jax.random.key(2), (b, cfg.text_len, cfg.text_dim))
+    cmask = jnp.ones((b, cfg.text_len), jnp.int32)
+    vace_ctx = jax.random.normal(jax.random.key(6), (b, f, h, w, 8))
+    freqs = wan_rope_freqs((f, h // 2, w // 2), head_dim=32,
+                           rope_dims=(12, 10, 10))
+    o1, _ = forward(params, cfg, x, t, ctx, cmask, freqs)
+    o2, _ = forward(params, cfg, x, t, ctx, cmask, freqs,
+                    vace_context=vace_ctx)
+    # zero-init projections -> hint contributes nothing yet, but path runs
+    assert o2.shape == o1.shape
+    assert np.isfinite(np.asarray(o2)).all()
+
+
+def test_forward_jittable(model):
+    x, t, ctx, cmask, freqs = _inputs()
+    f = jax.jit(
+        lambda p, x, t, c, m: forward(p, TINY, x, t, c, m, freqs)[0]
+    )
+    out = f(model, x, t, ctx, cmask)
+    ref, _ = forward(model, TINY, x, t, ctx, cmask, freqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
