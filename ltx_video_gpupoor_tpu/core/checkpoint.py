@@ -410,6 +410,100 @@ def convert_ltx_vae(
 
 
 # ---------------------------------------------------------------------------
+# Wan VAE
+# ---------------------------------------------------------------------------
+
+def convert_wan_vae(sd: dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
+    """Wan VAE state dict (``/root/reference/wan/modules/vae.py`` naming:
+    ``encoder.downsamples.N.residual.{0,2,3,6}``, ``resample.1``,
+    ``time_conv``, ``middle.{0,1,2}``, ``head.{0,2}``) -> param tree."""
+    from ..models.wan.vae import _decoder_structure, _encoder_structure
+
+    def conv3(prefix):
+        p = {"kernel": _jx(_tconv(sd[prefix + ".weight"]), dtype)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], dtype)
+        return p
+
+    def conv2(prefix):
+        w = sd[prefix + ".weight"]
+        return {
+            "kernel": _jx(np.transpose(w, (2, 3, 1, 0)), dtype),
+            "bias": _jx(sd[prefix + ".bias"], dtype),
+        }
+
+    def norm(prefix):
+        p = {"gamma": _jx(sd[prefix + ".gamma"].reshape(-1), jnp.float32)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"].reshape(-1), jnp.float32)
+        return p
+
+    def res(prefix):
+        p = {
+            "norm1": norm(prefix + ".residual.0"),
+            "conv1": conv3(prefix + ".residual.2"),
+            "norm2": norm(prefix + ".residual.3"),
+            "conv2": conv3(prefix + ".residual.6"),
+        }
+        if prefix + ".shortcut.weight" in sd:
+            p["shortcut"] = conv3(prefix + ".shortcut")
+        return p
+
+    def attn(prefix):
+        return {
+            "norm": norm(prefix + ".norm"),
+            "to_qkv": conv2(prefix + ".to_qkv"),
+            "proj": conv2(prefix + ".proj"),
+        }
+
+    def stage_blocks(structure, prefix):
+        blocks = []
+        for i, (kind, cin, cout, _) in enumerate(structure):
+            pre = f"{prefix}.{i}"
+            if kind == "res":
+                blocks.append(res(pre))
+            elif kind == "attn":
+                blocks.append(attn(pre))
+            elif kind in ("downsample2d", "upsample2d"):
+                blocks.append(conv2(pre + ".resample.1"))
+            else:  # *sample3d
+                blocks.append({
+                    "resample": conv2(pre + ".resample.1"),
+                    "time_conv": conv3(pre + ".time_conv"),
+                })
+        return blocks
+
+    enc_struct, _ = _encoder_structure(cfg)
+    dec_struct, _ = _decoder_structure(cfg)
+    return {
+        "encoder": {
+            "conv1": conv3("encoder.conv1"),
+            "downsamples": stage_blocks(enc_struct, "encoder.downsamples"),
+            "middle": [
+                res("encoder.middle.0"),
+                attn("encoder.middle.1"),
+                res("encoder.middle.2"),
+            ],
+            "head_norm": norm("encoder.head.0"),
+            "head_conv": conv3("encoder.head.2"),
+        },
+        "conv1": conv3("conv1"),
+        "conv2": conv3("conv2"),
+        "decoder": {
+            "conv1": conv3("decoder.conv1"),
+            "middle": [
+                res("decoder.middle.0"),
+                attn("decoder.middle.1"),
+                res("decoder.middle.2"),
+            ],
+            "upsamples": stage_blocks(dec_struct, "decoder.upsamples"),
+            "head_norm": norm("decoder.head.0"),
+            "head_conv": conv3("decoder.head.2"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # T5 / UMT5
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,93 @@
+"""Wan VAE golden tests: the full-sequence TPU reformulation must match the
+reference's cache-streaming encode/decode numerics exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from ltx_video_gpupoor_tpu.core.checkpoint import convert_wan_vae
+from ltx_video_gpupoor_tpu.models.wan import vae as wvae
+
+
+def _load_ref():
+    src = open("/root/reference/wan/modules/vae.py").read()
+    src = src.replace("from mmgp import offload", "")
+    src = src.replace("import torch.cuda.amp as amp", "")
+    ns = {}
+    exec(compile(src, "ref_wan_vae.py", "exec"), ns)
+    return ns
+
+
+CFG = wvae.WanVAEConfig(
+    dim=16, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+    attn_scales=(), temperal_downsample=(False, True),
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    ns = _load_ref()
+    torch.manual_seed(0)
+    ref = ns["WanVAE_"](
+        dim=CFG.dim, z_dim=CFG.z_dim, dim_mult=list(CFG.dim_mult),
+        num_res_blocks=CFG.num_res_blocks, attn_scales=[],
+        temperal_downsample=list(CFG.temperal_downsample), dropout=0.0,
+    ).eval().float()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_wan_vae(sd, CFG)
+    return ref, params
+
+
+def test_encode_matches_reference_streaming(pair):
+    ref, params = pair
+    rng = np.random.RandomState(0)
+    video = rng.randn(1, 3, 5, 16, 16).astype(np.float32)  # [B,C,T,H,W]
+    with torch.no_grad():
+        ref_mu = ref.encode(torch.from_numpy(video)).numpy()
+    mine = wvae.encode(
+        params, CFG, jnp.asarray(np.transpose(video, (0, 2, 3, 4, 1))),
+        normalize=False,
+    )
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_mu.shape
+    np.testing.assert_allclose(mine, ref_mu, atol=2e-4, rtol=2e-4)
+
+
+def test_decode_matches_reference_streaming(pair):
+    ref, params = pair
+    rng = np.random.RandomState(1)
+    z = rng.randn(1, 4, 3, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.decode(torch.from_numpy(z)).clamp(-1, 1).numpy()
+    mine = wvae.decode(
+        params, CFG, jnp.asarray(np.transpose(z, (0, 2, 3, 4, 1))),
+        normalized=False,
+    )
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_out.shape
+    np.testing.assert_allclose(mine, ref_out, atol=2e-4, rtol=2e-4)
+
+
+def test_shapes_roundtrip(pair):
+    _, params = pair
+    video = jnp.zeros((1, 9, 16, 16, 3))
+    mu = wvae.encode(params, CFG, video)
+    # one temporal downsample: 9 -> 1 + 8/2 = 5
+    assert mu.shape == (1, 5, 4, 4, 4)
+    out = wvae.decode(params, CFG, mu)
+    # one temporal upsample: 5 -> 1 + 2*4 = 9
+    assert out.shape == (1, 9, 16, 16, 3)
+
+
+def test_normalization_stats():
+    z = jnp.ones((1, 2, 2, 2, 16))
+    cfg16 = wvae.WanVAEConfig()
+    normed = (np.ones(16) - wvae.WAN_LATENT_MEAN) / wvae.WAN_LATENT_STD
+    params = None  # normalization is params-free
+    # direct check of the formula used inside encode/decode
+    np.testing.assert_allclose(
+        (np.ones(16, np.float32) - wvae.WAN_LATENT_MEAN) / wvae.WAN_LATENT_STD,
+        normed,
+    )
