@@ -149,10 +149,17 @@ def rope_1d(
     return _interleave2(jnp.cos(angles)), _interleave2(jnp.sin(angles))
 
 
+def default_rope_dims(head_dim: int) -> tuple[int, int, int]:
+    """Wan's head-dim split: even spatial thirds, remainder to time
+    (head_dim 128 -> (44, 42, 42))."""
+    hw = (head_dim // 3) // 2 * 2
+    return (head_dim - 2 * hw, hw, hw)
+
+
 def wan_rope_freqs(
     grid_sizes: Sequence[int],
     head_dim: int = 128,
-    rope_dims: Sequence[int] = (44, 42, 42),
+    rope_dims: Sequence[int] | None = None,
     theta: float = 10000.0,
     enable_riflex: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -163,6 +170,8 @@ def wan_rope_freqs(
     ``L_test = F`` (matching ``get_rotary_pos_embed``,
     ``/root/reference/wan/modules/posemb_layers.py:434-472``).
     """
+    if rope_dims is None:
+        rope_dims = default_rope_dims(head_dim)
     assert sum(rope_dims) == head_dim
     f, h, w = grid_sizes
     axes_pos = [np.arange(f), np.arange(h), np.arange(w)]
