@@ -504,6 +504,59 @@ def convert_wan_vae(sd: dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower (Wan i2v)
+# ---------------------------------------------------------------------------
+
+def convert_clip_vision(
+    sd: dict[str, np.ndarray], num_layers: int, dtype=jnp.bfloat16
+) -> dict:
+    """open-clip / Wan ``visual.*`` state dict -> vision param tree
+    (``/root/reference/wan/modules/clip.py`` naming)."""
+    if any(k.startswith("visual.") for k in sd):
+        sd = {k[len("visual."):]: v for k, v in sd.items()
+              if k.startswith("visual.")}
+
+    def lin(prefix, d=dtype):
+        p = {"kernel": _jx(_t(sd[prefix + ".weight"]), d)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], d)
+        return p
+
+    def norm(prefix):
+        return {
+            "weight": _jx(sd[prefix + ".weight"], jnp.float32),
+            "bias": _jx(sd[prefix + ".bias"], jnp.float32),
+        }
+
+    blocks = []
+    for i in range(num_layers):
+        pre = f"transformer.{i}"
+        blocks.append({
+            "norm1": norm(pre + ".norm1"),
+            "attn": {
+                "to_qkv": lin(pre + ".attn.to_qkv"),
+                "proj": lin(pre + ".attn.proj"),
+            },
+            "norm2": norm(pre + ".norm2"),
+            "mlp": {
+                "fc1": lin(pre + ".mlp.0"),
+                "fc2": lin(pre + ".mlp.2"),
+            },
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    w = sd["patch_embedding.weight"]  # [D, 3, p, p]
+    return {
+        "patch_embedding": {
+            "kernel": _jx(np.transpose(w, (2, 3, 1, 0)), dtype)
+        },
+        "cls_embedding": _jx(sd["cls_embedding"], dtype),
+        "pos_embedding": _jx(sd["pos_embedding"], dtype),
+        "pre_norm": norm("pre_norm"),
+        "blocks": stacked,
+    }
+
+
+# ---------------------------------------------------------------------------
 # T5 / UMT5
 # ---------------------------------------------------------------------------
 
