@@ -1,0 +1,149 @@
+"""Inference CLI — flag-for-flag parity with the reference's
+``inference.py`` argparse surface (``/root/reference/inference.py:586-656``)
+plus TPU-specific knobs (mesh shape, attention mode).
+
+Offline note: the reference downloads checkpoints from HF hub at startup
+(``inference.py:51-75, 392-439``); here missing checkpoints are a clear
+error, and ``--demo`` runs the full surface with tiny random weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="LTXV Video Generation Inference")
+    p.add_argument("--prompt", type=str, required=True,
+                   help="Input prompt for video generation")
+    p.add_argument("--negative-prompt", type=str, default="")
+    p.add_argument("--image-start", type=str, default=None,
+                   help="Path to start image")
+    p.add_argument("--image-end", type=str, default=None,
+                   help="Path to end image")
+    p.add_argument("--video-source", type=str, default=None,
+                   help="Path to input video")
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--image-cond-noise-scale", type=float, default=0.15)
+    p.add_argument("--input-media-path", type=str, default=None)
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--video-length", type=int, default=81,
+                   help="Number of frames")
+    p.add_argument("--frame-rate", type=int, default=30)
+    p.add_argument("--fit-into-canvas", action="store_true")
+    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--VAE-tile-size", type=int, default=None)
+    p.add_argument("--model-mode", type=str, default="ltxv_13B")
+    p.add_argument("--quantization", type=str, default="int8")
+    p.add_argument("--transformer-dtype-policy", type=str, default="")
+    p.add_argument("--quantize-transformer", action="store_true")
+    p.add_argument("--mixed-precision-transformer", action="store_true")
+    p.add_argument("--save-quantized", action="store_true")
+    p.add_argument("--output-path", type=str, default=None)
+    p.add_argument("--profile-type-id", type=int, default=2,
+                   choices=[1, 2, 3, 4, 5],
+                   help="Residency/sharding profile (parity flag; weights "
+                        "are HBM-resident on TPU)")
+    # TPU-native additions
+    p.add_argument("--ckpt-dir", type=str, default="ckpts")
+    p.add_argument("--attention", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--demo", action="store_true",
+                   help="Run with a tiny random-weight model (offline smoke)")
+    return p.parse_args(argv)
+
+
+def hash_prompt_embeds(prompt: str, negative: str, seq_len: int, dim: int):
+    """Deterministic pseudo text embeddings for --demo runs (no T5 weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(text):
+        seed = int.from_bytes(
+            hashlib.sha256(text.encode()).digest()[:4], "little"
+        )
+        return jax.random.normal(jax.random.key(seed), (seq_len, dim))
+
+    emb = jnp.stack([one("neg:" + negative), one("pos:" + prompt)])
+    mask = jnp.ones((2, seq_len), jnp.int32)
+    return emb, mask
+
+
+def infer(args) -> str:
+    from ..ops.attention import set_attention_mode
+    from ..utils import media as media_utils
+    from . import model_zoo
+
+    set_attention_mode(args.attention)
+
+    if args.demo:
+        model = model_zoo.build_demo_model(args.seed)
+    else:
+        tf_file, te_file = model_zoo.select_model_files(
+            args.model_mode, args.quantization, args.transformer_dtype_policy
+        )
+        model = model_zoo.load_ltxv_model(
+            tf_file, args.model_mode, args.ckpt_dir, te_file
+        )
+
+    gen = model.generator
+    pipe = gen.pipeline
+    if pipe.t5_params is not None and pipe.tokenizer is not None:
+        embeds, mask = pipe.encode_prompt(
+            [args.negative_prompt, args.prompt]
+        )
+    else:
+        embeds, mask = hash_prompt_embeds(
+            args.prompt, args.negative_prompt, 128,
+            pipe.transformer_cfg.caption_channels,
+        )
+
+    image_start = image_end = input_video = None
+    if args.image_start:
+        from PIL import Image
+
+        image_start = np.asarray(
+            Image.open(args.image_start).convert("RGB")
+        )
+    if args.image_end:
+        from PIL import Image
+
+        image_end = np.asarray(Image.open(args.image_end).convert("RGB"))
+    if args.video_source:
+        input_video = media_utils.load_video(args.video_source)
+
+    frames = gen.generate(
+        embeds, mask,
+        height=args.height, width=args.width,
+        frame_num=args.video_length, frame_rate=args.frame_rate,
+        seed=args.seed,
+        image_start=image_start, image_end=image_end,
+        input_video=input_video,
+        image_cond_noise_scale=args.image_cond_noise_scale,
+        fit_into_canvas=args.fit_into_canvas,
+        sampling_steps=args.num_inference_steps,
+    )
+
+    out_path = args.output_path
+    if out_path is None:
+        os.makedirs("outputs", exist_ok=True)
+        out_path = os.path.join("outputs", f"video_{int(time.time())}.mp4")
+    media_utils.save_video(np.asarray(frames), out_path, fps=args.frame_rate)
+    print(out_path)
+    return out_path
+
+
+def main(argv=None):
+    infer(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Model selection, checkpoint resolution, and pipeline assembly.
+
+Parity targets in ``/root/reference/inference.py``:
+- ``model_signatures`` / ``transformer_choices`` / ``get_model_filename``
+  quantization + dtype filename policy (``:94-173``);
+- ``select_model_files`` / ``prepare_models_and_enhancers`` download
+  definitions (``:384-439``) — downloads require network; in offline
+  environments checkpoints must already sit in ``ckpts/``;
+- ``load_and_profile_model`` (``:442-496``) — mmgp offload profiles are
+  replaced by mesh sharding policies (weights stay HBM-resident).
+
+On TPU there is no pre-Ampere fp16 fallback (``:109-128``): bf16 is always
+native, fp16 requests map to bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import load_ltx_pipeline_config
+from ..core import checkpoint as ckpt
+from ..models import t5 as jt5
+from ..models.ltx import latent_upsampler as lup
+from ..models.ltx import vae as ltx_vae
+from ..models.ltx.transformer3d import LTXTransformerConfig, init_params as tf_init
+from ..pipelines.ltx_pipeline import LTXPipeline
+from ..pipelines.multiscale import MultiScalePipeline
+from .orchestrator import LTXVideoGenerator
+
+TRANSFORMER_CHOICES = [
+    "ckpts/ltxv_0.9.7_13B_dev_bf16.safetensors",
+    "ckpts/ltxv_0.9.7_13B_dev_quanto_bf16_int8.safetensors",
+    "ckpts/ltxv_0.9.7_13B_distilled_lora128_bf16.safetensors",
+]
+
+MODEL_SIGNATURES = {
+    "ltxv_13B": "ltxv_0.9.7_13B_dev",
+    "ltxv_13B_distilled": "ltxv_0.9.7_13B_distilled",
+}
+
+TEXT_ENCODER_CHOICES = [
+    "ckpts/T5_xxl_1.1/T5_xxl_1.1_enc_bf16.safetensors",
+    "ckpts/T5_xxl_1.1/T5_xxl_1.1_enc_quanto_bf16_int8.safetensors",
+]
+
+
+def get_model_filename(
+    model_type: str, quantization: str = "int8", dtype_policy: str = ""
+) -> str:
+    """Filename policy (``inference.py:130-173``), TPU dtype rules."""
+    signature = MODEL_SIGNATURES[model_type]
+    choices = [n for n in TRANSFORMER_CHOICES if signature in n]
+    if not quantization:
+        quantization = "bf16"
+    if len(choices) <= 1:
+        return choices[0]
+    if quantization in ("int8", "fp8"):
+        sub = [n for n in choices if quantization in n]
+    else:
+        sub = [n for n in choices if "quanto" not in n]
+    if sub:
+        # bf16 on TPU always
+        bf = [n for n in sub if "bf16" in n]
+        return (bf or sub)[0]
+    return choices[0]
+
+
+def get_text_encoder_filename(quantization: str = "int8") -> str:
+    if quantization == "int8":
+        return TEXT_ENCODER_CHOICES[1]
+    return TEXT_ENCODER_CHOICES[0]
+
+
+def select_model_files(
+    model_mode: str, quantization: str = "int8", dtype_policy: str = ""
+) -> tuple[str, str]:
+    """(transformer file, text-encoder file) (``inference.py:384-389``)."""
+    return (
+        get_model_filename(model_mode, quantization, dtype_policy),
+        get_text_encoder_filename(quantization),
+    )
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    generator: LTXVideoGenerator
+    tokenizer: object = None
+
+
+def _maybe(path: str, ckpt_dir: str) -> Optional[str]:
+    full = os.path.join(ckpt_dir, os.path.basename(path))
+    if os.path.isfile(full):
+        return full
+    if os.path.isfile(path):
+        return path
+    return None
+
+
+def load_ltxv_model(
+    model_filename: str,
+    model_mode: str = "ltxv_13B_distilled",
+    ckpt_dir: str = "ckpts",
+    text_encoder_filename: Optional[str] = None,
+    upsampler_filename: str = "ltxv-spatial-upscaler-0.9.7.safetensors",
+    vae_filename: Optional[str] = None,
+) -> LoadedModel:
+    """Assemble the full LTX stack from local safetensors checkpoints.
+
+    Raises a clear error when a file is missing (no network in this
+    environment; the reference would HF-hub-download here,
+    ``inference.py:51-75``).
+    """
+    tf_path = _maybe(model_filename, ckpt_dir)
+    if tf_path is None:
+        raise FileNotFoundError(
+            f"transformer checkpoint not found: {model_filename} — place it "
+            f"under {ckpt_dir}/ (downloads are unavailable offline)"
+        )
+    tensors, config = ckpt.load_safetensors(tf_path)
+    tensors = ckpt.dequantize_quanto(tensors)
+    tcfg_dict = config.get("transformer", config) if config else {}
+    tcfg = LTXTransformerConfig(
+        num_attention_heads=tcfg_dict.get("num_attention_heads", 32),
+        attention_head_dim=tcfg_dict.get("attention_head_dim", 64),
+        in_channels=tcfg_dict.get("in_channels", 128),
+        out_channels=tcfg_dict.get("out_channels", 128),
+        num_layers=tcfg_dict.get("num_layers", 48),
+        cross_attention_dim=tcfg_dict.get("cross_attention_dim", 4096),
+        caption_channels=tcfg_dict.get("caption_channels", 4096),
+    )
+    tf_params = ckpt.convert_ltx_transformer(tensors, tcfg.num_layers)
+
+    vae_path = _maybe(vae_filename or model_filename, ckpt_dir)
+    vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
+    vcfg_dict = vae_config.get("vae", vae_config) if vae_config else \
+        ltx_vae.LTX_VAE_CONFIG_097
+    vcfg = ltx_vae.VAEConfig.from_dict(vcfg_dict)
+    vae_params = ckpt.convert_ltx_vae(vae_tensors, vcfg)
+
+    t5_params = t5_cfg = tokenizer = None
+    if text_encoder_filename:
+        te_path = _maybe(text_encoder_filename, ckpt_dir)
+        if te_path:
+            te_tensors, _ = ckpt.load_safetensors(te_path)
+            te_tensors = ckpt.dequantize_quanto(te_tensors)
+            t5_cfg = jt5.T5_XXL
+            t5_params = ckpt.convert_t5_encoder(
+                te_tensors, t5_cfg.num_layers, t5_cfg.shared_pos
+            )
+
+    pipeline = LTXPipeline(
+        transformer_params=tf_params, transformer_cfg=tcfg,
+        vae_params=vae_params, vae_cfg=vcfg,
+        tokenizer=tokenizer, t5_params=t5_params, t5_cfg=t5_cfg,
+    )
+
+    multiscale = None
+    up_path = _maybe(upsampler_filename, ckpt_dir)
+    if up_path:
+        up_tensors, up_cfg_dict = ckpt.load_safetensors(up_path)
+        up_cfg = lup.LatentUpsamplerConfig()
+        up_params = convert_latent_upsampler(up_tensors)
+        multiscale = MultiScalePipeline(
+            pipeline=pipeline, upsampler_params=up_params,
+            upsampler_cfg=up_cfg,
+        )
+
+    config_name = (
+        "ltxv-13b-0.9.7-distilled" if "distilled" in model_mode
+        else "ltxv-13b-0.9.7-dev"
+    )
+    return LoadedModel(
+        generator=LTXVideoGenerator(
+            pipeline=pipeline, multiscale=multiscale,
+            pipeline_config=config_name,
+        )
+    )
+
+
+def convert_latent_upsampler(sd: dict, dtype=jnp.bfloat16) -> dict:
+    """Latent-upsampler state dict -> param tree
+    (``latent_upsampler.py:42-110`` naming)."""
+
+    def conv(prefix, kdims=3):
+        w = sd[prefix + ".weight"]
+        perm = (2, 3, 4, 1, 0) if w.ndim == 5 else (2, 3, 1, 0)
+        return {
+            "kernel": jnp.asarray(np.transpose(w, perm)).astype(dtype),
+            "bias": jnp.asarray(sd[prefix + ".bias"]).astype(dtype),
+        }
+
+    def gn(prefix):
+        return {
+            "weight": jnp.asarray(sd[prefix + ".weight"]).astype(jnp.float32),
+            "bias": jnp.asarray(sd[prefix + ".bias"]).astype(jnp.float32),
+        }
+
+    def res(prefix):
+        return {
+            "conv1": conv(prefix + ".conv1"),
+            "norm1": gn(prefix + ".norm1"),
+            "conv2": conv(prefix + ".conv2"),
+            "norm2": gn(prefix + ".norm2"),
+        }
+
+    n_blocks = 0
+    while f"res_blocks.{n_blocks}.conv1.weight" in sd:
+        n_blocks += 1
+    return {
+        "initial_conv": conv("initial_conv"),
+        "initial_norm": gn("initial_norm"),
+        "res_blocks": [res(f"res_blocks.{i}") for i in range(n_blocks)],
+        "upsampler": conv("upsampler.0"),
+        "post_upsample_res_blocks": [
+            res(f"post_upsample_res_blocks.{i}") for i in range(n_blocks)
+        ],
+        "final_conv": conv("final_conv"),
+    }
+
+
+def build_demo_model(seed: int = 0) -> LoadedModel:
+    """Tiny randomly-initialized stack exercising the full serving surface
+    (for offline smoke tests; real checkpoints replace this)."""
+    tcfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=32,
+        caption_channels=32,
+    )
+    vcfg = ltx_vae.VAEConfig.from_dict({
+        "_class_name": "CausalVideoAutoencoder",
+        "dims": 3,
+        "latent_channels": 8,
+        "blocks": [["res_x", 1], ["compress_all", 1], ["res_x", 1]],
+        "base_channels": 8,
+        "norm_num_groups": 4,
+        "patch_size": 4,
+        "norm_layer": "pixel_norm",
+        "latent_log_var": "uniform",
+        "use_quant_conv": False,
+        "causal_decoder": False,
+    })
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    pipeline = LTXPipeline(
+        transformer_params=tf_init(k1, tcfg), transformer_cfg=tcfg,
+        vae_params=ltx_vae.init_params(k2, vcfg), vae_cfg=vcfg,
+    )
+    up_cfg = lup.LatentUpsamplerConfig(
+        in_channels=8, mid_channels=32, num_blocks_per_stage=1
+    )
+    multiscale = MultiScalePipeline(
+        pipeline=pipeline,
+        upsampler_params=lup.init_params(k3, up_cfg),
+        upsampler_cfg=up_cfg,
+    )
+    return LoadedModel(
+        generator=LTXVideoGenerator(
+            pipeline=pipeline, multiscale=multiscale,
+            pipeline_config="ltxv-2b-0.9.6-distilled",
+        )
+    )

@@ -1,0 +1,224 @@
+"""LTX-Video generation orchestrator (the ``LTXV`` wrapper equivalent).
+
+Parity target: ``LTXV`` at ``/root/reference/ltx_video/ltxv.py``:
+- dimension policy: pad H/W to /32, frames to ``N*8+1``
+  (``ltxv.py:340-344``), canvas fitting (``:290-293``), final crop +
+  rescale of the decoded frames (``:449-458``);
+- dev vs distilled pipeline configs (``:304-307``), STG mode mapping
+  (``:398-409``);
+- timestep list construction with ``skip_initial/final_inference_steps``
+  (``pipeline_ltx_video.py:125-199``);
+- conditioning media preprocessing (resize + CRF-29 round-trip,
+  ``:530-567``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import load_ltx_pipeline_config
+from ..models.ltx.transformer3d import SkipLayerStrategy
+from ..pipelines.ltx_pipeline import ConditioningItem, LTXPipeline
+from ..pipelines.multiscale import MultiScalePipeline
+from ..schedulers import rf
+from ..utils import media as media_utils
+
+STG_MODES = {
+    "attention_values": SkipLayerStrategy.AttentionValues,
+    "stg_av": SkipLayerStrategy.AttentionValues,
+    "attention_skip": SkipLayerStrategy.AttentionSkip,
+    "stg_as": SkipLayerStrategy.AttentionSkip,
+    "residual": SkipLayerStrategy.Residual,
+    "stg_r": SkipLayerStrategy.Residual,
+    "transformer_block": SkipLayerStrategy.TransformerBlock,
+    "stg_t": SkipLayerStrategy.TransformerBlock,
+}
+
+MAX_HEIGHT, MAX_WIDTH, MAX_FRAMES = 720, 1280, 257  # ``ltxv.py:42-44``
+
+
+def pad_dimensions(height: int, width: int, frame_num: int):
+    """H/W to /32, frames to N*8+1 (``ltxv.py:340-344``)."""
+    height_padded = ((height - 1) // 32 + 1) * 32
+    width_padded = ((width - 1) // 32 + 1) * 32
+    num_frames_padded = ((frame_num - 2) // 8 + 1) * 8 + 1
+    return height_padded, width_padded, num_frames_padded
+
+
+def build_timesteps(
+    pass_cfg: dict,
+    n_media_tokens: int,
+    sampler: str = "from_checkpoint",
+) -> np.ndarray:
+    """Timestep list for one pass, including skip_initial/final handling
+    (``retrieve_timesteps``, ``pipeline_ltx_video.py:125-199``)."""
+    if "timesteps" in pass_cfg:
+        return np.asarray(pass_cfg["timesteps"], np.float32)
+    steps = pass_cfg.get("num_inference_steps", 30)
+    sampler_name = {
+        "from_checkpoint": "Uniform",
+        "uniform": "Uniform",
+        "linear-quadratic": "LinearQuadratic",
+    }.get(sampler, "Uniform")
+    sched = rf.make_schedule(
+        steps,
+        sampler=sampler_name,
+        shifting="SD3",
+        n_media_tokens=n_media_tokens,
+        target_shift_terminal=0.1,
+    )
+    ts = np.asarray(sched.timesteps)
+    skip_i = pass_cfg.get("skip_initial_inference_steps", 0)
+    skip_f = pass_cfg.get("skip_final_inference_steps", 0)
+    if skip_i or skip_f:
+        ts = ts[skip_i: len(ts) - skip_f]
+    return ts
+
+
+def _pass_kwargs(pass_cfg: dict, stg_strategy):
+    return dict(
+        guidance_scale=pass_cfg.get("guidance_scale", 1.0),
+        stg_scale=pass_cfg.get("stg_scale", 0.0),
+        rescaling_scale=pass_cfg.get("rescaling_scale", 1.0),
+        skip_block_list=pass_cfg.get("skip_block_list"),
+        guidance_timesteps=pass_cfg.get("guidance_timesteps"),
+        skip_layer_strategy=stg_strategy,
+    )
+
+
+@dataclasses.dataclass
+class LTXVideoGenerator:
+    """End-to-end t2v / i2v / v2v generation with the reference's knobs."""
+
+    pipeline: LTXPipeline
+    multiscale: Optional[MultiScalePipeline] = None
+    pipeline_config: dict | str = "ltxv-13b-0.9.7-distilled"
+
+    def __post_init__(self):
+        if isinstance(self.pipeline_config, str):
+            self.pipeline_config = load_ltx_pipeline_config(
+                self.pipeline_config
+            )
+
+    def generate(
+        self,
+        prompt_embeds: jax.Array,       # [2, S, D] (neg, pos)
+        prompt_mask: jax.Array,
+        height: int = 704,
+        width: int = 1216,
+        frame_num: int = 81,
+        frame_rate: float = 30.0,
+        seed: int = 42,
+        image_start: Optional[np.ndarray] = None,   # [H, W, 3]
+        image_end: Optional[np.ndarray] = None,
+        input_video: Optional[np.ndarray] = None,   # [F, H, W, 3]
+        image_cond_noise_scale: float = 0.15,
+        fit_into_canvas: bool = True,
+        sampling_steps: Optional[int] = None,
+        output_type: str = "pixels",
+    ) -> np.ndarray | jax.Array:
+        cfg = dict(self.pipeline_config)
+        stg_strategy = STG_MODES[cfg.get("stg_mode", "attention_values")]
+        key = jax.random.key(seed)
+
+        if input_video is not None:
+            height, width = input_video.shape[1:3]
+        elif image_start is not None:
+            ih, iw = image_start.shape[:2]
+            height, width = media_utils.calculate_new_dimensions(
+                height, width, ih, iw, fit_into_canvas, 32
+            )
+        height = min(height, MAX_HEIGHT)
+        width = min(width, MAX_WIDTH)
+        frame_num = min(frame_num, MAX_FRAMES)
+        hp, wp, fp = pad_dimensions(height, width, frame_num)
+        padding = media_utils.calculate_padding(height, width, hp, wp)
+
+        conditioning = []
+        if input_video is not None:
+            item = media_utils.pad_media(input_video, padding)
+            conditioning.append(ConditioningItem(item, 0, 1.0))
+        if image_start is not None:
+            img = media_utils.prepare_conditioning_image(
+                image_start, height, width
+            )
+            conditioning.append(
+                ConditioningItem(media_utils.pad_media(img, padding), 0, 1.0)
+            )
+        if image_end is not None:
+            img = media_utils.prepare_conditioning_image(
+                image_end, height, width
+            )
+            conditioning.append(
+                ConditioningItem(
+                    media_utils.pad_media(img, padding), fp - 1, 1.0
+                )
+            )
+
+        common = dict(
+            frame_rate=frame_rate,
+            conditioning_items=conditioning,
+            image_cond_noise_scale=(
+                image_cond_noise_scale if conditioning else 0.0
+            ),
+            stochastic_sampling=cfg.get("stochastic_sampling", False),
+            decode_timestep=cfg.get("decode_timestep", 0.0),
+            decode_noise_scale=cfg.get("decode_noise_scale"),
+        )
+
+        f_lat, h_lat, w_lat = self.pipeline.latent_shape(hp, wp, fp)
+        n_tokens = f_lat * h_lat * w_lat
+
+        if cfg.get("pipeline_type") == "multi-scale":
+            assert self.multiscale is not None, (
+                "multi-scale config requires a latent upsampler"
+            )
+            first = dict(cfg["first_pass"])
+            second = dict(cfg["second_pass"])
+            if sampling_steps is not None:
+                first.setdefault("num_inference_steps", sampling_steps)
+            df = cfg.get("downscale_factor", 2 / 3)
+            sf = self.pipeline.vae_cfg.spatial_downscale_factor
+            dw = int(wp * df) - int(wp * df) % sf
+            dh = int(hp * df) - int(hp * df) % sf
+            fl, hl, wl = self.pipeline.latent_shape(dh, dw, fp)
+            ts1 = build_timesteps(first, fl * hl * wl, cfg.get("sampler"))
+            ts2 = build_timesteps(second, n_tokens, cfg.get("sampler"))
+            result = self.multiscale.generate(
+                prompt_embeds, prompt_mask,
+                height=hp, width=wp, num_frames=fp,
+                first_pass=dict(
+                    timesteps=ts1, **_pass_kwargs(first, stg_strategy)
+                ),
+                second_pass=dict(
+                    timesteps=ts2, **_pass_kwargs(second, stg_strategy)
+                ),
+                key=key, output_type=output_type, **common,
+            )
+        else:
+            pass_cfg = {
+                k: cfg[k]
+                for k in ("guidance_scale", "stg_scale", "rescaling_scale",
+                          "skip_block_list", "guidance_timesteps",
+                          "num_inference_steps", "timesteps")
+                if k in cfg
+            }
+            if sampling_steps is not None:
+                pass_cfg["num_inference_steps"] = sampling_steps
+            ts = build_timesteps(pass_cfg, n_tokens, cfg.get("sampler"))
+            result = self.pipeline.generate(
+                prompt_embeds, prompt_mask,
+                height=hp, width=wp, num_frames=fp,
+                timesteps=ts, key=key, output_type=output_type,
+                **_pass_kwargs(pass_cfg, stg_strategy), **common,
+            )
+
+        if output_type == "latent":
+            return result
+        frames = np.asarray(result[0], np.float32)  # [F, H, W, 3]
+        return media_utils.crop_padding(frames, padding, frame_num)

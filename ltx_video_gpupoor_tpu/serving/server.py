@@ -1,0 +1,218 @@
+"""HTTP serving — route and JSON parity with the reference Flask app
+(``/root/reference/app.py``):
+
+- ``POST /`` — JSON body with ``image`` (base64), ``prompt``,
+  ``negative_prompt``, ``height``, ``width``, ``num_frames``,
+  ``frame_rate``, ``num_inference_steps`` (+ optional ``creation_id``);
+  responds ``[{"video": <download url>}]`` (``app.py:57-102``);
+- ``GET /download/<file>`` serving from ``outputs/`` (``app.py:51-55``);
+- model preloaded at startup from env config: ``MODEL_MODE``,
+  ``QUANTIZATION``, ``TRANSFORMER_DTYPE_POLICY``, ``PROFILE_TYPE_ID``,
+  ``HTTPS`` (``app.py:22-36, 92``).
+
+flask is optional (it is not installed in the minimal TPU image): the
+stdlib ``http.server`` fallback implements the same two routes.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import os
+import time
+import uuid
+
+import numpy as np
+
+logger = logging.getLogger("app")
+logging.basicConfig(level=logging.INFO)
+
+REQUIRED_FIELDS = [
+    "image", "prompt", "negative_prompt", "height", "width",
+    "num_frames", "frame_rate", "num_inference_steps",
+]
+
+
+class InferenceService:
+    """Model preload + request handling, shared by both HTTP backends."""
+
+    def __init__(self, model=None, outputs_dir: str = "outputs"):
+        self.outputs_dir = os.path.abspath(outputs_dir)
+        os.makedirs(self.outputs_dir, exist_ok=True)
+        if model is None:
+            model = self._load_from_env()
+        self.model = model
+
+    @staticmethod
+    def _load_from_env():
+        from . import model_zoo
+
+        model_mode = os.environ.get("MODEL_MODE", "ltxv_13B_distilled")
+        quantization = os.environ.get("QUANTIZATION", "int8")
+        dtype_policy = os.environ.get("TRANSFORMER_DTYPE_POLICY", "")
+        if os.environ.get("DEMO_MODEL", "").lower() in ("1", "true"):
+            return model_zoo.build_demo_model()
+        tf_file, te_file = model_zoo.select_model_files(
+            model_mode, quantization, dtype_policy
+        )
+        return model_zoo.load_ltxv_model(
+            tf_file, model_mode,
+            os.environ.get("CKPT_DIR", "ckpts"), te_file,
+        )
+
+    def run(self, data: dict, url_root: str) -> tuple[int, object]:
+        start = time.time()
+        logger.info(
+            "[POST /] Start time: %.3f, ID %s",
+            start, data.get("creation_id") or "N/A",
+        )
+        missing = [f for f in REQUIRED_FIELDS if f not in data]
+        if missing:
+            return 400, {"error": f"Missing fields: {', '.join(missing)}"}
+        try:
+            from PIL import Image
+
+            from .cli import hash_prompt_embeds
+
+            image_bytes = base64.b64decode(data["image"])
+            pil = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            image_start = np.asarray(pil)
+
+            gen = self.model.generator
+            pipe = gen.pipeline
+            if pipe.t5_params is not None and pipe.tokenizer is not None:
+                embeds, mask = pipe.encode_prompt(
+                    [data["negative_prompt"], data["prompt"]]
+                )
+            else:
+                embeds, mask = hash_prompt_embeds(
+                    data["prompt"], data["negative_prompt"], 128,
+                    pipe.transformer_cfg.caption_channels,
+                )
+            frames = gen.generate(
+                embeds, mask,
+                height=int(data["height"]), width=int(data["width"]),
+                frame_num=int(data["num_frames"]),
+                frame_rate=int(data["frame_rate"]),
+                sampling_steps=int(data["num_inference_steps"]),
+                image_start=image_start,
+            )
+            from ..utils import media as media_utils
+
+            name = f"video_{uuid.uuid4().hex[:12]}.mp4"
+            out_path = os.path.join(self.outputs_dir, name)
+            media_utils.save_video(
+                np.asarray(frames), out_path, fps=int(data["frame_rate"])
+            )
+            url = url_root.rstrip("/") + "/download/" + name
+            if os.environ.get("HTTPS", "false").lower() == "true":
+                url = url.replace("http://", "https://")
+            end = time.time()
+            logger.info(
+                "[POST /] End time: %.3f, ID %s, Download URL: %s, "
+                "Duration: %.3fs",
+                end, data.get("creation_id") or "N/A", url, end - start,
+            )
+            return 200, [{"video": url}]
+        except Exception as e:  # mirrors app.py:99-102
+            import traceback
+
+            traceback.print_exc()
+            logger.error("[POST /] Exception: %s", e)
+            return 500, [{"error": str(e)}]
+
+    def download_path(self, filename: str):
+        path = os.path.abspath(os.path.join(self.outputs_dir, filename))
+        if not path.startswith(self.outputs_dir) or not os.path.isfile(path):
+            return None
+        return path
+
+
+def create_flask_app(service: InferenceService | None = None):
+    """Flask app factory (requires flask)."""
+    from flask import Flask, jsonify, request, send_from_directory
+
+    service = service or InferenceService()
+    app = Flask(__name__)
+
+    @app.route("/download/<path:filename>", methods=["GET"])
+    def download_file(filename):
+        return send_from_directory(
+            service.outputs_dir, filename, as_attachment=True
+        )
+
+    @app.route("/", methods=["POST"])
+    def run_inference():
+        status, payload = service.run(request.get_json(), request.url_root)
+        return jsonify(payload), status
+
+    return app
+
+
+def create_stdlib_server(service: InferenceService, host="0.0.0.0", port=7860):
+    """Dependency-free fallback with the same routes."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+        def _send_json(self, status, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path.rstrip("/") not in ("", "/"):
+                self._send_json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                data = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send_json(400, {"error": "invalid JSON"})
+                return
+            url_root = f"http://{self.headers.get('Host', 'localhost')}/"
+            status, payload = service.run(data, url_root)
+            self._send_json(status, payload)
+
+        def do_GET(self):
+            if not self.path.startswith("/download/"):
+                self._send_json(404, {"error": "not found"})
+                return
+            path = service.download_path(self.path[len("/download/"):])
+            if path is None:
+                self._send_json(404, {"error": "file not found"})
+                return
+            with open(path, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "video/mp4")
+            self.send_header(
+                "Content-Disposition",
+                f'attachment; filename="{os.path.basename(path)}"',
+            )
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    service = InferenceService()
+    try:
+        app = create_flask_app(service)
+        app.run(host="0.0.0.0", port=7860)
+    except ImportError:
+        logger.info("flask unavailable; using stdlib HTTP server")
+        create_stdlib_server(service).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Host-side media utilities: dimension fitting, image/video IO, the CRF
+conditioning round-trip, mp4 writing.
+
+Parity targets:
+- ``calculate_new_dimensions`` (``/root/reference/wan/utils/utils.py:82-92``);
+- ``calculate_padding`` + output cropping (``ltx_video/ltxv.py:340-355,
+  449-458``);
+- ``cache_video`` mp4 writer with retries (``inference.py:215-258``);
+- CRF-29 h264 round-trip for conditioning media
+  (``ltx_video/pipelines/crf_compressor.py:34-50``) — implemented via the
+  ffmpeg binary (PyAV is not in this image); gated, with identity fallback;
+- ``load_media_file`` preprocessing (``ltx_video/ltxv.py:530-567``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+
+def calculate_new_dimensions(
+    canvas_height: int,
+    canvas_width: int,
+    height: int,
+    width: int,
+    fit_into_canvas: bool = True,
+    block_size: int = 16,
+) -> tuple[int, int]:
+    if fit_into_canvas:
+        scale1 = min(canvas_height / height, canvas_width / width)
+        scale2 = min(canvas_width / height, canvas_height / width)
+        scale = max(scale1, scale2)
+    else:
+        scale = (canvas_height * canvas_width / (height * width)) ** 0.5
+    new_height = round(height * scale / block_size) * block_size
+    new_width = round(width * scale / block_size) * block_size
+    return new_height, new_width
+
+
+def calculate_padding(
+    height: int, width: int, padded_height: int, padded_width: int
+) -> tuple[int, int, int, int]:
+    """(left, right, top, bottom) pads centering content in the padded frame."""
+    pad_h = padded_height - height
+    pad_w = padded_width - width
+    pad_top = pad_h // 2
+    pad_bottom = pad_h - pad_top
+    pad_left = pad_w // 2
+    pad_right = pad_w - pad_left
+    return (pad_left, pad_right, pad_top, pad_bottom)
+
+
+def pad_media(media: np.ndarray, padding) -> np.ndarray:
+    """media [F, H, W, C] in [-1, 1] -> edge-padded to target size."""
+    left, right, top, bottom = padding
+    return np.pad(
+        media, [(0, 0), (top, bottom), (left, right), (0, 0)], mode="edge"
+    )
+
+
+def crop_padding(frames: np.ndarray, padding, num_frames: int) -> np.ndarray:
+    left, right, top, bottom = padding
+    bottom = frames.shape[1] if bottom == 0 else -bottom
+    right = frames.shape[2] if right == 0 else -right
+    return frames[:num_frames, top:bottom, left:right]
+
+
+def resize_image(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Lanczos resize of [H, W, C] uint8 / float image via PIL."""
+    from PIL import Image
+
+    if image.dtype != np.uint8:
+        arr = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    else:
+        arr = image
+    out = np.asarray(
+        Image.fromarray(arr).resize((width, height), Image.LANCZOS)
+    )
+    if image.dtype != np.uint8:
+        return out.astype(np.float32) / 127.5 - 1.0
+    return out
+
+
+def _ffmpeg() -> Optional[str]:
+    for cand in ("ffmpeg", "/usr/bin/ffmpeg"):
+        if shutil.which(cand):
+            return cand
+    try:
+        import imageio_ffmpeg
+
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except Exception:
+        return None
+
+
+def crf_compress(image: np.ndarray, crf: int = 29) -> np.ndarray:
+    """Encode a frame through libx264 at the given CRF and decode it back,
+    matching the VAE's training-data compression artifacts
+    (``crf_compressor.py:34-50``). Input/output [H, W, 3] float in [0, 1].
+
+    Falls back to identity when no ffmpeg binary is available.
+    """
+    ffmpeg = _ffmpeg()
+    if ffmpeg is None:
+        # no h264 encoder in this image: approximate the compression
+        # artifacts with a JPEG round-trip (same DCT-block character)
+        try:
+            import cv2
+
+            arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+            ok, enc = cv2.imencode(
+                ".jpg", arr[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 60]
+            )
+            if not ok:
+                return image
+            dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+            return dec.astype(np.float32) / 255.0
+        except Exception:
+            return image
+    arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    with tempfile.TemporaryDirectory() as td:
+        raw = os.path.join(td, "in.rgb")
+        mp4 = os.path.join(td, "out.mp4")
+        arr.tofile(raw)
+        try:
+            subprocess.run(
+                [ffmpeg, "-y", "-loglevel", "error", "-f", "rawvideo",
+                 "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-i", raw,
+                 "-c:v", "libx264", "-crf", str(crf), "-pix_fmt", "yuv420p",
+                 mp4],
+                check=True, capture_output=True,
+            )
+            out = subprocess.run(
+                [ffmpeg, "-y", "-loglevel", "error", "-i", mp4, "-f",
+                 "rawvideo", "-pix_fmt", "rgb24", "-"],
+                check=True, capture_output=True,
+            ).stdout
+        except (subprocess.CalledProcessError, OSError):
+            return image
+        dec = np.frombuffer(out, np.uint8)
+        if dec.size != h * w * 3:
+            return image
+        return dec.reshape(h, w, 3).astype(np.float32) / 255.0
+
+
+def prepare_conditioning_image(
+    image: np.ndarray,
+    height: int,
+    width: int,
+    apply_crf: bool = True,
+) -> np.ndarray:
+    """``load_media_file`` preprocessing (``ltxv.py:530-567``): resize,
+    CRF-29 round-trip, scale to [-1, 1]. Returns [1, H, W, 3] float32."""
+    img = resize_image(image, height, width)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    else:
+        img = (img + 1.0) / 2.0
+    if apply_crf:
+        img = crf_compress(img)
+    return (img * 2.0 - 1.0)[None].astype(np.float32)
+
+
+def save_video(
+    frames: np.ndarray,
+    path: str,
+    fps: float = 30.0,
+    retries: int = 5,
+) -> str:
+    """mp4 writer with retry loop (``inference.py:215-258``).
+
+    frames: [F, H, W, 3] float in [-1, 1] or uint8.
+    """
+    if frames.dtype != np.uint8:
+        frames = np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    err = None
+    for _ in range(retries):
+        try:
+            import imageio
+
+            with imageio.get_writer(
+                path, fps=fps, codec="libx264", quality=8,
+                pixelformat="yuv420p",
+            ) as writer:
+                for frame in frames:
+                    writer.append_data(frame)
+            return path
+        except Exception as e:  # retry (``inference.py:232-255``)
+            err = e
+    # imageio needs an ffmpeg backend; fall back to OpenCV (mp4v)
+    try:
+        import cv2
+
+        h, w = frames.shape[1:3]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        if writer.isOpened():
+            for frame in frames:
+                writer.write(frame[..., ::-1])
+            writer.release()
+            return path
+    except Exception as e:
+        err = e
+    raise RuntimeError(f"failed to write video after {retries} tries: {err}")
+
+
+def load_video(path: str) -> np.ndarray:
+    """Read a video into [F, H, W, 3] float32 in [-1, 1]."""
+    try:
+        import imageio
+
+        frames = [np.asarray(f) for f in imageio.get_reader(path)]
+    except Exception:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[..., ::-1])
+        cap.release()
+    arr = np.stack(frames).astype(np.float32)
+    return arr / 127.5 - 1.0

@@ -1,0 +1,152 @@
+"""Serving surface tests: CLI end-to-end (demo model), HTTP server routes,
+media utilities."""
+
+import base64
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ltx_video_gpupoor_tpu.serving import model_zoo
+from ltx_video_gpupoor_tpu.serving.cli import infer, parse_args
+from ltx_video_gpupoor_tpu.serving.orchestrator import pad_dimensions
+from ltx_video_gpupoor_tpu.serving.server import (
+    InferenceService,
+    create_stdlib_server,
+)
+from ltx_video_gpupoor_tpu.utils import media as media_utils
+
+
+def test_pad_dimensions():
+    assert pad_dimensions(480, 832, 81) == (480, 832, 81)
+    assert pad_dimensions(479, 831, 80) == (480, 832, 81)
+    assert pad_dimensions(100, 100, 9) == (128, 128, 9)
+
+
+def test_calculate_new_dimensions():
+    h, w = media_utils.calculate_new_dimensions(480, 832, 1080, 1920, True, 32)
+    assert h % 32 == 0 and w % 32 == 0
+
+
+def test_model_filename_policy():
+    assert "quanto_bf16_int8" in model_zoo.get_model_filename(
+        "ltxv_13B", "int8"
+    )
+    assert "quanto" not in model_zoo.get_model_filename("ltxv_13B", "bf16")
+    assert "distilled" in model_zoo.get_model_filename(
+        "ltxv_13B_distilled", "int8"
+    )
+
+
+def test_missing_checkpoint_clear_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="offline"):
+        model_zoo.load_ltxv_model(
+            "nonexistent.safetensors", ckpt_dir=str(tmp_path)
+        )
+
+
+def test_cli_demo_end_to_end(tmp_path):
+    out = str(tmp_path / "vid.mp4")
+    args = parse_args([
+        "--prompt", "a cat", "--demo", "--height", "64", "--width", "64",
+        "--video-length", "9", "--num-inference-steps", "2",
+        "--output-path", out, "--attention", "xla",
+    ])
+    path = infer(args)
+    assert os.path.isfile(path)
+    video = media_utils.load_video(path)
+    assert video.shape[0] == 9
+    assert video.shape[1:3] == (64, 64)
+
+
+def test_cli_demo_i2v(tmp_path):
+    from PIL import Image
+
+    img_path = str(tmp_path / "start.png")
+    Image.fromarray(
+        (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    ).save(img_path)
+    out = str(tmp_path / "vid.mp4")
+    args = parse_args([
+        "--prompt", "a dog", "--demo", "--height", "64", "--width", "64",
+        "--video-length", "9", "--num-inference-steps", "2",
+        "--image-start", img_path, "--output-path", out,
+        "--attention", "xla",
+    ])
+    path = infer(args)
+    assert os.path.isfile(path)
+
+
+@pytest.fixture(scope="module")
+def server():
+    service = InferenceService(
+        model=model_zoo.build_demo_model(), outputs_dir="outputs_test"
+    )
+    srv = create_stdlib_server(service, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_server_missing_fields(server):
+    req = urllib.request.Request(
+        server + "/", data=json.dumps({"prompt": "x"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "Missing fields" in json.loads(e.read())["error"]
+
+
+def test_server_end_to_end(server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    payload = {
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "prompt": "a cat",
+        "negative_prompt": "",
+        "height": 64,
+        "width": 64,
+        "num_frames": 9,
+        "frame_rate": 25,
+        "num_inference_steps": 2,
+        "creation_id": "test-1",
+    }
+    req = urllib.request.Request(
+        server + "/", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+    assert isinstance(resp, list) and "video" in resp[0]
+    url = resp[0]["video"]
+    # download route works
+    data = urllib.request.urlopen(url, timeout=60).read()
+    assert len(data) > 0
+
+
+def test_save_and_load_video_roundtrip(tmp_path):
+    frames = np.random.rand(5, 32, 32, 3).astype(np.float32) * 2 - 1
+    path = str(tmp_path / "t.mp4")
+    media_utils.save_video(frames, path, fps=10)
+    back = media_utils.load_video(path)
+    assert back.shape == frames.shape
+
+
+def test_crf_compress_identity_shape():
+    img = np.random.rand(64, 64, 3).astype(np.float32)
+    out = media_utils.crf_compress(img)
+    assert out.shape == img.shape
+    assert out.dtype == np.float32
