@@ -1,0 +1,119 @@
+"""Int8 quantization: weight-only storage and dynamic-activation matmuls.
+
+Replaces the reference's quanto int8 linear kernels (reached through mmgp
+``do_quantize`` / ``*_quanto_*_int8.safetensors`` checkpoints —
+``/root/reference/inference.py:96-100``, ``wan/utils/utils.py:340-356``)
+with TPU-native paths:
+
+- ``int8_wo_matmul``: int8 weights + per-channel scales, dequantized in
+  VMEM on the way into the bf16 MXU — halves weight HBM traffic, the
+  actual bottleneck the reference's quantization addresses;
+- ``int8_dynamic_matmul``: per-row dynamic activation quantization +
+  int8xint8 MXU matmul (v5e: 2x bf16 peak), int32 accumulation, fp32
+  rescale;
+- ``quantize_weights`` / ``quantize_params``: offline conversion (the
+  ``save_quantized_model`` analogue).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import flatten, unflatten
+
+
+class QuantizedLinear(NamedTuple):
+    """int8 weight [in, out] + per-output-channel fp32 scale [out]."""
+
+    w_int8: jax.Array
+    scale: jax.Array
+
+
+def quantize_weights(w: jax.Array) -> QuantizedLinear:
+    """Symmetric per-output-channel int8 quantization of [in, out] kernels."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)  # [out]
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return QuantizedLinear(q.astype(jnp.int8), scale.astype(jnp.float32))
+
+
+def dequantize_weights(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.w_int8.astype(jnp.float32) * q.scale).astype(dtype)
+
+
+def int8_wo_matmul(
+    x: jax.Array, q: QuantizedLinear, bias: jax.Array | None = None
+) -> jax.Array:
+    """Weight-only path: bf16 MXU with on-the-fly dequant (XLA fuses the
+    cast+scale into the dot operand load)."""
+    w = (q.w_int8.astype(x.dtype) * q.scale.astype(x.dtype))
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def int8_dynamic_matmul(
+    x: jax.Array, q: QuantizedLinear, bias: jax.Array | None = None
+) -> jax.Array:
+    """Dynamic-activation path: per-row int8 activations, int8 MXU."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x_absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(x_absmax / 127.0, 1e-8)
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, q.w_int8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * q.scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quantize_params(
+    params: dict, should_quantize=lambda path: path.endswith(".kernel")
+) -> dict:
+    """Convert matching 2-D/3-D kernels in a param tree to
+    ``{"w_int8", "scale"}`` pairs (leading layer-stack axes preserved)."""
+    flat = flatten(params)
+    out = {}
+    for key, value in flat.items():
+        if (
+            should_quantize(key)
+            and hasattr(value, "dtype")
+            and jnp.issubdtype(value.dtype, jnp.floating)
+            and value.ndim in (2, 3)
+        ):
+            if value.ndim == 3:  # [L, in, out]
+                ql = jax.vmap(quantize_weights)(value)
+            else:
+                ql = quantize_weights(value)
+            out[key.removesuffix(".kernel") + ".w_int8"] = ql.w_int8
+            out[key.removesuffix(".kernel") + ".scale"] = ql.scale
+        else:
+            out[key] = value
+    return unflatten(out)
+
+
+def maybe_quantized_matmul(p: dict, x: jax.Array) -> jax.Array:
+    """Apply a linear whose params are either {"kernel"[, "bias"]} or
+    {"w_int8", "scale"[, "bias"]}."""
+    if "w_int8" in p:
+        return int8_wo_matmul(
+            x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
+        )
+    y = jax.lax.dot_general(
+        x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y

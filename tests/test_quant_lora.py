@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_video_gpupoor_tpu.core.lora import merge_lora, normalize_lora_keys
+from ltx_video_gpupoor_tpu.ops.quant import (
+    QuantizedLinear,
+    dequantize_weights,
+    int8_dynamic_matmul,
+    int8_wo_matmul,
+    maybe_quantized_matmul,
+    quantize_params,
+    quantize_weights,
+)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.key(0), (64, 32))
+    q = quantize_weights(w)
+    assert q.w_int8.dtype == jnp.int8
+    back = dequantize_weights(q, jnp.float32)
+    rel = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01  # 7-bit symmetric quantization
+
+
+def test_int8_wo_matmul_close_to_fp():
+    x = jax.random.normal(jax.random.key(1), (8, 64))
+    w = jax.random.normal(jax.random.key(2), (64, 32))
+    q = quantize_weights(w)
+    ref = x @ w
+    out = int8_wo_matmul(x, q)
+    err = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert err < 0.05
+
+
+def test_int8_dynamic_matmul_close_to_fp():
+    x = jax.random.normal(jax.random.key(1), (8, 64))
+    w = jax.random.normal(jax.random.key(2), (64, 32))
+    q = quantize_weights(w)
+    ref = x @ w
+    out = int8_dynamic_matmul(x, q)
+    err = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert err < 0.1
+
+
+def test_quantize_params_tree():
+    params = {
+        "blocks": {"attn": {"to_q": {"kernel": jnp.ones((3, 16, 16)),
+                                     "bias": jnp.zeros((16,))}}},
+        "norm": {"weight": jnp.ones((16,))},
+    }
+    qp = quantize_params(params)
+    q = qp["blocks"]["attn"]["to_q"]
+    assert "w_int8" in q and q["w_int8"].shape == (3, 16, 16)
+    assert q["scale"].shape == (3, 16)
+    assert "weight" in qp["norm"]  # non-kernel leaves untouched
+    x = jnp.ones((2, 16))
+    out = maybe_quantized_matmul(
+        {"w_int8": q["w_int8"][0], "scale": q["scale"][0],
+         "bias": jnp.zeros((16,))}, x,
+    )
+    np.testing.assert_allclose(np.asarray(out), 16.0, rtol=0.02)
+
+
+def test_normalize_comfy_lora_keys():
+    sd = {
+        "lora_unet_blocks_0_attn1_to_q.lora_down.weight": np.zeros((4, 8)),
+        "lora_unet_blocks_0_attn1_to_q.lora_up.weight": np.zeros((8, 4)),
+    }
+    out = normalize_lora_keys(sd)
+    assert "blocks.0.attn1.to_q.lora_A.weight" in out
+    assert "blocks.0.attn1.to_q.lora_B.weight" in out
+
+
+def test_merge_lora_into_stacked_blocks():
+    rng = np.random.RandomState(0)
+    params = {
+        "blocks": {"attn1": {"to_q": {
+            "kernel": jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+        }}},
+    }
+    down = rng.randn(4, 8).astype(np.float32)   # [r, in]
+    up = rng.randn(8, 4).astype(np.float32)     # [out, r]
+    sd = {
+        "transformer_blocks.1.attn1.to_q.lora_A.weight": down,
+        "transformer_blocks.1.attn1.to_q.lora_B.weight": up,
+    }
+    merged, n = merge_lora(params, sd, multiplier=0.5)
+    assert n == 1
+    delta = 0.5 * (up @ down).T
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"]["attn1"]["to_q"]["kernel"][1]),
+        np.asarray(params["blocks"]["attn1"]["to_q"]["kernel"][1]) + delta,
+        atol=1e-5,
+    )
+    # layer 0 untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["blocks"]["attn1"]["to_q"]["kernel"][0]),
+        np.asarray(params["blocks"]["attn1"]["to_q"]["kernel"][0]),
+    )
