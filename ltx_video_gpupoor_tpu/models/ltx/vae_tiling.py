@@ -1,0 +1,219 @@
+"""Tiled VAE encode/decode with overlap blending.
+
+Parity target: ``AutoencoderKLWrapper`` tiling at
+``/root/reference/ltx_video/models/autoencoders/vae.py`` — temporal
+z-tiling with 0.25 overlap blending (``encode`` ``:265-310``, ``decode``
+``:357-413``), spatial h/w tiling with v/h blends (``_hw_tiled_encode``
+``:156-191``, ``_hw_tiled_decode`` ``:223-263``), VRAM-class tile table
+(``get_VAE_tile_size`` ``:92-115``) — and the Wan spatial tiling
+(``/root/reference/wan/modules/vae.py:611-706``).
+
+On TPU the tile loops run host-side (one jitted encode/decode per tile
+shape — tiles share shapes so compilation is reused); blending is
+vectorized instead of the reference's per-row python loops. HBM usually
+fits untiled decodes — tiling is the option for very large frames, exactly
+as SURVEY §7 prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import vae as ltx_vae
+
+
+def get_vae_tile_size(
+    vae_config: int = 0,
+    device_mem_mb: float = 16 * 1024,
+    mixed_precision: bool = False,
+) -> tuple[int, int]:
+    """(z_tile latent frames, hw_tile pixels); 0 = no hw tiling
+    (``vae.py:92-115``)."""
+    z_tile = 4
+    if vae_config == 0:
+        if mixed_precision:
+            device_mem_mb = device_mem_mb / 1.5
+        if device_mem_mb >= 24000:
+            vae_config = 1
+        elif device_mem_mb >= 8000:
+            vae_config = 2
+        else:
+            vae_config = 3
+    hw_tile = {1: 0, 2: 512, 3: 256}[vae_config]
+    return z_tile, hw_tile
+
+
+def _ramp(extent: int, dtype) -> jax.Array:
+    return (jnp.arange(extent, dtype=jnp.float32) / extent).astype(dtype)
+
+
+def blend(a: jax.Array, b: jax.Array, extent: int, axis: int) -> jax.Array:
+    """Linear crossfade: b's leading `extent` slices along `axis` blended
+    with a's trailing `extent` slices (``vae.py:194-221``)."""
+    extent = min(a.shape[axis], b.shape[axis], extent)
+    if extent <= 0:
+        return b
+    w = _ramp(extent, b.dtype)
+    shape = [1] * b.ndim
+    shape[axis] = extent
+    w = w.reshape(shape)
+    a_tail = jax.lax.slice_in_dim(a, a.shape[axis] - extent, a.shape[axis],
+                                  axis=axis)
+    b_head = jax.lax.slice_in_dim(b, 0, extent, axis=axis)
+    blended = a_tail * (1 - w) + b_head * w
+    b_rest = jax.lax.slice_in_dim(b, extent, b.shape[axis], axis=axis)
+    return jnp.concatenate([blended, b_rest], axis=axis)
+
+
+def tiled_spatial(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    tile_in: int,
+    tile_out: int,
+    overlap_factor: float = 0.25,
+    h_axis: int = 2,
+    w_axis: int = 3,
+) -> jax.Array:
+    """Generic overlapping-tile spatial map (layout [B, F, H, W, C]).
+
+    ``tile_in``: tile size in input pixels; ``tile_out``: corresponding
+    output size; blending follows the reference's scheme."""
+    overlap_in = int(tile_in * (1 - overlap_factor))
+    blend_extent = int(tile_out * overlap_factor)
+    limit = tile_out - blend_extent
+
+    rows = []
+    for i in range(0, x.shape[h_axis], overlap_in):
+        row = []
+        for j in range(0, x.shape[w_axis], overlap_in):
+            tile = jax.lax.slice_in_dim(
+                x, i, min(i + tile_in, x.shape[h_axis]), axis=h_axis
+            )
+            tile = jax.lax.slice_in_dim(
+                tile, j, min(j + tile_in, x.shape[w_axis]), axis=w_axis
+            )
+            row.append(fn(tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend(rows[i - 1][j], tile, blend_extent, h_axis)
+            if j > 0:
+                tile = blend(row[j - 1], tile, blend_extent, w_axis)
+            result_row.append(
+                jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(
+                        tile, 0, min(limit, tile.shape[h_axis]), axis=h_axis
+                    ),
+                    0, min(limit, tile.shape[w_axis]), axis=w_axis,
+                )
+            )
+        result_rows.append(jnp.concatenate(result_row, axis=w_axis))
+    return jnp.concatenate(result_rows, axis=h_axis)
+
+
+def tiled_encode(
+    params: dict,
+    cfg: ltx_vae.VAEConfig,
+    media: jax.Array,            # [B, F, H, W, 3]
+    z_tile: int = 4,             # latent frames per temporal tile
+    hw_tile: int = 0,            # pixel tile size; 0 = no spatial tiling
+    overlap_factor: float = 0.25,
+) -> jax.Array:
+    """Tiled causal encode mirroring ``vae.py:265-310``."""
+    sf = cfg.spatial_downscale_factor
+
+    def encode_fn(x):
+        return ltx_vae.encode(params, cfg, x)
+
+    def encode_maybe_hw(x):
+        if hw_tile and x.shape[2] > hw_tile:
+            return tiled_spatial(
+                encode_fn, x, hw_tile, hw_tile // sf, overlap_factor
+            )
+        return encode_fn(x)
+
+    t = media.shape[1]
+    tile_latent_t = z_tile
+    tile_sample_t = tile_latent_t * cfg.temporal_downscale_factor
+    use_z = z_tile > 1 and t > tile_sample_t + 1
+    if not use_z:
+        return encode_maybe_hw(media)
+
+    overlap = int(tile_sample_t * (1 - overlap_factor))
+    blend_extent = int(tile_latent_t * overlap_factor)
+    t_limit = tile_latent_t - blend_extent
+
+    row = []
+    for i in range(0, t, overlap):
+        tile = media[:, i: i + tile_sample_t + 1]
+        enc = encode_maybe_hw(tile)
+        if i > 0:
+            enc = enc[:, 1:]
+        row.append(enc)
+    result = []
+    for i, tile in enumerate(row):
+        if i > 0:
+            tile = blend(row[i - 1], tile, blend_extent, 1)
+            result.append(tile[:, :t_limit])
+        else:
+            result.append(tile[:, : t_limit + 1])
+    return jnp.concatenate(result, axis=1)
+
+
+def tiled_decode(
+    params: dict,
+    cfg: ltx_vae.VAEConfig,
+    latents: jax.Array,          # [B, F', H', W', z]
+    z_tile: int = 4,
+    hw_tile: int = 0,
+    overlap_factor: float = 0.25,
+    timestep: Optional[jax.Array] = None,
+    noise_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Tiled decode mirroring ``vae.py:357-413``."""
+    sf = cfg.spatial_downscale_factor
+    hw_tile_latent = hw_tile // sf if hw_tile else 0
+
+    def decode_fn(z):
+        return ltx_vae.decode(params, cfg, z, timestep, noise_key)
+
+    def decode_maybe_hw(z):
+        if hw_tile_latent and z.shape[2] > hw_tile_latent:
+            return tiled_spatial(
+                decode_fn, z, hw_tile_latent, hw_tile, overlap_factor
+            )
+        return decode_fn(z)
+
+    t = latents.shape[1]
+    tf = cfg.temporal_downscale_factor
+    use_z = z_tile > 1 and t > z_tile + 1
+    if not use_z:
+        return decode_maybe_hw(latents)
+
+    tile_sample_t = z_tile * tf
+    overlap = int(z_tile * (1 - overlap_factor))
+    blend_extent = int(tile_sample_t * overlap_factor)
+    t_limit = tile_sample_t - blend_extent
+
+    row = []
+    for i in range(0, t, overlap):
+        tile = latents[:, i: i + z_tile + 1]
+        dec = decode_maybe_hw(tile)
+        if i > 0:
+            dec = dec[:, 1:]
+        row.append(dec)
+    result = []
+    for i, tile in enumerate(row):
+        if i > 0:
+            tile = blend(row[i - 1], tile, blend_extent, 1)
+            result.append(tile[:, :t_limit])
+        else:
+            result.append(tile[:, : t_limit + 1])
+    return jnp.concatenate(result, axis=1)

@@ -1,0 +1,78 @@
+"""Tiling equivalence tests (SURVEY §4 plan item d): tiled encode/decode
+within blend tolerance of untiled."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_video_gpupoor_tpu.models.ltx import vae as ltx_vae
+from ltx_video_gpupoor_tpu.models.ltx import vae_tiling
+
+
+CFG = ltx_vae.VAEConfig.from_dict({
+    "_class_name": "CausalVideoAutoencoder",
+    "dims": 3,
+    "latent_channels": 4,
+    "blocks": [["res_x", 1], ["compress_all", 1]],
+    "base_channels": 8,
+    "norm_num_groups": 4,
+    "patch_size": 2,
+    "norm_layer": "pixel_norm",
+    "latent_log_var": "uniform",
+    "use_quant_conv": False,
+    "causal_decoder": False,
+})
+
+
+@pytest.fixture(scope="module")
+def params():
+    return ltx_vae.init_params(jax.random.key(0), CFG)
+
+
+def test_get_vae_tile_size():
+    assert vae_tiling.get_vae_tile_size(0, 24000) == (4, 0)
+    assert vae_tiling.get_vae_tile_size(0, 9000) == (4, 512)
+    assert vae_tiling.get_vae_tile_size(0, 4000) == (4, 256)
+
+
+def test_blend_crossfade():
+    a = jnp.ones((1, 4, 2, 2, 1))
+    b = jnp.zeros((1, 4, 2, 2, 1))
+    out = vae_tiling.blend(a, b, 2, axis=1)
+    np.testing.assert_allclose(np.asarray(out[0, :, 0, 0, 0]),
+                               [1.0, 0.5, 0.0, 0.0])
+
+
+def test_hw_tiled_decode_close_to_untiled(params):
+    z = jax.random.normal(jax.random.key(1), (1, 2, 16, 16, 4)) * 0.5
+    full = ltx_vae.decode(params, CFG, z)
+    tiled = vae_tiling.tiled_decode(
+        params, CFG, z, z_tile=0, hw_tile=32,  # latent tile 8 over 16
+    )
+    assert tiled.shape == full.shape
+    # interior agreement (seams are blended, borders differ slightly)
+    diff = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(diff) < 0.1
+    assert np.isfinite(np.asarray(tiled)).all()
+
+
+def test_z_tiled_encode_shapes(params):
+    media = jax.random.normal(jax.random.key(2), (1, 17, 16, 16, 3))
+    full = ltx_vae.encode(params, CFG, media)
+    tiled = vae_tiling.tiled_encode(params, CFG, media, z_tile=4)
+    assert tiled.shape == full.shape
+    # first frames identical (causal; first tile has no blending)
+    np.testing.assert_allclose(
+        np.asarray(tiled[:, :2]), np.asarray(full[:, :2]), atol=1e-4
+    )
+
+
+def test_z_tiled_decode_shapes(params):
+    z = jax.random.normal(jax.random.key(3), (1, 9, 4, 4, 4)) * 0.5
+    full = ltx_vae.decode(params, CFG, z)
+    tiled = vae_tiling.tiled_decode(params, CFG, z, z_tile=4)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(
+        np.asarray(tiled[:, :3]), np.asarray(full[:, :3]), atol=1e-3
+    )
