@@ -49,6 +49,62 @@ def load_safetensors(path: str) -> tuple[dict[str, np.ndarray], dict]:
     return tensors, config
 
 
+def save_safetensors(
+    path: str, tensors: dict[str, np.ndarray], config: Optional[dict] = None
+) -> None:
+    """Single-file safetensors with embedded JSON config metadata
+    (the reference's checkpoint convention — SURVEY §5 checkpointing)."""
+    from safetensors.numpy import save_file
+
+    meta = {"config": json.dumps(config)} if config is not None else None
+    save_file(tensors, path, metadata=meta)
+
+
+def save_quantized_model(
+    path: str,
+    params: dict,
+    config: Optional[dict] = None,
+    dtype_tag: str = "bf16",
+) -> str:
+    """Export a param tree as a quanto-style int8 checkpoint
+    (``*_quanto_{bf16,fp16}_int8.safetensors`` — parity with
+    ``save_quantized_model``, ``/root/reference/wan/utils/utils.py:340-356``).
+
+    2-D/3-D float kernels are written as ``{name}._data`` int8 +
+    ``{name}._scale``; everything else passes through."""
+    from ..ops.quant import quantize_weights
+
+    flat = P.flatten(params)
+    out: dict[str, np.ndarray] = {}
+    for key, value in flat.items():
+        arr = np.asarray(value)
+        if (
+            key.endswith(".kernel")
+            and np.issubdtype(arr.dtype, np.floating)
+            and arr.ndim in (2, 3)
+        ):
+            if arr.ndim == 3:
+                qs = [quantize_weights(jnp.asarray(a)) for a in arr]
+                out[key + "._data"] = np.stack(
+                    [np.asarray(q.w_int8) for q in qs]
+                )
+                out[key + "._scale"] = np.stack(
+                    [np.asarray(q.scale) for q in qs]
+                )
+            else:
+                q = quantize_weights(jnp.asarray(arr))
+                out[key + "._data"] = np.asarray(q.w_int8)
+                out[key + "._scale"] = np.asarray(q.scale)
+        else:
+            if arr.dtype == jnp.bfloat16:
+                arr = arr.astype(np.float32)
+            out[key] = arr
+    if not path.endswith(".safetensors"):
+        path = f"{path}_quanto_{dtype_tag}_int8.safetensors"
+    save_safetensors(path, out, config)
+    return path
+
+
 def dequantize_quanto(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Fold quanto int8 weight pairs ``x._data`` (int8) / ``x._scale`` back
     into float weights. (A weight-only int8 fast path keeps them separate —
@@ -61,8 +117,15 @@ def dequantize_quanto(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             if scale is None:
                 out[k] = v
                 continue
-            w = v.astype(np.float32) * scale.astype(np.float32)
-            out[base + ".weight" if not base.endswith(".weight") else base] = w
+            s = scale.astype(np.float32)
+            if v.ndim == s.ndim + 1:
+                # [in, out] kernel w/ per-out scale (or stacked [L, in, out])
+                s = s[..., None, :]
+            w = v.astype(np.float32) * s
+            if base.endswith((".weight", ".kernel")):
+                out[base] = w
+            else:
+                out[base + ".weight"] = w
         elif k.endswith("._scale"):
             continue
         else:

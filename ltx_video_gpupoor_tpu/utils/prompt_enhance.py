@@ -1,0 +1,258 @@
+"""Prompt enhancement (LTX) and prompt extension (Wan), gated.
+
+Parity targets:
+- LTX cinematic prompt enhancer: Florence-2 image captioning + an
+  instruction-tuned LLM rewrite with the cinematic system prompts
+  (``/root/reference/ltx_video/utils/prompt_enhance_utils.py`` — wired but
+  disabled by default in the reference, ``ltxv.py:211``);
+- Wan prompt extenders: local Qwen2.5 / QwenVL models and the remote
+  DashScope API (``/root/reference/wan/utils/prompt_extend.py``).
+
+All model-backed paths are gated on transformers model availability; these
+run host-side (CPU/torch) outside the jitted graph, exactly as in the
+reference. The word-count gate mirrors
+``prompt_enhancement_words_threshold`` (configs, default 120).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# System prompts published with LTX-Video
+# (prompt_enhance_utils.py:9-44)
+T2V_CINEMATIC_PROMPT = """You are an expert cinematic director with many award winning movies, When writing prompts based on the user input, focus on detailed, chronological descriptions of actions and scenes.
+Include specific movements, appearances, camera angles, and environmental details - all in a single flowing paragraph.
+Start directly with the action, and keep descriptions literal and precise.
+Think like a cinematographer describing a shot list.
+Do not change the user input intent, just enhance it.
+Keep within 150 words.
+For best results, build your prompts using this structure:
+Start with main action in a single sentence
+Add specific details about movements and gestures
+Describe character/object appearances precisely
+Include background and environment details
+Specify camera angles and movements
+Describe lighting and colors
+Note any changes or sudden events
+Do not exceed the 150 word limit!
+Output the enhanced prompt only.
+"""
+
+I2V_CINEMATIC_PROMPT = """You are an expert cinematic director with many award winning movies, When writing prompts based on the user input, focus on detailed, chronological descriptions of actions and scenes.
+Include specific movements, appearances, camera angles, and environmental details - all in a single flowing paragraph.
+Start directly with the action, and keep descriptions literal and precise.
+Think like a cinematographer describing a shot list.
+Keep within 150 words.
+For best results, build your prompts using this structure:
+Describe the image first and then add the user input. Image description should be in first priority! Align to the image caption if it contradicts the user text input.
+Start with main action in a single sentence
+Add specific details about movements and gestures
+Describe character/object appearances precisely
+Include background and environment details
+Specify camera angles and movements
+Describe lighting and colors
+Note any changes or sudden events
+Align to the image caption if it contradicts the user text input.
+Do not exceed the 150 word limit!
+Output the enhanced prompt only.
+"""
+
+
+def should_enhance(prompt: str, words_threshold: int = 120) -> bool:
+    """The reference only enhances short prompts (``pipeline_ltx_video.py``
+    enhance path + ``prompt_enhancement_words_threshold``)."""
+    return len(prompt.split()) < words_threshold
+
+
+@dataclasses.dataclass
+class PromptEnhancer:
+    """Florence-2 caption + LLM rewrite. Lazily loads transformers models;
+    unusable offline — ``enhance`` then returns the prompt unchanged with a
+    warning (the reference's behavior when the enhancer is disabled)."""
+
+    caption_model_name: str = "MiaoshouAI/Florence-2-large-PromptGen-v2.0"
+    llm_model_name: str = "unsloth/Llama-3.2-3B-Instruct"
+    words_threshold: int = 120
+    max_new_tokens: int = 256
+
+    _llm = None
+    _llm_tokenizer = None
+    _caption_model = None
+    _caption_processor = None
+
+    def _load_llm(self) -> bool:
+        if self._llm is not None:
+            return True
+        try:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            self._llm_tokenizer = AutoTokenizer.from_pretrained(
+                self.llm_model_name
+            )
+            self._llm = AutoModelForCausalLM.from_pretrained(
+                self.llm_model_name
+            )
+            return True
+        except Exception as e:
+            logger.warning("prompt enhancer unavailable: %s", e)
+            return False
+
+    def _load_captioner(self) -> bool:
+        if self._caption_model is not None:
+            return True
+        try:
+            from transformers import AutoModelForCausalLM, AutoProcessor
+
+            self._caption_processor = AutoProcessor.from_pretrained(
+                self.caption_model_name, trust_remote_code=True
+            )
+            self._caption_model = AutoModelForCausalLM.from_pretrained(
+                self.caption_model_name, trust_remote_code=True
+            )
+            return True
+        except Exception as e:
+            logger.warning("image captioner unavailable: %s", e)
+            return False
+
+    def caption_image(self, image: np.ndarray) -> Optional[str]:
+        """Florence-2 detailed caption of [H, W, 3] uint8 image."""
+        if not self._load_captioner():
+            return None
+        import torch
+        from PIL import Image
+
+        pil = Image.fromarray(image)
+        task = "<DETAILED_CAPTION>"
+        inputs = self._caption_processor(
+            text=task, images=pil, return_tensors="pt"
+        )
+        with torch.no_grad():
+            ids = self._caption_model.generate(
+                input_ids=inputs["input_ids"],
+                pixel_values=inputs["pixel_values"],
+                max_new_tokens=256, do_sample=False,
+            )
+        text = self._caption_processor.batch_decode(
+            ids, skip_special_tokens=False
+        )[0]
+        parsed = self._caption_processor.post_process_generation(
+            text, task=task, image_size=pil.size
+        )
+        return parsed.get(task, "").strip()
+
+    def _rewrite(self, system_prompt: str, user_prompt: str) -> Optional[str]:
+        if not self._load_llm():
+            return None
+        import torch
+
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "user", "content": user_prompt},
+        ]
+        ids = self._llm_tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True, return_tensors="pt"
+        )
+        with torch.no_grad():
+            out = self._llm.generate(
+                ids, max_new_tokens=self.max_new_tokens, do_sample=True,
+                temperature=0.7,
+            )
+        return self._llm_tokenizer.decode(
+            out[0][ids.shape[1]:], skip_special_tokens=True
+        ).strip()
+
+    def enhance(
+        self,
+        prompt: str,
+        first_frames: Optional[Sequence[np.ndarray]] = None,
+    ) -> str:
+        """t2v (no frames) or i2v (caption + rewrite) enhancement; returns
+        the original prompt unchanged when gating or models fail."""
+        if not should_enhance(prompt, self.words_threshold):
+            return prompt
+        if first_frames:
+            captions = [
+                c for c in (self.caption_image(f) for f in first_frames) if c
+            ]
+            if not captions:
+                return prompt
+            user = (
+                f"user_prompt: {prompt}\nimage_caption: {'; '.join(captions)}"
+            )
+            out = self._rewrite(I2V_CINEMATIC_PROMPT, user)
+        else:
+            out = self._rewrite(T2V_CINEMATIC_PROMPT, f"user_prompt: {prompt}")
+        return out or prompt
+
+
+# ---------------------------------------------------------------------------
+# Wan prompt extenders (prompt_extend.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class QwenPromptExpander:
+    """Local Qwen2.5-based extension (``prompt_extend.py:300-365``), gated
+    on model availability."""
+
+    model_name: str = "Qwen/Qwen2.5-3B-Instruct"
+    _model = None
+    _tokenizer = None
+
+    SYSTEM_EN = (
+        "You are a prompt engineer for text-to-video models. Rewrite the "
+        "user's prompt into a single detailed English paragraph describing "
+        "subjects, appearance, actions, scene, lighting, and camera "
+        "movement, preserving the user's intent. Output the rewritten "
+        "prompt only."
+    )
+
+    def extend(self, prompt: str, seed: int = -1) -> str:
+        try:
+            import torch
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            if self._model is None:
+                self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+                self._model = AutoModelForCausalLM.from_pretrained(
+                    self.model_name
+                )
+            messages = [
+                {"role": "system", "content": self.SYSTEM_EN},
+                {"role": "user", "content": prompt},
+            ]
+            ids = self._tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True, return_tensors="pt"
+            )
+            with torch.no_grad():
+                out = self._model.generate(ids, max_new_tokens=512)
+            return self._tokenizer.decode(
+                out[0][ids.shape[1]:], skip_special_tokens=True
+            ).strip() or prompt
+        except Exception as e:
+            logger.warning("Qwen prompt expander unavailable: %s", e)
+            return prompt
+
+
+@dataclasses.dataclass
+class DashScopePromptExpander:
+    """Remote DashScope extension (``prompt_extend.py:157``): requires
+    network + API key; unusable in zero-egress environments."""
+
+    model_name: str = "qwen-plus"
+    api_key: Optional[str] = None
+
+    def extend(self, prompt: str, seed: int = -1) -> str:
+        try:
+            import dashscope  # noqa: F401
+        except ImportError:
+            logger.warning("dashscope not installed; returning prompt as-is")
+            return prompt
+        raise RuntimeError(
+            "DashScope requires network access (zero-egress environment)"
+        )

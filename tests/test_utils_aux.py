@@ -1,0 +1,133 @@
+"""Auxiliary utils tests: prompt templates, camera embeddings, task thread,
+VACE preprocessing, quantized-model export."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_video_gpupoor_tpu.core import checkpoint as ckpt
+from ltx_video_gpupoor_tpu.models.wan import vae as wvae
+from ltx_video_gpupoor_tpu.utils import camera, tasks, vace
+from ltx_video_gpupoor_tpu.utils.prompt_enhance import should_enhance
+from ltx_video_gpupoor_tpu.utils.prompt_templates import process_template
+
+
+def test_process_template_basic():
+    text = '!{color}="red","blue"\na {color} ball'
+    out, err = process_template(text)
+    assert err == ""
+    assert out == "a red ball\na blue ball"
+
+
+def test_process_template_matches_reference():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_pp", "/root/reference/wan/utils/prompt_parser.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    cases = [
+        '!{a}="x","y" : {b}="1"\n{a} and {b}',
+        'plain line\nanother line',
+        '!{a}="x"\nuse {a}\n!{c}="p","q"\nsee {c}',
+        '!{a}=\nbad',
+        'unknown {var} here',
+    ]
+    for case in cases:
+        assert process_template(case) == ref.process_template(case), case
+
+
+def test_camera_embedding(tmp_path):
+    # synthetic 2-frame trajectory for cam01
+    mat = "[1 0 0 10] [0 1 0 20] [0 0 1 30] [0 0 0 1]"
+    data = {
+        f"frame{i}": {"cam01": mat} for i in range(0, 81)
+    }
+    p = tmp_path / "extrinsics.json"
+    p.write_text(json.dumps(data))
+    emb = camera.get_camera_embedding(1, str(p), num_frames=81)
+    assert emb.shape == (21, 12)
+    # static trajectory -> every relative pose is the identity pose
+    expected = np.tile(np.eye(4, dtype=np.float32)[:3].reshape(-1), (21, 1))
+    np.testing.assert_allclose(emb, expected, atol=1e-5)
+
+
+def test_async_run_executes():
+    results = []
+    tasks.async_run(results.append, 42)
+    deadline = time.time() + 2
+    while not results and time.time() < deadline:
+        time.sleep(0.01)
+    assert results == [42]
+
+
+def test_fifo_queue():
+    q = tasks.FIFOQueue()
+    q.push("a", 1)
+    q.push("b", 2)
+    assert q.top() == ("a", 1)
+    assert q.pop() == ("a", 1)
+    assert q.pop() == ("b", 2)
+    assert q.pop() == (None, None)
+
+
+def test_should_enhance_threshold():
+    assert should_enhance("short prompt", 120)
+    assert not should_enhance(" ".join(["word"] * 130), 120)
+
+
+def test_vace_encoders():
+    cfg = wvae.WanVAEConfig(
+        dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,),
+    )
+    params = wvae.init_params(jax.random.key(0), cfg)
+    frames = jax.random.uniform(jax.random.key(1), (1, 5, 16, 16, 3)) * 2 - 1
+    masks = jnp.ones((1, 5, 16, 16, 1)) * (
+        jax.random.uniform(jax.random.key(2), (1, 5, 16, 16, 1)) > 0.5
+    )
+    z = vace.vace_encode_frames(params, cfg, frames, masks=masks)
+    assert z.shape[-1] == 8  # 2 * z_dim
+    m = vace.vace_encode_masks(masks, vae_stride=(2, 2, 2))
+    assert m.shape == (1, 3, 8, 8, 2)
+    ctx = vace.vace_latent(z, m)
+    assert ctx.shape[-1] == 10
+
+
+def test_vace_processor_budget():
+    proc = vace.VaceVideoProcessor(
+        downsample=(4, 8, 8), seq_len=1000, max_area=480 * 832
+    )
+    oh, ow = proc.budget_dimensions(480, 832, 81)
+    assert oh % 8 == 0 and ow % 8 == 0
+    lat = ((81 - 1) // 4 + 1) * (oh // 8) * (ow // 8)
+    assert lat <= 1100  # within ~budget after rounding
+    ids, fps = proc.select_frames(30.0, 90)
+    assert fps == 24
+    assert len(ids) == 72
+
+
+def test_save_quantized_model_roundtrip(tmp_path):
+    params = {
+        "blocks": {"to_q": {"kernel": jnp.asarray(
+            np.random.RandomState(0).randn(2, 8, 8).astype(np.float32)
+        )}},
+        "norm": {"weight": jnp.ones((8,))},
+    }
+    path = ckpt.save_quantized_model(
+        str(tmp_path / "model"), params, config={"x": 1}
+    )
+    assert path.endswith("_quanto_bf16_int8.safetensors")
+    tensors, config = ckpt.load_safetensors(path)
+    assert config == {"x": 1}
+    deq = ckpt.dequantize_quanto(
+        {k.replace(".kernel.", ".kernel."): v for k, v in tensors.items()}
+    )
+    # dequantized weights close to the originals
+    w = deq["blocks.to_q.kernel"]
+    orig = np.asarray(params["blocks"]["to_q"]["kernel"])
+    assert np.abs(w - orig).max() / np.abs(orig).max() < 0.02
