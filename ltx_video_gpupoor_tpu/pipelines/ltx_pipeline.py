@@ -229,8 +229,17 @@ def denoise(
     image_cond_noise_scale: float = 0.0,
     stochastic_sampling: bool = False,
     attn_mode: str = "auto",
+    interrupt_flag=None,
+    progress_callback=None,
 ) -> jax.Array:
-    """Run the full denoise loop as one scanned, jittable program."""
+    """Run the full denoise loop.
+
+    Fast path: one scanned, jittable program. With ``interrupt_flag`` or
+    ``progress_callback`` set, steps run in a host loop (one jitted step
+    per iteration) so cancellation/progress work at step granularity — the
+    reference's per-block interrupt (``transformer3d.py:468-487``)
+    translated to the compiled-loop world (SURVEY §5).
+    """
     num_conds = schedule.num_conds
     n_tokens = latents.shape[1]
     b = latents.shape[0]
@@ -331,7 +340,20 @@ def denoise(
         latents = jnp.where(to_denoise, denoised, latents)
         return latents, None
 
-    latents, _ = jax.lax.scan(body, latents, per_step)
+    if interrupt_flag is None and progress_callback is None:
+        latents, _ = jax.lax.scan(body, latents, per_step)
+        return latents
+
+    from ..core.interrupt import check
+
+    step_fn = jax.jit(lambda lat, step: body(lat, step)[0])
+    n_steps = len(np.asarray(timesteps))
+    for i in range(n_steps):
+        check(interrupt_flag)
+        step_i = jax.tree.map(lambda a: a[i], per_step)
+        latents = step_fn(latents, step_i)
+        if progress_callback is not None:
+            progress_callback(i, n_steps)
     return latents
 
 
@@ -405,6 +427,8 @@ class LTXPipeline:
         decode_timestep: float = 0.0,
         decode_noise_scale: Optional[float] = None,
         attn_mode: str = "auto",
+        interrupt_flag=None,
+        progress_callback=None,
     ):
         key = key if key is not None else jax.random.key(0)
         f_lat, h_lat, w_lat = self.latent_shape(height, width, num_frames)
@@ -474,6 +498,8 @@ class LTXPipeline:
             image_cond_noise_scale=image_cond_noise_scale,
             stochastic_sampling=stochastic_sampling,
             attn_mode=attn_mode,
+            interrupt_flag=interrupt_flag,
+            progress_callback=progress_callback,
         )
 
         latent_grid = patchifier.unpatchify(latents, h_lat, w_lat, c)
