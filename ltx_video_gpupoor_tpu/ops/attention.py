@@ -75,16 +75,24 @@ def attention(
     skv = k.shape[2]
     sq_p, skv_p = round_up(sq, 128), round_up(skv, 128)
     needs_pad = (sq_p != sq) or (skv_p != skv)
-    if needs_pad or q_segment_ids is not None:
-        if q_segment_ids is None:
-            q_segment_ids = jnp.ones((b, sq), jnp.int32)
-            kv_segment_ids = jnp.ones((b, skv), jnp.int32)
+    kv_valid = None
+    if q_segment_ids is not None:
+        # genuine varlen structure: full segment masking
         q = pad_axis(q, 2, 128)
         k = pad_axis(k, 2, 128)
         v = pad_axis(v, 2, 128)
         q_segment_ids = pad_axis(q_segment_ids, 1, 128)
         kv_segment_ids = pad_axis(kv_segment_ids, 1, 128)
+    elif needs_pad:
+        # pure tail padding: pad q rows are harmless (their outputs are
+        # sliced off); pad kv columns are masked by a static valid length —
+        # much cheaper than segment-id masking in the kernel
+        q = pad_axis(q, 2, 128)
+        k = pad_axis(k, 2, 128)
+        v = pad_axis(v, 2, 128)
+        kv_valid = skv if skv_p != skv else None
     out = flash_attention(
-        q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal
+        q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
+        kv_valid=kv_valid,
     )
     return unpad_axis(out, 2, sq)

@@ -55,6 +55,7 @@ def _flash_kernel(
     block_kv: int,
     num_kv_blocks: int,
     use_segments: bool,
+    kv_valid: int | None = None,
 ):
     kv_idx = pl.program_id(3)
 
@@ -83,6 +84,14 @@ def _flash_kernel(
             kseg = kseg_ref[0, 0]                               # [Bkv]
             mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] > 0)
             s = jnp.where(mask, s, NEG_INF)
+        elif kv_valid is not None:
+            # tail padding: a cheap iota compare replaces the segment-id
+            # loads + equality masking (the common self-attention case —
+            # padding to the 128 multiple with no real segment structure)
+            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(cols < kv_valid, s, NEG_INF)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -128,7 +137,7 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "causal", "block_q", "block_kv", "interpret",
+        "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
     ),
 )
 def flash_attention(
@@ -143,6 +152,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
     interpret: bool = False,
+    kv_valid: int | None = None,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -211,6 +221,7 @@ def flash_attention(
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         use_segments=use_segments,
+        kv_valid=kv_valid,
     )
     if use_segments:
         kernel = base

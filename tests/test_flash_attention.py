@@ -84,3 +84,20 @@ def test_attention_dispatch_pads_arbitrary_lengths():
     assert out.shape == (b, h, 300, d)
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_kv_valid_tail_masking_matches_segments():
+    k1, k2, k3 = jax.random.split(jax.random.key(5), 3)
+    b, h, d = 1, 2, 64
+    sq, skv = 300, 300  # pads to 384
+    q = _rand(k1, (b, h, sq, d))
+    k = _rand(k2, (b, h, skv, d))
+    v = _rand(k3, (b, h, skv, d))
+    out = attention(q, k, v, mode="xla")  # oracle on unpadded
+    from ltx_video_gpupoor_tpu.ops.padding import pad_axis
+
+    qp, kp, vp = (pad_axis(t, 2, 128) for t in (q, k, v))
+    fast = flash_attention(qp, kp, vp, kv_valid=skv, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fast[:, :, :sq]), np.asarray(out), atol=2e-5, rtol=2e-5
+    )
