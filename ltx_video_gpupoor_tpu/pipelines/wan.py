@@ -180,6 +180,9 @@ class WanPipeline:
         vace_scale: float = 1.0,
         teacache_mask: Optional[np.ndarray] = None,  # [steps] bool
         attn_mode: str = "auto",
+        overlapped_latents: Optional[jax.Array] = None,  # [1, n, H', W', z]
+        overlap_noise: float = 0.0,
+        key: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.model_cfg
         num_steps = sigmas.shape[0] - 1
@@ -277,10 +280,16 @@ class WanPipeline:
             else jdpm.dpm_init(latents.shape)
         )
 
+        n_overlap = (
+            0 if overlapped_latents is None else overlapped_latents.shape[1]
+        )
         per_step = {
             "idx": jnp.arange(num_steps),
             "keep": jnp.asarray(slg_keep_steps),
             "tc": jnp.asarray(tc_mask),
+            "key": jax.random.split(
+                key if key is not None else jax.random.key(0), num_steps
+            ),
         }
 
         def body(carry, step):
@@ -288,6 +297,21 @@ class WanPipeline:
             i = step["idx"]
             sigma = sigmas[i]
             t_scalar = sigma * self.num_train_timesteps
+            if n_overlap:
+                # sliding-window continuation: re-inject the previous
+                # window's tail latents noised to the current level
+                # (``text2video.py:471-480``)
+                factor = t_scalar / self.num_train_timesteps
+                noise = jax.random.normal(
+                    step["key"], overlapped_latents.shape, x.dtype
+                )
+                noised = (
+                    overlapped_latents.astype(x.dtype) * (1 - factor)
+                    + noise * factor
+                )
+                x = jax.lax.dynamic_update_slice(
+                    x, noised, (0, 0, 0, 0, 0)
+                )
             out, residual = model_call(
                 x, t_scalar, step["keep"], residual, step["tc"]
             )
@@ -330,6 +354,11 @@ class WanPipeline:
         (x, _, _), _ = jax.lax.scan(
             body, (latents, solver_state, residual0), per_step
         )
+        if n_overlap:
+            # restore the clean overlapped latents (``text2video.py:579-583``)
+            x = jax.lax.dynamic_update_slice(
+                x, overlapped_latents.astype(x.dtype), (0, 0, 0, 0, 0)
+            )
         return x
 
     # ------------------------------------------------------------------
@@ -352,11 +381,11 @@ class WanPipeline:
         output_type: str = "latent",
         teacache_multiplier: float = 0.0,
         teacache_model: str = "t2v_14B",
+        return_latent_slice: Optional[slice] = None,
         **denoise_kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
         f_lat, h_lat, w_lat = self.latent_shape(height, width, frame_num)
-        z = self.model_cfg.in_dim if self.model_cfg.model_type == "t2v" else 16
         noise = jax.random.normal(
             key, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim), jnp.float32
         )
@@ -372,11 +401,18 @@ class WanPipeline:
             noise, context, context_mask, sigmas,
             guide_scale=guide_scale, solver=solver,
             enable_riflex=enable_riflex, teacache_mask=tc_mask,
+            key=key,
             **denoise_kwargs,
         )
-        if output_type == "latent":
-            return latents
-        return wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+        result = latents if output_type == "latent" else \
+            wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+        if return_latent_slice is not None:
+            # sliding-window continuation output (``text2video.py:584-585``)
+            return {
+                "x": result,
+                "latent_slice": latents[:, return_latent_slice],
+            }
+        return result
 
     def prepare_i2v_conditioning(
         self,

@@ -147,3 +147,26 @@ def test_optimized_scale():
     np.testing.assert_allclose(
         float(optimized_scale(2 * a, a)), 2.0, atol=1e-5
     )
+
+
+def test_sliding_window_continuation(pipe):
+    ctx, mask = _ctx()
+    # window 1: request a latent slice for continuation
+    out1 = pipe.generate_t2v(
+        ctx, mask, width=16, height=16, frame_num=5,
+        sampling_steps=3, guide_scale=1.0, key=jax.random.key(0),
+        return_latent_slice=slice(-2, None),
+    )
+    assert set(out1) == {"x", "latent_slice"}
+    tail = out1["latent_slice"]
+    assert tail.shape[1] == 2
+    # window 2: continue with the overlapped latents pinned
+    out2 = pipe.generate_t2v(
+        ctx, mask, width=16, height=16, frame_num=5,
+        sampling_steps=3, guide_scale=1.0, key=jax.random.key(1),
+        overlapped_latents=tail, overlap_noise=20,
+    )
+    # the overlap region is restored to the clean tail latents
+    np.testing.assert_allclose(
+        np.asarray(out2[:, :2]), np.asarray(tail), atol=1e-5
+    )
