@@ -131,3 +131,43 @@ def test_save_quantized_model_roundtrip(tmp_path):
     w = deq["blocks.to_q.kernel"]
     orig = np.asarray(params["blocks"]["to_q"]["kernel"])
     assert np.abs(w - orig).max() / np.abs(orig).max() < 0.02
+
+
+def test_resample_frame_ids():
+    from ltx_video_gpupoor_tpu.utils.video_ops import resample
+
+    # 30fps source, 16fps target, 90 frames available
+    ids = resample(30.0, 90, 32, 16.0, 0)
+    assert len(ids) == 32
+    assert ids == sorted(ids)
+    assert all(0 <= i < 90 for i in ids)
+    # slow source clamps up to target fps -> 1:1 mapping
+    ids2 = resample(8.0, 20, 10, 16.0, 0)
+    assert ids2 == list(range(10))
+
+
+def test_webp_writer(tmp_path):
+    from ltx_video_gpupoor_tpu.utils.video_ops import save_webp
+
+    frames = (np.random.rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    path = save_webp(frames, str(tmp_path / "t.webp"), fps=8)
+    from PIL import Image
+
+    img = Image.open(path)
+    assert img.n_frames == 4
+
+
+def test_legacy_sincos_embeddings():
+    from ltx_video_gpupoor_tpu.utils.video_ops import (
+        get_3d_sincos_pos_embed,
+        get_timestep_embedding,
+    )
+
+    emb = get_timestep_embedding(np.array([0.0, 10.0]), 16)
+    assert emb.shape == (2, 16)
+    grid = np.stack(np.meshgrid(
+        np.arange(2), np.arange(3), np.arange(4), indexing="ij"
+    )).reshape(3, -1)
+    pe = get_3d_sincos_pos_embed(96, grid, 4, 3, 2)
+    assert pe.shape == (24, 96)
+    assert np.isfinite(pe).all()
