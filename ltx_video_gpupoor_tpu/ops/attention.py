@@ -19,16 +19,17 @@ import jax.numpy as jnp
 from .flash_attention import flash_attention, reference_attention
 from .padding import pad_axis, round_up, unpad_axis
 
-AttentionMode = Literal["auto", "pallas", "xla"]
+AttentionMode = Literal["auto", "pallas", "pallas_int8", "xla"]
 
 _FORCED_MODE: AttentionMode = "auto"
 
 
 def set_attention_mode(mode: AttentionMode) -> None:
     """Process-wide override (parity with the reference's ``--attention``
-    CLI flag, ``/root/reference/inference.py:592``)."""
+    CLI flag / sage tiers, ``/root/reference/inference.py:87-93, 592``).
+    ``pallas_int8`` is the SageAttention-equivalent int8-QK tier."""
     global _FORCED_MODE
-    if mode not in ("auto", "pallas", "xla"):
+    if mode not in ("auto", "pallas", "pallas_int8", "xla"):
         raise ValueError(f"unknown attention mode {mode!r}")
     _FORCED_MODE = mode
 
@@ -93,6 +94,6 @@ def attention(
         kv_valid = skv if skv_p != skv else None
     out = flash_attention(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
-        kv_valid=kv_valid,
+        kv_valid=kv_valid, qk_int8=(mode == "pallas_int8"),
     )
     return unpad_axis(out, 2, sq)

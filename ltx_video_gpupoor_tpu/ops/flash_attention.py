@@ -56,6 +56,7 @@ def _flash_kernel(
     num_kv_blocks: int,
     use_segments: bool,
     kv_valid: int | None = None,
+    qk_int8: bool = False,
 ):
     kv_idx = pl.program_id(3)
 
@@ -74,10 +75,30 @@ def _flash_kernel(
         # accumulation — casting inputs to fp32 here would force the MXU
         # onto its fp32 path (~8x slower). `scale` is folded into the exp2
         # argument below instead of touching the [Bq, Bkv] tile twice.
-        s = jax.lax.dot_general(
-            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [Bq, Bkv]
+        if qk_int8:
+            # SageAttention-style tier: per-row symmetric int8 quantization
+            # of Q/K inside the kernel, int8 MXU matmul (2x bf16 rate),
+            # fp32 rescale. Accuracy cost ~1e-2 relative on the scores.
+            qf = q_ref[0, 0].astype(jnp.float32)
+            kf = k_ref[0, 0].astype(jnp.float32)
+            q_s = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-6
+            ) / 127.0
+            k_s = jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=1, keepdims=True), 1e-6
+            ) / 127.0
+            q_i8 = jnp.round(qf / q_s).astype(jnp.int8)
+            k_i8 = jnp.round(kf / k_s).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                q_i8, k_i8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * (q_s * k_s[:, 0][None, :])
+        else:
+            s = jax.lax.dot_general(
+                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [Bq, Bkv]
 
         if use_segments:
             qseg = qseg_ref[0, 0]                               # [Bq]
@@ -138,6 +159,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
+        "qk_int8",
     ),
 )
 def flash_attention(
@@ -153,6 +175,7 @@ def flash_attention(
     block_kv: int = DEFAULT_BLOCK_KV,
     interpret: bool = False,
     kv_valid: int | None = None,
+    qk_int8: bool = False,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -222,6 +245,7 @@ def flash_attention(
         num_kv_blocks=num_kv_blocks,
         use_segments=use_segments,
         kv_valid=kv_valid,
+        qk_int8=qk_int8,
     )
     if use_segments:
         kernel = base

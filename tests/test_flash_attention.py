@@ -101,3 +101,16 @@ def test_kv_valid_tail_masking_matches_segments():
     np.testing.assert_allclose(
         np.asarray(fast[:, :, :sq]), np.asarray(out), atol=2e-5, rtol=2e-5
     )
+
+
+def test_int8_qk_tier_close_to_fp():
+    """SageAttention-equivalent int8-QK tier: small accuracy cost only."""
+    k1, k2, k3 = jax.random.split(jax.random.key(6), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, qk_int8=True, interpret=True)
+    ref = reference_attention(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.02, err
