@@ -62,3 +62,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_params(mesh: Mesh, params: dict) -> dict:
     shardings = transformer_param_shardings(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_pipeline(pipeline, mesh: Mesh):
+    """Place an LTXPipeline's transformer weights onto the mesh (tensor
+    parallel over 'tp'); XLA SPMD partitions every jitted step and inserts
+    the ICI collectives — the HBM-resident replacement for the reference's
+    mmgp offload profiles (``/root/reference/inference.py:442-496``).
+
+    VAE/T5 weights are replicated (they are small next to the DiT)."""
+    import dataclasses
+
+    replicated_s = replicated(mesh)
+    return dataclasses.replace(
+        pipeline,
+        transformer_params=shard_params(mesh, pipeline.transformer_params),
+        vae_params=jax.tree.map(
+            lambda x: jax.device_put(x, replicated_s), pipeline.vae_params
+        ),
+    )

@@ -78,3 +78,48 @@ def test_transformer_shardings_cover_tree(mesh8):
     assert spec == jax.sharding.PartitionSpec(None, None, "tp")
     placed = jax.tree.map(jax.device_put, params, shardings)
     assert placed["blocks"]["attn1"]["to_q"]["kernel"].sharding.spec == spec
+
+
+def test_sharded_pipeline_matches_single_device(mesh8):
+    """End-to-end: tp-sharded weights + XLA SPMD produce the same latents
+    as the unsharded pipeline."""
+    from ltx_video_gpupoor_tpu.models.ltx import vae as ltx_vae
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        init_params as tf_init,
+    )
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import LTXPipeline
+    from ltx_video_gpupoor_tpu.parallel.sharding import shard_pipeline
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=16,
+        caption_channels=24,
+    )
+    vae_cfg = ltx_vae.VAEConfig.from_dict({
+        "_class_name": "CausalVideoAutoencoder", "dims": 3,
+        "latent_channels": 8,
+        "blocks": [["res_x", 1], ["compress_all", 1]],
+        "base_channels": 8, "norm_num_groups": 4, "patch_size": 2,
+        "norm_layer": "pixel_norm", "latent_log_var": "uniform",
+        "use_quant_conv": False, "causal_decoder": False,
+    })
+    pipe = LTXPipeline(
+        transformer_params=tf_init(jax.random.key(0), cfg),
+        transformer_cfg=cfg,
+        vae_params=ltx_vae.init_params(jax.random.key(1), vae_cfg),
+        vae_cfg=vae_cfg,
+    )
+    emb = jax.random.normal(jax.random.key(2), (2, 8, cfg.caption_channels))
+    mask = jnp.ones((2, 8), jnp.int32)
+    kw = dict(height=32, width=32, num_frames=9, num_inference_steps=2,
+              guidance_scale=2.0, output_type="latent", attn_mode="xla")
+    base = pipe.generate(emb, mask, key=jax.random.key(3), **kw)
+
+    sharded = shard_pipeline(pipe, mesh8)
+    spec = sharded.transformer_params["blocks"]["attn1"]["to_q"]["kernel"]
+    assert spec.sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    out = sharded.generate(emb, mask, key=jax.random.key(3), **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), atol=1e-4, rtol=1e-4
+    )
