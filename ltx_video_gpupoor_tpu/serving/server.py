@@ -115,6 +115,10 @@ class InferenceService:
                 "Duration: %.3fs",
                 end, data.get("creation_id") or "N/A", url, end - start,
             )
+            from ..utils.observability import Metrics
+
+            Metrics.inc("requests_ok")
+            Metrics.set("last_request_s", end - start)
             return 200, [{"video": url}]
         except Exception as e:  # mirrors app.py:99-102
             import traceback
@@ -182,6 +186,11 @@ def create_stdlib_server(service: InferenceService, host="0.0.0.0", port=7860):
             self._send_json(status, payload)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                from ..utils.observability import Metrics
+
+                self._send_json(200, Metrics.snapshot())
+                return
             if not self.path.startswith("/download/"):
                 self._send_json(404, {"error": "not found"})
                 return

@@ -150,3 +150,8 @@ def test_crf_compress_identity_shape():
     out = media_utils.crf_compress(img)
     assert out.shape == img.shape
     assert out.dtype == np.float32
+
+
+def test_server_metrics_route(server):
+    data = json.loads(urllib.request.urlopen(server + "/metrics").read())
+    assert "counters" in data and "gauges" in data
