@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_KV = 1024
+DEFAULT_BLOCK_Q = 768
+DEFAULT_BLOCK_KV = 2688  # VMEM cap: bq*bkv*4B scores tile ~8 MB
 NEG_INF = -1e30
 # Floor for the running max: any real score is far above this, while masked
 # scores (NEG_INF) land ~1e10 below it, so exp underflows to exactly 0 and
@@ -185,14 +185,20 @@ def flash_attention(
             f"seq lens ({sq}, {skv}) must be multiples of 128; "
             "pad + use segment ids"
         )
-    # shrink blocks to the largest 128-multiple divisor of the seq len
-    def fit(block, s):
-        block = min(block, s)
-        while s % block:
-            block -= 128
-        return block
+    # Pick the largest 128-multiple divisor of the seq len under the cap.
+    # Sweeps on v5e favor ~2 kv blocks per row (bkv ~ skv/2) and bq 512-768;
+    # the caps also bound the fp32 scores tile to ~8 MB of VMEM.
+    def fit(cap, s):
+        cap = min(cap, s)
+        best = 128
+        b = 128
+        while b <= cap:
+            if s % b == 0:
+                best = b
+            b += 128
+        return best
     block_q = fit(block_q, sq)
-    block_kv = fit(block_kv, skv)
+    block_kv = fit(min(block_kv, max(1024, skv // 2)), skv)
     if scale is None:
         scale = d ** -0.5
     use_segments = q_segment_ids is not None

@@ -122,7 +122,13 @@ def load_ltxv_model(
             f"transformer checkpoint not found: {model_filename} — place it "
             f"under {ckpt_dir}/ (downloads are unavailable offline)"
         )
-    tensors, config = ckpt.load_safetensors(tf_path)
+    try:
+        # native mmap loader with parallel prefetch; python reader fallback
+        from ..runtime.native_loader import load_safetensors_native
+
+        tensors, config = load_safetensors_native(tf_path)
+    except Exception:
+        tensors, config = ckpt.load_safetensors(tf_path)
     tensors = ckpt.dequantize_quanto(tensors)
     tcfg_dict = config.get("transformer", config) if config else {}
     tcfg = LTXTransformerConfig(
@@ -135,6 +141,20 @@ def load_ltxv_model(
         caption_channels=tcfg_dict.get("caption_channels", 4096),
     )
     tf_params = ckpt.convert_ltx_transformer(tensors, tcfg.num_layers)
+
+    # distilled = dev weights + lora128 merge (``inference.py:485-493``);
+    # merge any sibling LoRA file named in the checkpoint convention
+    if "distilled" in model_mode:
+        lora_path = _maybe(
+            "ltxv_0.9.7_13B_distilled_lora128.safetensors", ckpt_dir
+        )
+        if lora_path:
+            from ..core.lora import merge_lora
+
+            lora_sd, _ = ckpt.load_safetensors(lora_path)
+            tf_params, n = merge_lora(tf_params, lora_sd, multiplier=1.0)
+            if n == 0:
+                raise ValueError(f"no LoRA layers matched from {lora_path}")
 
     vae_path = _maybe(vae_filename or model_filename, ckpt_dir)
     vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
