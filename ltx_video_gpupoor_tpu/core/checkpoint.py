@@ -567,6 +567,117 @@ def convert_wan_vae(sd: dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# WanModel DiT
+# ---------------------------------------------------------------------------
+
+def convert_wan_model(
+    sd: dict[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> dict:
+    """Wan state dict (``/root/reference/wan/modules/model.py`` naming:
+    ``blocks.N.self_attn.q``, ``ffn.0/ffn.2``, ``modulation``,
+    ``patch_embedding`` Conv3d, ``img_emb.proj.{0,1,3,4}``, vace blocks)
+    -> WanModel param tree (``models/wan/model.py``)."""
+
+    def lin(prefix, d=dtype):
+        p = {"kernel": _jx(_t(sd[prefix + ".weight"]), d)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], d)
+        return p
+
+    def norm_w(prefix, bias=False):
+        p = {"weight": _jx(sd[prefix + ".weight"], jnp.float32)}
+        if bias and prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], jnp.float32)
+        return p
+
+    def attn(prefix, img=False):
+        p = {
+            "q": lin(prefix + ".q"), "k": lin(prefix + ".k"),
+            "v": lin(prefix + ".v"), "o": lin(prefix + ".o"),
+            "norm_q": norm_w(prefix + ".norm_q"),
+            "norm_k": norm_w(prefix + ".norm_k"),
+        }
+        if img and prefix + ".k_img.weight" in sd:
+            p["k_img"] = lin(prefix + ".k_img")
+            p["v_img"] = lin(prefix + ".v_img")
+            p["norm_k_img"] = norm_w(prefix + ".norm_k_img")
+        return p
+
+    def block(prefix, vace=False):
+        p = {
+            "modulation": _jx(sd[prefix + ".modulation"], jnp.float32),
+            "self_attn": attn(prefix + ".self_attn"),
+            "cross_attn": attn(prefix + ".cross_attn", img=True),
+            "ffn": {
+                "fc1": lin(prefix + ".ffn.0"),
+                "fc2": lin(prefix + ".ffn.2"),
+            },
+        }
+        if prefix + ".norm3.weight" in sd:
+            p["norm3"] = norm_w(prefix + ".norm3", bias=True)
+        if prefix + ".cam_encoder.weight" in sd:
+            p["cam_encoder"] = lin(prefix + ".cam_encoder", jnp.float32)
+            p["projector"] = lin(prefix + ".projector", jnp.float32)
+        if vace:
+            p["after_proj"] = lin(prefix + ".after_proj", jnp.float32)
+            if prefix + ".before_proj.weight" in sd:
+                p["before_proj"] = lin(prefix + ".before_proj", jnp.float32)
+        return p
+
+    blocks = [block(f"blocks.{i}") for i in range(cfg.num_layers)]
+    # heterogenous block extras (cam encoders) appear on every block or none
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    params: dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _jx(_tconv(sd["patch_embedding.weight"]), jnp.float32),
+            "bias": _jx(sd["patch_embedding.bias"], jnp.float32),
+        },
+        "text_embedding": {
+            "fc1": lin("text_embedding.0"),
+            "fc2": lin("text_embedding.2"),
+        },
+        "time_embedding": {
+            "fc1": lin("time_embedding.0", jnp.float32),
+            "fc2": lin("time_embedding.2", jnp.float32),
+        },
+        "time_projection": lin("time_projection.1", jnp.float32),
+        "blocks": stacked,
+        "head": {
+            "modulation": _jx(sd["head.modulation"], jnp.float32),
+            "head": lin("head.head", jnp.float32),
+        },
+    }
+    if "img_emb.proj.0.weight" in sd:
+        params["img_emb"] = {
+            "norm_in": norm_w("img_emb.proj.0", bias=True),
+            "fc1": lin("img_emb.proj.1"),
+            "fc2": lin("img_emb.proj.3"),
+            "norm_out": norm_w("img_emb.proj.4", bias=True),
+        }
+    if "fps_embedding.weight" in sd:
+        params["fps_embedding"] = _jx(sd["fps_embedding.weight"], jnp.float32)
+        params["fps_projection"] = {
+            "fc1": lin("fps_projection.0", jnp.float32),
+            "fc2": lin("fps_projection.2", jnp.float32),
+        }
+    if "vace_patch_embedding.weight" in sd:
+        params["vace_patch_embedding"] = {
+            "kernel": _jx(
+                _tconv(sd["vace_patch_embedding.weight"]), jnp.float32
+            ),
+            "bias": _jx(sd["vace_patch_embedding.bias"], jnp.float32),
+        }
+        n_vace = 0
+        while f"vace_blocks.{n_vace}.after_proj.weight" in sd:
+            n_vace += 1
+        params["vace_blocks"] = [
+            block(f"vace_blocks.{i}", vace=True) for i in range(n_vace)
+        ]
+    return params
+
+
+# ---------------------------------------------------------------------------
 # CLIP vision tower (Wan i2v)
 # ---------------------------------------------------------------------------
 

@@ -320,6 +320,7 @@ def forward(
     skip_layer_mask: Optional[jax.Array] = None,  # [L, B] 1=keep
     skip_layer_strategy: Optional[str] = None,
     attn_mode: str = "auto",
+    scan_layers: bool = True,
 ) -> jax.Array:
     """Denoiser forward: returns velocity prediction ``[B, S, C_out]``.
 
@@ -371,7 +372,15 @@ def forward(
         )
         return x, None
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], skip_layer_mask))
+    if scan_layers:
+        x, _ = jax.lax.scan(body, x, (params["blocks"], skip_layer_mask))
+    else:
+        # unrolled: static-index slices of the stacked weights let XLA feed
+        # matmuls without the per-iteration gather copy a scan incurs —
+        # larger executables, one compile, faster steady-state
+        for i in range(cfg.num_layers):
+            layer_params = jax.tree.map(lambda a: a[i], params["blocks"])
+            x, _ = body(x, (layer_params, skip_layer_mask[i]))
 
     # final modulation + projection
     table = params["scale_shift_table"].astype(jnp.float32)  # [2, D]

@@ -209,3 +209,67 @@ def test_dequantize_quanto():
     out = ckpt.dequantize_quanto(sd)
     np.testing.assert_allclose(out["layer.weight"], [[5.0, -10.0]])
     assert "other.weight" in out
+
+
+def test_convert_wan_model_structure():
+    from ltx_video_gpupoor_tpu.models.wan.model import (
+        WanConfig,
+        init_params as wan_init,
+    )
+
+    cfg = WanConfig(
+        model_type="i2v", patch_size=(1, 2, 2), text_len=8, in_dim=6,
+        dim=16, ffn_dim=32, freq_dim=8, text_dim=12, out_dim=4,
+        num_heads=2, num_layers=2,
+    )
+    d = cfg.dim
+    sd = {
+        "patch_embedding.weight": _rand(d, cfg.in_dim, 1, 2, 2),
+        "patch_embedding.bias": _rand(d),
+        "text_embedding.0.weight": _rand(d, cfg.text_dim),
+        "text_embedding.0.bias": _rand(d),
+        "text_embedding.2.weight": _rand(d, d),
+        "text_embedding.2.bias": _rand(d),
+        "time_embedding.0.weight": _rand(d, cfg.freq_dim),
+        "time_embedding.0.bias": _rand(d),
+        "time_embedding.2.weight": _rand(d, d),
+        "time_embedding.2.bias": _rand(d),
+        "time_projection.1.weight": _rand(6 * d, d),
+        "time_projection.1.bias": _rand(6 * d),
+        "head.head.weight": _rand(4 * cfg.out_dim, d),
+        "head.head.bias": _rand(4 * cfg.out_dim),
+        "head.modulation": _rand(1, 2, d),
+        "img_emb.proj.0.weight": _rand(1280),
+        "img_emb.proj.0.bias": _rand(1280),
+        "img_emb.proj.1.weight": _rand(1280, 1280),
+        "img_emb.proj.1.bias": _rand(1280),
+        "img_emb.proj.3.weight": _rand(d, 1280),
+        "img_emb.proj.3.bias": _rand(d),
+        "img_emb.proj.4.weight": _rand(d),
+        "img_emb.proj.4.bias": _rand(d),
+    }
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}"
+        sd[f"{pre}.modulation"] = _rand(1, 6, d)
+        for a, img in (("self_attn", False), ("cross_attn", True)):
+            for l in ("q", "k", "v", "o"):
+                sd[f"{pre}.{a}.{l}.weight"] = _rand(d, d)
+                sd[f"{pre}.{a}.{l}.bias"] = _rand(d)
+            sd[f"{pre}.{a}.norm_q.weight"] = _rand(d)
+            sd[f"{pre}.{a}.norm_k.weight"] = _rand(d)
+            if img:
+                sd[f"{pre}.{a}.k_img.weight"] = _rand(d, d)
+                sd[f"{pre}.{a}.k_img.bias"] = _rand(d)
+                sd[f"{pre}.{a}.v_img.weight"] = _rand(d, d)
+                sd[f"{pre}.{a}.v_img.bias"] = _rand(d)
+                sd[f"{pre}.{a}.norm_k_img.weight"] = _rand(d)
+        sd[f"{pre}.norm3.weight"] = _rand(d)
+        sd[f"{pre}.norm3.bias"] = _rand(d)
+        sd[f"{pre}.ffn.0.weight"] = _rand(cfg.ffn_dim, d)
+        sd[f"{pre}.ffn.0.bias"] = _rand(cfg.ffn_dim)
+        sd[f"{pre}.ffn.2.weight"] = _rand(d, cfg.ffn_dim)
+        sd[f"{pre}.ffn.2.bias"] = _rand(d)
+
+    params = ckpt.convert_wan_model(sd, cfg)
+    expected = wan_init(jax.random.key(0), cfg)
+    chex.assert_trees_all_equal_shapes(params, expected)
