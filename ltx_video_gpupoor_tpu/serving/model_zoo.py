@@ -244,6 +244,55 @@ def convert_latent_upsampler(sd: dict, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def load_wan_model(
+    model_filename: str,
+    config_name: str = "t2v-1.3B",
+    ckpt_dir: str = "ckpts",
+    vae_filename: str = "Wan2.1_VAE.safetensors",
+    text_encoder_filename: Optional[str] = None,
+    clip_filename: Optional[str] = None,
+):
+    """Assemble a WanPipeline from local checkpoints
+    (the ``WanT2V.__init__`` / ``WanI2V.__init__`` load path,
+    ``/root/reference/wan/text2video.py:47-95``)."""
+    from ..configs import WAN_CONFIGS
+    from ..models.wan import model as wan_model
+    from ..models.wan import vae as wan_vae_mod
+    from ..pipelines.wan import WanPipeline
+
+    spec = WAN_CONFIGS[config_name]
+    cfg = wan_model.WanConfig(
+        model_type=spec["model_type"],
+        dim=spec["dim"], ffn_dim=spec["ffn_dim"],
+        freq_dim=spec["freq_dim"], num_heads=spec["num_heads"],
+        num_layers=spec["num_layers"],
+        in_dim=spec.get("in_dim", 16),
+    )
+
+    tf_path = _maybe(model_filename, ckpt_dir)
+    if tf_path is None:
+        raise FileNotFoundError(
+            f"Wan transformer checkpoint not found: {model_filename} "
+            f"(looked in {ckpt_dir}/; downloads are unavailable offline)"
+        )
+    tensors, _ = ckpt.load_safetensors(tf_path)
+    tensors = ckpt.dequantize_quanto(tensors)
+    model_params = ckpt.convert_wan_model(tensors, cfg)
+
+    vae_path = _maybe(vae_filename, ckpt_dir)
+    if vae_path is None:
+        raise FileNotFoundError(f"Wan VAE checkpoint not found: {vae_filename}")
+    vae_cfg = wan_vae_mod.WanVAEConfig()
+    vae_tensors, _ = ckpt.load_safetensors(vae_path)
+    vae_params = ckpt.convert_wan_vae(vae_tensors, vae_cfg)
+
+    return WanPipeline(
+        model_params=model_params, model_cfg=cfg,
+        vae_params=vae_params, vae_cfg=vae_cfg,
+        vae_stride=tuple(spec["vae_stride"]),
+    )
+
+
 def build_demo_model(seed: int = 0) -> LoadedModel:
     """Tiny randomly-initialized stack exercising the full serving surface
     (for offline smoke tests; real checkpoints replace this)."""
