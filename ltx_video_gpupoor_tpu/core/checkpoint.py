@@ -57,6 +57,10 @@ def save_safetensors(
     from safetensors.numpy import save_file
 
     meta = {"config": json.dumps(config)} if config is not None else None
+    # safetensors' numpy writer silently serializes the raw buffer of
+    # NON-contiguous arrays with the wrong strides (observed corrupting
+    # transposed views) — force contiguity first.
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     save_file(tensors, path, metadata=meta)
 
 
