@@ -158,6 +158,13 @@ def init_params(key: jax.Array, cfg: LTXTransformerConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _apply_linear(p, x, accum=jnp.float32):
+    if "w_int8" in p:
+        # int8 weight-only checkpoint/runtime quantization (ops/quant.py)
+        from ...ops.quant import QuantizedLinear, int8_wo_matmul
+
+        return int8_wo_matmul(
+            x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
+        )
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),

@@ -94,6 +94,22 @@ def infer(args) -> str:
             tf_file, args.model_mode, args.ckpt_dir, te_file
         )
 
+    if args.quantize_transformer or args.save_quantized:
+        from ..core.checkpoint import save_quantized_model
+        from ..ops.quant import quantize_params
+
+        pipe0 = model.generator.pipeline
+        if args.save_quantized:
+            out = save_quantized_model(
+                os.path.join(args.ckpt_dir, f"{args.model_mode}"),
+                pipe0.transformer_params,
+            )
+            print(f"saved quantized transformer: {out}")
+        if args.quantize_transformer:
+            pipe0.transformer_params = quantize_params(
+                pipe0.transformer_params
+            )
+
     gen = model.generator
     pipe = gen.pipeline
     if pipe.t5_params is not None and pipe.tokenizer is not None:

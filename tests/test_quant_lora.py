@@ -98,3 +98,32 @@ def test_merge_lora_into_stacked_blocks():
         np.asarray(merged["blocks"]["attn1"]["to_q"]["kernel"][0]),
         np.asarray(params["blocks"]["attn1"]["to_q"]["kernel"][0]),
     )
+
+
+def test_quantized_transformer_forward_close():
+    """Runtime int8 weight-only transformer matches bf16 closely."""
+    from ltx_video_gpupoor_tpu.models.ltx import patchifier
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        forward,
+        init_params,
+    )
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=16,
+        caption_channels=16,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    qparams = quantize_params(params)
+    lat = jax.random.normal(jax.random.key(1), (1, 2, 4, 4, 8)) * 0.3
+    tokens, coords = patchifier.patchify(lat)
+    cap = jax.random.normal(jax.random.key(2), (1, 6, 16)) * 0.3
+    mask = jnp.ones((1, 6), jnp.int32)
+    t = jnp.full((1,), 0.5)
+    base = forward(params, cfg, tokens, coords, t, cap, mask)
+    quant = forward(qparams, cfg, tokens, coords, t, cap, mask)
+    rel = np.abs(np.asarray(quant - base)).max() / (
+        np.abs(np.asarray(base)).max() + 1e-9
+    )
+    assert rel < 0.1, rel
