@@ -146,6 +146,7 @@ def infer(args) -> str:
         image_cond_noise_scale=args.image_cond_noise_scale,
         fit_into_canvas=args.fit_into_canvas,
         sampling_steps=args.num_inference_steps,
+        strength=args.strength,
     )
 
     out_path = args.output_path

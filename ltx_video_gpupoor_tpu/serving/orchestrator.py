@@ -54,6 +54,7 @@ def build_timesteps(
     pass_cfg: dict,
     n_media_tokens: int,
     sampler: str = "from_checkpoint",
+    max_timestep: float = 1.0,
 ) -> np.ndarray:
     """Timestep list for one pass, including skip_initial/final handling
     (``retrieve_timesteps``, ``pipeline_ltx_video.py:125-199``)."""
@@ -77,6 +78,11 @@ def build_timesteps(
     skip_f = pass_cfg.get("skip_final_inference_steps", 0)
     if skip_i or skip_f:
         ts = ts[skip_i: len(ts) - skip_f]
+    if max_timestep < 1.0:
+        # v2v strength: start denoising at the media's noise level
+        # (``retrieve_timesteps`` max_timestep truncation,
+        # ``pipeline_ltx_video.py:190-196``)
+        ts = ts[ts <= max_timestep]
     return ts
 
 
@@ -120,6 +126,7 @@ class LTXVideoGenerator:
         image_cond_noise_scale: float = 0.15,
         fit_into_canvas: bool = True,
         sampling_steps: Optional[int] = None,
+        strength: float = 1.0,
         output_type: str = "pixels",
     ) -> np.ndarray | jax.Array:
         cfg = dict(self.pipeline_config)
@@ -140,7 +147,13 @@ class LTXVideoGenerator:
         padding = media_utils.calculate_padding(height, width, hp, wp)
 
         conditioning = []
-        if input_video is not None:
+        media_video = None
+        if input_video is not None and strength < 1.0:
+            # v2v: encode the whole video, noise to `strength`, denoise from
+            # there (``prepare_latents`` media path, ``:632-710``); the
+            # encode happens per-branch at the branch's working resolution
+            media_video = media_utils.pad_media(input_video, padding)
+        elif input_video is not None:
             item = media_utils.pad_media(input_video, padding)
             conditioning.append(ConditioningItem(item, 0, 1.0))
         if image_start is not None:
@@ -174,6 +187,24 @@ class LTXVideoGenerator:
         f_lat, h_lat, w_lat = self.pipeline.latent_shape(hp, wp, fp)
         n_tokens = f_lat * h_lat * w_lat
 
+        def encode_media(video: np.ndarray, th: int, tw: int):
+            from ..models.ltx import vae as ltx_vae_mod
+
+            if video.shape[1] != th or video.shape[2] != tw:
+                video = np.stack([
+                    media_utils.resize_image(f, th, tw) for f in video
+                ])
+            enc = ltx_vae_mod.encode(
+                self.pipeline.vae_params, self.pipeline.vae_cfg,
+                jnp.asarray(video, jnp.float32)[None],
+            )
+            z = ltx_vae_mod.sample_posterior(enc)
+            return ltx_vae_mod.normalize_latents(
+                z, self.pipeline.vae_params["per_channel_statistics"]
+            )
+
+        media_latents = None
+
         if cfg.get("pipeline_type") == "multi-scale":
             assert self.multiscale is not None, (
                 "multi-scale config requires a latent upsampler"
@@ -187,14 +218,25 @@ class LTXVideoGenerator:
             dw = int(wp * df) - int(wp * df) % sf
             dh = int(hp * df) - int(hp * df) % sf
             fl, hl, wl = self.pipeline.latent_shape(dh, dw, fp)
-            ts1 = build_timesteps(first, fl * hl * wl, cfg.get("sampler"))
+            if media_video is not None:
+                media_latents = encode_media(media_video, dh, dw)
+            ts1 = build_timesteps(
+                first, fl * hl * wl, cfg.get("sampler"),
+                max_timestep=strength if media_latents is not None else 1.0,
+            )
             ts2 = build_timesteps(second, n_tokens, cfg.get("sampler"))
+            first_pass_kwargs = dict(
+                timesteps=ts1, **_pass_kwargs(first, stg_strategy)
+            )
+            if media_latents is not None:
+                first_pass_kwargs.update(
+                    media_latents=media_latents,
+                    initial_timestep=float(ts1[0]),
+                )
             result = self.multiscale.generate(
                 prompt_embeds, prompt_mask,
                 height=hp, width=wp, num_frames=fp,
-                first_pass=dict(
-                    timesteps=ts1, **_pass_kwargs(first, stg_strategy)
-                ),
+                first_pass=first_pass_kwargs,
                 second_pass=dict(
                     timesteps=ts2, **_pass_kwargs(second, stg_strategy)
                 ),
@@ -210,12 +252,23 @@ class LTXVideoGenerator:
             }
             if sampling_steps is not None:
                 pass_cfg["num_inference_steps"] = sampling_steps
-            ts = build_timesteps(pass_cfg, n_tokens, cfg.get("sampler"))
+            if media_video is not None:
+                media_latents = encode_media(media_video, hp, wp)
+            ts = build_timesteps(
+                pass_cfg, n_tokens, cfg.get("sampler"),
+                max_timestep=strength if media_latents is not None else 1.0,
+            )
+            extra = {}
+            if media_latents is not None:
+                extra = dict(
+                    media_latents=media_latents,
+                    initial_timestep=float(ts[0]),
+                )
             result = self.pipeline.generate(
                 prompt_embeds, prompt_mask,
                 height=hp, width=wp, num_frames=fp,
                 timesteps=ts, key=key, output_type=output_type,
-                **_pass_kwargs(pass_cfg, stg_strategy), **common,
+                **_pass_kwargs(pass_cfg, stg_strategy), **common, **extra,
             )
 
         if output_type == "latent":

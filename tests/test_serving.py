@@ -155,3 +155,19 @@ def test_crf_compress_identity_shape():
 def test_server_metrics_route(server):
     data = json.loads(urllib.request.urlopen(server + "/metrics").read())
     assert "counters" in data and "gauges" in data
+
+
+def test_cli_v2v_with_strength(tmp_path):
+    # build a tiny source video then run v2v at strength 0.6
+    src = str(tmp_path / "src.mp4")
+    frames = np.random.rand(9, 64, 64, 3).astype(np.float32) * 2 - 1
+    media_utils.save_video(frames, src, fps=10)
+    out = str(tmp_path / "out.mp4")
+    args = parse_args([
+        "--prompt", "stylized", "--demo", "--height", "64", "--width", "64",
+        "--video-length", "9", "--num-inference-steps", "4",
+        "--video-source", src, "--strength", "0.6",
+        "--output-path", out, "--attention", "xla",
+    ])
+    path = infer(args)
+    assert os.path.isfile(path)
