@@ -338,12 +338,7 @@ def _run_blocks(structure, blocks, x):
     return x
 
 
-def encode(params, cfg: WanVAEConfig, video: jax.Array,
-           normalize: bool = True) -> jax.Array:
-    """video [B, F, H, W, 3] in [-1, 1] -> latent mean [B, F', H/8, W/8, z].
-
-    F must be 4k+1. Returns the (optionally normalized) posterior mean,
-    matching ``WanVAE_.encode`` (``vae.py:536-575``)."""
+def _encode_raw(params, cfg: WanVAEConfig, video: jax.Array) -> jax.Array:
     enc = params["encoder"]
     x = causal_conv3d(enc["conv1"], video)
     structure, _ = _encoder_structure(cfg)
@@ -352,7 +347,25 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array,
         x = _attention_block(p, x) if i == 1 else _residual_block(p, x)
     x = wan_rms_norm(enc["head_norm"], x)
     x = jax.nn.silu(x)
-    x = causal_conv3d(enc["head_conv"], x)
+    return causal_conv3d(enc["head_conv"], x)
+
+
+def encode(params, cfg: WanVAEConfig, video: jax.Array,
+           normalize: bool = True, any_end_frame: bool = False) -> jax.Array:
+    """video [B, F, H, W, 3] in [-1, 1] -> latent mean [B, F', H/8, W/8, z].
+
+    F must be 4k+1 (4k+2 with ``any_end_frame``). Returns the (optionally
+    normalized) posterior mean, matching ``WanVAE_.encode``
+    (``vae.py:536-575``). With ``any_end_frame`` the last frame is encoded
+    INDEPENDENTLY (fresh causal state — the reference's ``feat_cache=None``
+    branch for last-frame conditioning, ``vae.py:552-557``) and appended.
+    """
+    if any_end_frame:
+        main = _encode_raw(params, cfg, video[:, :-1])
+        last = _encode_raw(params, cfg, video[:, -1:])
+        x = jnp.concatenate([main, last], axis=1)
+    else:
+        x = _encode_raw(params, cfg, video)
     x = causal_conv3d(params["conv1"], x)
     mu, log_var = jnp.split(x, 2, axis=-1)
     if normalize:
@@ -363,8 +376,15 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array,
 
 
 def decode(params, cfg: WanVAEConfig, z: jax.Array,
-           normalized: bool = True) -> jax.Array:
-    """latents [B, F', H', W', z] -> video [B, 1+4(F'-1), 8H', 8W', 3]."""
+           normalized: bool = True, any_end_frame: bool = False) -> jax.Array:
+    """latents [B, F', H', W', z] -> video [B, 1+4(F'-1), 8H', 8W', 3].
+
+    With ``any_end_frame`` the last latent decodes independently to one
+    frame (``vae.py:589-595``)."""
+    if any_end_frame:
+        main = decode(params, cfg, z[:, :-1], normalized)
+        last = decode(params, cfg, z[:, -1:], normalized)
+        return jnp.concatenate([main, last], axis=1)
     if normalized:
         mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim]).astype(z.dtype)
         std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim]).astype(z.dtype)

@@ -91,3 +91,24 @@ def test_normalization_stats():
         (np.ones(16, np.float32) - wvae.WAN_LATENT_MEAN) / wvae.WAN_LATENT_STD,
         normed,
     )
+
+
+def test_any_end_frame_mode(pair):
+    """End-frame conditioning: last frame encoded/decoded independently
+    (reference feat_cache=None branches)."""
+    ref, params = pair
+    video = jnp.asarray(
+        np.random.RandomState(5).randn(1, 6, 16, 16, 3).astype(np.float32)
+    )  # 4k+2 frames with k=1
+    mu = wvae.encode(params, CFG, video, normalize=False, any_end_frame=True)
+    # main part 5 frames -> 3 latents, plus 1 end-frame latent
+    assert mu.shape[1] == 4
+    # the end-frame latent must equal a standalone single-frame encode
+    solo = wvae.encode(
+        params, CFG, video[:, -1:], normalize=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu[:, -1:]), np.asarray(solo), atol=1e-4
+    )
+    out = wvae.decode(params, CFG, mu, normalized=False, any_end_frame=True)
+    assert out.shape[1] == 5 + 1  # 1+2*2 main frames + 1 end frame
