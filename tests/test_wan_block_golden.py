@@ -159,3 +159,76 @@ def test_wan_block_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out), ref_out, atol=3e-4, rtol=3e-4
     )
+
+
+def test_wan_model_full_forward_matches_reference():
+    """Whole-model golden: patch embed, time/text embeddings, blocks, head,
+    unpatchify — against the reference WanModel."""
+    ns = _load_reference_model()
+    cfg = WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=6, in_dim=4,
+        dim=32, ffn_dim=64, freq_dim=16, text_dim=16, out_dim=4,
+        num_heads=2, num_layers=2,
+    )
+    torch.manual_seed(1)
+    ref = ns["WanModel"](
+        model_type="t2v", patch_size=(1, 2, 2), text_len=cfg.text_len,
+        in_dim=cfg.in_dim, dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+        freq_dim=cfg.freq_dim, text_dim=cfg.text_dim, out_dim=cfg.out_dim,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        window_size=(-1, -1), qk_norm=True, cross_attn_norm=True, eps=1e-6,
+    ).eval().float()
+    ref.enable_teacache = False
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from ltx_video_gpupoor_tpu.core.checkpoint import convert_wan_model
+    from ltx_video_gpupoor_tpu.models.wan.model import forward as wan_forward
+
+    params = convert_wan_model(sd, cfg, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    f, h, w = 3, 4, 4
+    x = rng.randn(1, cfg.in_dim, f, h, w).astype(np.float32)  # [B,C,F,H,W]
+    t_val = 500.0
+    ctx_len = 5
+    ctx = rng.randn(ctx_len, cfg.text_dim).astype(np.float32)
+
+    head_dim = cfg.dim // cfg.num_heads
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pp3", "/root/reference/wan/modules/posemb_layers.py"
+    )
+    pp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pp)
+    from ltx_video_gpupoor_tpu.ops.rope import default_rope_dims
+
+    tcos, tsin = pp.get_nd_rotary_pos_embed(
+        list(default_rope_dims(head_dim)),
+        (f, h // 2, w // 2), theta=10000, use_real=True, enable_riflex=False,
+    )
+
+    pipeline = types.SimpleNamespace(_interrupt=False)
+    with torch.no_grad():
+        ref_out = ref(
+            [torch.from_numpy(x[0].copy())],  # list of [C,F,H,W]
+            t=torch.tensor([t_val]),
+            context=[torch.from_numpy(ctx.copy())],
+            freqs=(tcos, tsin),
+            pipeline=pipeline,
+        )[0].numpy()  # [C_out, F, H, W]
+
+    # ours: channels-last video, zero-padded text to text_len
+    xv = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    ctx_padded = np.zeros((1, cfg.text_len, cfg.text_dim), np.float32)
+    ctx_padded[0, :ctx_len] = ctx
+    cmask = jnp.ones((1, cfg.text_len), jnp.int32)  # ref attends pad too
+    from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+
+    freqs = wan_rope_freqs((f, h // 2, w // 2), head_dim=head_dim)
+    out, _ = wan_forward(
+        params, cfg, xv, jnp.full((1,), t_val), jnp.asarray(ctx_padded),
+        cmask, freqs, attn_mode="xla",
+    )
+    out_t = np.transpose(np.asarray(out)[0], (3, 0, 1, 2))
+    np.testing.assert_allclose(out_t, ref_out, atol=5e-4, rtol=5e-4)
