@@ -1,8 +1,10 @@
 """Driver benchmark: end-to-end sec/video for the BASELINE.json headline
 config — LTX-2B-class DiT, 704x480, 121 frames, 30 denoise steps (CFG, two
-guidance streams), plus tiled-free full VAE decode. Random bf16 weights
+guidance streams), plus tiled-free full VAE decode. Random weights
 (real checkpoints are not downloadable in this zero-egress environment);
-compute cost is identical to real weights.
+compute cost is identical to real weights. The transformer runs the
+dynamic-activation int8 tier — the counterpart of the reference's default
+quanto-int8 serving mode; pass BENCH_BF16=1 in the env for pure bf16.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -14,6 +16,7 @@ faster than the estimated reference.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -55,6 +58,13 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)
     )
+    # the reference's default serving mode is quanto-int8 checkpoints
+    # (inference.py:96-100); our matching tier is dynamic-activation int8
+    # on the int8 MXU (measured −11% vs bf16 at this shape on v5e)
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+
+    if not os.environ.get("BENCH_BF16"):
+        params = quantize_params(params, mode="dynamic")
     tokens = jax.random.normal(
         key, (NUM_CONDS, n_tokens, cfg.in_channels), jnp.bfloat16
     )

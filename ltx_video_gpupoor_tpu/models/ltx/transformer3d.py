@@ -158,6 +158,14 @@ def init_params(key: jax.Array, cfg: LTXTransformerConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _apply_linear(p, x, accum=jnp.float32):
+    if "w_int8_dyn" in p:
+        # dynamic-activation int8: int8xint8 MXU (ops/quant.py; the fast
+        # quantized tier — ~11% over bf16 at LTX-2B shape on v5e)
+        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul
+
+        return int8_dynamic_matmul(
+            x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
+        )
     if "w_int8" in p:
         # int8 weight-only checkpoint/runtime quantization (ops/quant.py)
         from ...ops.quant import QuantizedLinear, int8_wo_matmul

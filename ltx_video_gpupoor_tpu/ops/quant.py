@@ -79,10 +79,24 @@ def int8_dynamic_matmul(
 
 
 def quantize_params(
-    params: dict, should_quantize=lambda path: path.endswith(".kernel")
+    params: dict,
+    should_quantize=lambda path: path.endswith(".kernel"),
+    mode: str = "wo",
 ) -> dict:
     """Convert matching 2-D/3-D kernels in a param tree to
-    ``{"w_int8", "scale"}`` pairs (leading layer-stack axes preserved)."""
+    ``{"w_int8", "scale"}`` pairs (leading layer-stack axes preserved).
+
+    ``mode="wo"`` stores under ``w_int8`` (weight-only dequant into the
+    bf16 MXU at run time); ``mode="dynamic"`` stores under ``w_int8_dyn``
+    which routes through the int8xint8 MXU path with per-row dynamic
+    activation quantization (measured ~11% faster than bf16 at the
+    LTX-2B shape on v5e; weight-only is ≈parity, memory win only).
+    The storage format is identical — only the key name (and thus the
+    runtime path) differs.
+    """
+    if mode not in ("wo", "dynamic"):
+        raise ValueError(mode)
+    w_key = ".w_int8" if mode == "wo" else ".w_int8_dyn"
     flat = flatten(params)
     out = {}
     for key, value in flat.items():
@@ -96,7 +110,7 @@ def quantize_params(
                 ql = jax.vmap(quantize_weights)(value)
             else:
                 ql = quantize_weights(value)
-            out[key.removesuffix(".kernel") + ".w_int8"] = ql.w_int8
+            out[key.removesuffix(".kernel") + w_key] = ql.w_int8
             out[key.removesuffix(".kernel") + ".scale"] = ql.scale
         else:
             out[key] = value
@@ -105,7 +119,11 @@ def quantize_params(
 
 def maybe_quantized_matmul(p: dict, x: jax.Array) -> jax.Array:
     """Apply a linear whose params are either {"kernel"[, "bias"]} or
-    {"w_int8", "scale"[, "bias"]}."""
+    {"w_int8"|"w_int8_dyn", "scale"[, "bias"]}."""
+    if "w_int8_dyn" in p:
+        return int8_dynamic_matmul(
+            x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
+        )
     if "w_int8" in p:
         return int8_wo_matmul(
             x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--quantization", type=str, default="int8")
     p.add_argument("--transformer-dtype-policy", type=str, default="")
     p.add_argument("--quantize-transformer", action="store_true")
+    p.add_argument(
+        "--int8-mode", choices=("dynamic", "wo"), default="dynamic",
+        help="int8 runtime: dynamic-activation int8 MXU (faster) or "
+        "weight-only dequant (memory win only)",
+    )
     p.add_argument("--mixed-precision-transformer", action="store_true")
     p.add_argument("--save-quantized", action="store_true")
     p.add_argument("--output-path", type=str, default=None)
@@ -107,7 +112,7 @@ def infer(args) -> str:
             print(f"saved quantized transformer: {out}")
         if args.quantize_transformer:
             pipe0.transformer_params = quantize_params(
-                pipe0.transformer_params
+                pipe0.transformer_params, mode=args.int8_mode
             )
 
     gen = model.generator

@@ -127,3 +127,53 @@ def test_quantized_transformer_forward_close():
         np.abs(np.asarray(base)).max() + 1e-9
     )
     assert rel < 0.1, rel
+
+
+def test_dynamic_mode_transformer_forward_close():
+    """mode="dynamic" stores under w_int8_dyn and routes through the
+    int8xint8 MXU path; output stays close to bf16."""
+    from ltx_video_gpupoor_tpu.core.params import flatten
+    from ltx_video_gpupoor_tpu.models.ltx import patchifier
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        forward,
+        init_params,
+    )
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=16,
+        caption_channels=16,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    qparams = quantize_params(params, mode="dynamic")
+    assert any(k.endswith(".w_int8_dyn") for k in flatten(qparams))
+    assert not any(k.endswith(".w_int8") for k in flatten(qparams))
+    lat = jax.random.normal(jax.random.key(1), (1, 2, 4, 4, 8)) * 0.3
+    tokens, coords = patchifier.patchify(lat)
+    cap = jax.random.normal(jax.random.key(2), (1, 6, 16)) * 0.3
+    mask = jnp.ones((1, 6), jnp.int32)
+    t = jnp.full((1,), 0.5)
+    base = forward(params, cfg, tokens, coords, t, cap, mask)
+    quant = forward(qparams, cfg, tokens, coords, t, cap, mask)
+    rel = np.abs(np.asarray(quant - base)).max() / (
+        np.abs(np.asarray(base)).max() + 1e-9
+    )
+    assert rel < 0.15, rel
+
+
+def test_maybe_quantized_matmul_dynamic_key():
+    from ltx_video_gpupoor_tpu.ops.quant import (
+        maybe_quantized_matmul,
+        quantize_weights,
+    )
+
+    w = jax.random.normal(jax.random.key(0), (32, 16))
+    x = jax.random.normal(jax.random.key(1), (4, 32))
+    ql = quantize_weights(w)
+    ref = x @ w
+    out = maybe_quantized_matmul(
+        {"w_int8_dyn": ql.w_int8, "scale": ql.scale}, x
+    )
+    rel = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, rel
