@@ -325,6 +325,11 @@ def convert_ltx_vae(
         return p
 
     def norm(prefix, d=jnp.float32):
+        # the reference's custom LayerNorm wraps nn.LayerNorm as ``.norm``
+        # (causal_video_autoencoder.py LayerNorm class), so native-format
+        # keys are e.g. ``norm3.norm.weight``
+        if prefix + ".norm.weight" in sd:
+            prefix = prefix + ".norm"
         p = {}
         if prefix + ".weight" in sd:
             p["weight"] = _jx(sd[prefix + ".weight"], d)

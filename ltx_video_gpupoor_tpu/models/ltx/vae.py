@@ -662,7 +662,9 @@ def decode(
     x = latents
     if cfg.use_quant_conv and "post_quant_conv" in params:
         x = pointwise(params["post_quant_conv"], x)
-    x = causal_conv3d(dec["conv_in"], x, causal=True,
+    # the reference decoder runs conv_in/conv_out with causal=self.causal
+    # (causal_video_autoencoder.py Decoder.forward), not the ctor default
+    x = causal_conv3d(dec["conv_in"], x, causal=causal,
                       spatial_mode=cfg.spatial_padding_mode)
 
     scaled_t = None
