@@ -481,6 +481,110 @@ def convert_ltx_vae(
     return params
 
 
+def convert_legacy_vae(
+    sd: dict[str, np.ndarray],
+    cfg,  # models.ltx.video_autoencoder.LegacyVAEConfig
+    dtype=jnp.float32,
+) -> dict:
+    """Legacy (pre-causal) video-VAE state dict -> param tree
+    (``/root/reference/ltx_video/models/autoencoders/video_autoencoder.py``
+    naming: ``encoder.down_blocks.N.res_blocks.M``, ``.downsample.conv``,
+    ``mid_block.res_blocks``, ``decoder.up_blocks.N.upsample.conv``)."""
+    sd = {k.removeprefix("vae."): v for k, v in sd.items()}
+
+    def conv(prefix, d=dtype):
+        # plain Conv3d / Conv2d, or DualConv3d (weight1/weight2)
+        if prefix + ".weight1" in sd:
+            p = {
+                "kernel1": _jx(_tconv(sd[prefix + ".weight1"]), d),
+                "kernel2": _jx(_tconv(sd[prefix + ".weight2"]), d),
+            }
+            if prefix + ".bias1" in sd:
+                p["bias1"] = _jx(sd[prefix + ".bias1"], d)
+            if prefix + ".bias2" in sd:
+                p["bias2"] = _jx(sd[prefix + ".bias2"], d)
+            return p
+        w = sd[prefix + ".weight"]
+        if w.ndim == 5:
+            kernel = _tconv(w)
+        elif w.ndim == 4:  # Conv2d [out, in, kh, kw] -> [kh, kw, in, out]
+            kernel = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+        else:
+            raise ValueError(f"unexpected conv ndim {w.ndim} at {prefix}")
+        p = {"kernel": _jx(kernel, d)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], d)
+        return p
+
+    def lin1x1(prefix, d=dtype):
+        # make_linear_nd 1x1(x1) conv -> dense [in, out] matrix
+        w = sd[prefix + ".weight"]
+        p = {"kernel": _jx(_t(w.reshape(w.shape[0], w.shape[1])), d)}
+        if prefix + ".bias" in sd:
+            p["bias"] = _jx(sd[prefix + ".bias"], d)
+        return p
+
+    def norm(prefix):
+        return {
+            "weight": _jx(sd[prefix + ".weight"], jnp.float32),
+            "bias": _jx(sd[prefix + ".bias"], jnp.float32),
+        }
+
+    def resnet(prefix):
+        p = {"conv1": conv(prefix + ".conv1"), "conv2": conv(prefix + ".conv2")}
+        if prefix + ".norm1.weight" in sd:
+            p["norm1"] = norm(prefix + ".norm1")
+            p["norm2"] = norm(prefix + ".norm2")
+        if prefix + ".conv_shortcut.weight" in sd:
+            p["conv_shortcut"] = lin1x1(prefix + ".conv_shortcut")
+        return p
+
+    def res_list(prefix):
+        out, j = [], 0
+        while any(k.startswith(f"{prefix}.res_blocks.{j}.") for k in sd):
+            out.append(resnet(f"{prefix}.res_blocks.{j}"))
+            j += 1
+        return out
+
+    def half(side, stage_key, updown):
+        p = {
+            "conv_in": conv(f"{side}.conv_in"),
+            "conv_out": conv(f"{side}.conv_out"),
+            "mid_block": {"res_blocks": res_list(f"{side}.mid_block")},
+            stage_key: [],
+        }
+        if f"{side}.conv_norm_out.weight" in sd:
+            p["conv_norm_out"] = norm(f"{side}.conv_norm_out")
+        i = 0
+        while any(k.startswith(f"{side}.{stage_key}.{i}.") for k in sd):
+            stage = {"res_blocks": res_list(f"{side}.{stage_key}.{i}")}
+            if f"{side}.{stage_key}.{i}.{updown}.conv.weight" in sd or \
+                    f"{side}.{stage_key}.{i}.{updown}.conv.weight1" in sd:
+                stage[updown] = conv(f"{side}.{stage_key}.{i}.{updown}.conv")
+            p[stage_key].append(stage)
+            i += 1
+        return p
+
+    params = {
+        "encoder": half("encoder", "down_blocks", "downsample"),
+        "decoder": half("decoder", "up_blocks", "upsample"),
+    }
+    if "quant_conv.weight" in sd:
+        params["quant_conv"] = lin1x1("quant_conv")
+    if "post_quant_conv.weight" in sd:
+        params["post_quant_conv"] = lin1x1("post_quant_conv")
+    stats = {}
+    for ours, theirs in (
+        ("std_of_means", "per_channel_statistics.std-of-means"),
+        ("mean_of_means", "per_channel_statistics.mean-of-means"),
+    ):
+        if theirs in sd:
+            stats[ours] = _jx(sd[theirs], jnp.float32)
+    if stats:
+        params["per_channel_statistics"] = stats
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Wan VAE
 # ---------------------------------------------------------------------------

@@ -161,6 +161,25 @@ class LegacyVAEConfig:
             return self.in_channels * self.patch_size**3
         return self.in_channels * self.pst * self.patch_size**2
 
+    @property
+    def _num_downsamples(self) -> int:
+        n = len(self.block_out_channels)
+        return sum(
+            1 for i in range(n) if i != n - 1 and 2**i >= self.patch_size
+        )
+
+    @property
+    def spatial_downscale_factor(self) -> int:
+        return 2**self._num_downsamples * self.patch_size
+
+    @property
+    def temporal_downscale_factor(self) -> int:
+        # dims=3 / (2,1) downsamples stride time as well (when in_time)
+        return 2**self._num_downsamples * self.pst
+
+    # the legacy decoder has no timestep conditioning / injected noise
+    timestep_conditioning = False
+
 
 def _resnet_init(key, cfg, dims, cin, cout):
     ks = iter(jax.random.split(key, 4))

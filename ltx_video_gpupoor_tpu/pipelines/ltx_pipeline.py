@@ -73,6 +73,27 @@ def latent_to_pixel_coords(
     return pixel
 
 
+def vae_encode(vae_params: dict, vae_cfg, media: jax.Array) -> jax.Array:
+    """Encode dispatch: causal VAE or legacy ``video_autoencoder``."""
+    if isinstance(vae_cfg, ltx_vae.VAEConfig):
+        return ltx_vae.encode(vae_params, vae_cfg, media)
+    from ..models.ltx import video_autoencoder as legacy_vae
+
+    return legacy_vae.encode(vae_params, vae_cfg, media)
+
+
+def vae_decode(vae_params: dict, vae_cfg, z: jax.Array,
+               timestep=None, noise_key=None,
+               target_frames=None) -> jax.Array:
+    """Decode dispatch: causal VAE or legacy ``video_autoencoder``."""
+    if isinstance(vae_cfg, ltx_vae.VAEConfig):
+        return ltx_vae.decode(vae_params, vae_cfg, z, timestep, noise_key)
+    from ..models.ltx import video_autoencoder as legacy_vae
+
+    return legacy_vae.decode(vae_params, vae_cfg, z,
+                             target_frames=target_frames)
+
+
 def apply_conditioning(
     init_latents: jax.Array,       # [B, F', H', W', C] noise-free latents
     items: Sequence[ConditioningItem],
@@ -89,9 +110,11 @@ def apply_conditioning(
         media = jnp.asarray(item.media)
         if media.ndim == 4:
             media = media[None]
-        enc = ltx_vae.encode(vae_params, vae_cfg, media)
+        enc = vae_encode(vae_params, vae_cfg, media)
         z = ltx_vae.sample_posterior(enc)
-        z = ltx_vae.normalize_latents(z, vae_params["per_channel_statistics"])
+        stats = vae_params.get("per_channel_statistics")
+        if stats is not None:
+            z = ltx_vae.normalize_latents(z, stats)
         assert item.frame_number % t_factor == 0, (
             f"conditioning frame {item.frame_number} not on the latent grid"
         )
@@ -511,8 +534,9 @@ class LTXPipeline:
 
     def decode(self, latent_grid, decode_timestep=0.0,
                decode_noise_scale=None, key=None):
-        stats = self.vae_params["per_channel_statistics"]
-        z = ltx_vae.un_normalize_latents(latent_grid, stats)
+        stats = self.vae_params.get("per_channel_statistics")
+        z = latent_grid if stats is None else \
+            ltx_vae.un_normalize_latents(latent_grid, stats)
         t = None
         if self.vae_cfg.timestep_conditioning:
             key = key if key is not None else jax.random.key(0)
@@ -522,5 +546,5 @@ class LTXPipeline:
             noise = jax.random.normal(kn, z.shape, z.dtype)
             z = z * (1 - decode_noise_scale) + noise * decode_noise_scale
             t = jnp.asarray(decode_timestep)
-            return ltx_vae.decode(self.vae_params, self.vae_cfg, z, t, kd)
-        return ltx_vae.decode(self.vae_params, self.vae_cfg, z)
+            return vae_decode(self.vae_params, self.vae_cfg, z, t, kd)
+        return vae_decode(self.vae_params, self.vae_cfg, z)

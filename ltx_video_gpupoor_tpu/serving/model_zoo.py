@@ -93,7 +93,9 @@ class LoadedModel:
     tokenizer: object = None
 
 
-def _maybe(path: str, ckpt_dir: str) -> Optional[str]:
+def _maybe(path: Optional[str], ckpt_dir: str) -> Optional[str]:
+    if not path:
+        return None
     full = os.path.join(ckpt_dir, os.path.basename(path))
     if os.path.isfile(full):
         return full
@@ -160,8 +162,18 @@ def load_ltxv_model(
     vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
     vcfg_dict = vae_config.get("vae", vae_config) if vae_config else \
         ltx_vae.LTX_VAE_CONFIG_097
-    vcfg = ltx_vae.VAEConfig.from_dict(vcfg_dict)
-    vae_params = ckpt.convert_ltx_vae(vae_tensors, vcfg)
+    if vcfg_dict.get("_class_name") == "VideoAutoencoder" or any(
+        ".res_blocks." in k and ".down_blocks." in k for k in vae_tensors
+    ):
+        # pre-causal 2B-era VAE (video_autoencoder.py naming)
+        from ..models.ltx import video_autoencoder as legacy_vae
+
+        lvcfg = legacy_vae.LegacyVAEConfig.from_dict(vcfg_dict)
+        vcfg = lvcfg
+        vae_params = ckpt.convert_legacy_vae(vae_tensors, lvcfg)
+    else:
+        vcfg = ltx_vae.VAEConfig.from_dict(vcfg_dict)
+        vae_params = ckpt.convert_ltx_vae(vae_tensors, vcfg)
 
     t5_params = t5_cfg = tokenizer = None
     if text_encoder_filename:
