@@ -162,8 +162,14 @@ def load_ltxv_model(
     vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
     vcfg_dict = vae_config.get("vae", vae_config) if vae_config else \
         ltx_vae.LTX_VAE_CONFIG_097
+    # legacy iff the config says so, or the encoder has a mid_block with
+    # res_blocks naming (the causal VAE has no encoder mid_block in native
+    # format, and diffusers-format causal mid blocks use "resnets")
     if vcfg_dict.get("_class_name") == "VideoAutoencoder" or any(
-        ".res_blocks." in k and ".down_blocks." in k for k in vae_tensors
+        k.startswith("encoder.mid_block.res_blocks.") for k in vae_tensors
+    ) or any(
+        k.startswith("vae.encoder.mid_block.res_blocks.")
+        for k in vae_tensors
     ):
         # pre-causal 2B-era VAE (video_autoencoder.py naming)
         from ..models.ltx import video_autoencoder as legacy_vae
