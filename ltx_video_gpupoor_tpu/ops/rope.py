@@ -30,7 +30,12 @@ import numpy as np
 
 
 def rotate_pairs(x: jax.Array) -> jax.Array:
-    """(x1, x2, x3, x4, ...) -> (-x2, x1, -x4, x3, ...)."""
+    """(x1, x2, x3, x4, ...) -> (-x2, x1, -x4, x3, ...).
+
+    Keep the reshape-to-pairs form: strided lane slices (x[..., 0::2])
+    measure 2.1x faster in isolation on v5e but regress the full DiT
+    step by ~40 ms (16.27 vs 15.05 s/video) — in-graph, XLA fuses this
+    form into the surrounding projections; the strided form does not."""
     x2 = x.reshape(*x.shape[:-1], -1, 2)
     a, b = x2[..., 0], x2[..., 1]
     return jnp.stack([-b, a], axis=-1).reshape(x.shape)
