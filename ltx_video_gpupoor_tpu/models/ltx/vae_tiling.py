@@ -102,10 +102,13 @@ def tiled_spatial(
     for i, row in enumerate(rows):
         result_row = []
         for j, tile in enumerate(row):
+            # the reference blends tiles in place, so each neighbor is the
+            # already-blended tile — mirror by writing back into the grid
             if i > 0:
                 tile = blend(rows[i - 1][j], tile, blend_extent, h_axis)
             if j > 0:
                 tile = blend(row[j - 1], tile, blend_extent, w_axis)
+            row[j] = tile
             result_row.append(
                 jax.lax.slice_in_dim(
                     jax.lax.slice_in_dim(

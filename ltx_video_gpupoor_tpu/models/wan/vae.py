@@ -376,14 +376,15 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array,
 
 
 def decode(params, cfg: WanVAEConfig, z: jax.Array,
-           normalized: bool = True, any_end_frame: bool = False) -> jax.Array:
+           normalized: bool = True, any_end_frame: bool = False,
+           clamp: bool = True) -> jax.Array:
     """latents [B, F', H', W', z] -> video [B, 1+4(F'-1), 8H', 8W', 3].
 
     With ``any_end_frame`` the last latent decodes independently to one
     frame (``vae.py:589-595``)."""
     if any_end_frame:
-        main = decode(params, cfg, z[:, :-1], normalized)
-        last = decode(params, cfg, z[:, -1:], normalized)
+        main = decode(params, cfg, z[:, :-1], normalized, clamp=clamp)
+        last = decode(params, cfg, z[:, -1:], normalized, clamp=clamp)
         return jnp.concatenate([main, last], axis=1)
     if normalized:
         mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim]).astype(z.dtype)
@@ -399,4 +400,125 @@ def decode(params, cfg: WanVAEConfig, z: jax.Array,
     x = wan_rms_norm(dec["head_norm"], x)
     x = jax.nn.silu(x)
     x = causal_conv3d(dec["head_conv"], x)
-    return jnp.clip(x, -1.0, 1.0)
+    # the reference clamps in the WanVAE wrapper AFTER (tiled) decode
+    # (vae.py:825-829); per-tile clamping would distort blended seams
+    return jnp.clip(x, -1.0, 1.0) if clamp else x
+
+
+# ---------------------------------------------------------------------------
+# Spatial tiling (``/root/reference/wan/modules/vae.py:611-704``): overlapping
+# spatial tiles with linear crossfade blending — bounds decoder activation
+# memory for high resolutions (the 832x480x81f decode materializes ~18 GB
+# untiled on v5e).
+# ---------------------------------------------------------------------------
+
+def get_vae_tile_size(vae_config: int, device_mem_mb: float,
+                      mixed_precision: bool = False) -> int:
+    """Pixel tile size policy (``vae.py:789-811``): 0 = untiled."""
+    if vae_config == 0:
+        if mixed_precision:
+            device_mem_mb = device_mem_mb / 2
+        if device_mem_mb >= 24000:
+            vae_config = 1
+        elif device_mem_mb >= 8000:
+            vae_config = 2
+        else:
+            vae_config = 3
+    return {1: 0, 2: 256, 3: 128}[vae_config]
+
+
+# per-tile jitted decode: the tile loop must stay on host so XLA never
+# holds every tile's decoder intermediates live at once (one fused tiled
+# decode graph OOMs 16 GB HBM at 832x480x81f)
+_tile_decode = jax.jit(decode, static_argnums=(1, 3, 4, 5))
+
+
+def spatial_tiled_decode(params, cfg: WanVAEConfig, z: jax.Array,
+                         tile_size: int = 256, normalized: bool = True,
+                         any_end_frame: bool = False) -> jax.Array:
+    """Tiled ``decode`` with 25% overlap crossfade (``vae.py:623-664``).
+    The reference hardcodes the 8x spatial factor; derive it from the
+    config so reduced test VAEs tile correctly."""
+    from ..ltx.vae_tiling import blend
+
+    sf = 2 ** (len(cfg.dim_mult) - 1)
+    lat_tile = tile_size // sf
+    overlap = int(lat_tile * 0.75)
+    blend_extent = int(tile_size * 0.25)
+    row_limit = tile_size - blend_extent
+    h_lat, w_lat = z.shape[2], z.shape[3]
+    if h_lat <= lat_tile and w_lat <= lat_tile:
+        return decode(params, cfg, z, normalized, any_end_frame)
+
+    if normalized:
+        mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim]).astype(z.dtype)
+        std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim]).astype(z.dtype)
+        z = z * std + mean
+
+    rows = []
+    for i in range(0, h_lat, overlap):
+        row = []
+        for j in range(0, w_lat, overlap):
+            tile = z[:, :, i: i + lat_tile, j: j + lat_tile]
+            row.append(_tile_decode(params, cfg, tile, False,
+                                    any_end_frame, False))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            # the reference blends in place, so neighbors are the already-
+            # blended tiles — mirror that by writing back into the grid
+            if i > 0:
+                tile = blend(rows[i - 1][j], tile, blend_extent, axis=2)
+            if j > 0:
+                tile = blend(row[j - 1], tile, blend_extent, axis=3)
+            row[j] = tile
+            out_row.append(tile[:, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    return jnp.clip(jnp.concatenate(result_rows, axis=2), -1.0, 1.0)
+
+
+_tile_encode = jax.jit(encode, static_argnums=(1, 3, 4))
+
+
+def spatial_tiled_encode(params, cfg: WanVAEConfig, video: jax.Array,
+                         tile_size: int = 256, normalize: bool = True,
+                         any_end_frame: bool = False) -> jax.Array:
+    """Tiled ``encode`` with 25% overlap crossfade (``vae.py:667-704``)."""
+    from ..ltx.vae_tiling import blend
+
+    sf = 2 ** (len(cfg.dim_mult) - 1)
+    lat_tile = tile_size // sf
+    overlap = int(tile_size * 0.75)
+    blend_extent = int(lat_tile * 0.25)
+    row_limit = lat_tile - blend_extent
+    h, w = video.shape[2], video.shape[3]
+    if h <= tile_size and w <= tile_size:
+        return encode(params, cfg, video, normalize, any_end_frame)
+
+    rows = []
+    for i in range(0, h, overlap):
+        row = []
+        for j in range(0, w, overlap):
+            tile = video[:, :, i: i + tile_size, j: j + tile_size]
+            row.append(_tile_encode(params, cfg, tile, False,
+                                    any_end_frame))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend(rows[i - 1][j], tile, blend_extent, axis=2)
+            if j > 0:
+                tile = blend(row[j - 1], tile, blend_extent, axis=3)
+            row[j] = tile
+            out_row.append(tile[:, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    mu = jnp.concatenate(result_rows, axis=2)
+    if normalize:
+        mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim])
+        std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim])
+        mu = (mu - mean) / std
+    return mu

@@ -135,6 +135,17 @@ class WanPipeline:
     vae_cfg: wan_vae.WanVAEConfig
     vae_stride: tuple = (4, 8, 8)
     num_train_timesteps: int = 1000
+    # pixel tile size for VAE decode/encode; 0 = untiled
+    # (reference get_VAE_tile_size policy, ``wan/modules/vae.py:790-811``)
+    vae_tile_size: int = 256
+
+    def _vae_decode(self, latents):
+        if self.vae_tile_size:
+            return wan_vae.spatial_tiled_decode(
+                self.vae_params, self.vae_cfg, latents,
+                tile_size=self.vae_tile_size,
+            )
+        return wan_vae.decode(self.vae_params, self.vae_cfg, latents)
 
     def _solve_schedule(self, solver, steps, shift):
         if solver == "unipc":
@@ -405,7 +416,7 @@ class WanPipeline:
             **denoise_kwargs,
         )
         result = latents if output_type == "latent" else \
-            wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+            self._vae_decode(latents)
         if return_latent_slice is not None:
             # sliding-window continuation output (``text2video.py:584-585``)
             return {
@@ -479,4 +490,4 @@ class WanPipeline:
         )
         if output_type == "latent":
             return latents
-        return wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+        return self._vae_decode(latents)

@@ -112,3 +112,65 @@ def test_any_end_frame_mode(pair):
     )
     out = wvae.decode(params, CFG, mu, normalized=False, any_end_frame=True)
     assert out.shape[1] == 5 + 1  # 1+2*2 main frames + 1 end frame
+
+
+CFG8 = wvae.WanVAEConfig(
+    dim=8, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
+    attn_scales=(), temperal_downsample=(False, False, True),
+)
+
+
+@pytest.fixture(scope="module")
+def pair8():
+    """8x-spatial toy (the factor the reference's tiling hardcodes)."""
+    ns = _load_ref()
+    torch.manual_seed(3)
+    ref = ns["WanVAE_"](
+        dim=CFG8.dim, z_dim=CFG8.z_dim, dim_mult=list(CFG8.dim_mult),
+        num_res_blocks=CFG8.num_res_blocks, attn_scales=[],
+        temperal_downsample=list(CFG8.temperal_downsample), dropout=0.0,
+    ).eval().float()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_wan_vae(sd, CFG8)
+    return ref, params
+
+
+def test_spatial_tiled_decode_matches_reference(pair8):
+    ref, params = pair8
+    rng = np.random.RandomState(7)
+    z = rng.randn(1, 4, 2, 8, 8).astype(np.float32)  # decodes to 64x64
+    with torch.no_grad():
+        ref_out = ref.spatial_tiled_decode(
+            torch.from_numpy(z), [0.0, 1.0], tile_size=32
+        ).clamp(-1, 1).numpy()
+    mine = wvae.spatial_tiled_decode(
+        params, CFG8, jnp.asarray(np.transpose(z, (0, 2, 3, 4, 1))),
+        tile_size=32, normalized=False,
+    )
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_out.shape, (mine.shape, ref_out.shape)
+    np.testing.assert_allclose(mine, ref_out, atol=2e-4, rtol=2e-4)
+
+
+def test_spatial_tiled_encode_matches_reference(pair8):
+    ref, params = pair8
+    rng = np.random.RandomState(8)
+    video = rng.randn(1, 3, 5, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_mu = ref.spatial_tiled_encode(
+            torch.from_numpy(video), [0.0, 1.0], tile_size=32
+        ).numpy()
+    mine = wvae.spatial_tiled_encode(
+        params, CFG8, jnp.asarray(np.transpose(video, (0, 2, 3, 4, 1))),
+        tile_size=32, normalize=False,
+    )
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_mu.shape, (mine.shape, ref_mu.shape)
+    np.testing.assert_allclose(mine, ref_mu, atol=2e-4, rtol=2e-4)
+
+
+def test_tile_size_policy():
+    assert wvae.get_vae_tile_size(0, 24000) == 0
+    assert wvae.get_vae_tile_size(0, 9000) == 256
+    assert wvae.get_vae_tile_size(0, 4000) == 128
+    assert wvae.get_vae_tile_size(2, 999999) == 256
