@@ -189,3 +189,21 @@ def test_multiscale_pipeline(pipe):
     f, h, w = pipe.latent_shape(32, 32, 9)
     assert out.shape == (1, f, h, w, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generation_deterministic_by_seed():
+    """Same seed -> bit-identical video; different seed -> different
+    (the reference's seed_everething contract, ``ltxv.py:136-143``)."""
+    from ltx_video_gpupoor_tpu.serving.model_zoo import build_demo_model
+
+    model = build_demo_model()
+    gen = model.generator
+    d = gen.pipeline.transformer_cfg.caption_channels
+    emb = jax.random.normal(jax.random.key(9), (2, 8, d))
+    mask = jnp.ones((2, 8), jnp.int32)
+    kw = dict(height=64, width=64, frame_num=9, sampling_steps=2)
+    a = np.asarray(gen.generate(emb, mask, seed=7, **kw))
+    b = np.asarray(gen.generate(emb, mask, seed=7, **kw))
+    c = np.asarray(gen.generate(emb, mask, seed=8, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a.astype(np.float32) - c.astype(np.float32)).max() > 0
