@@ -65,6 +65,8 @@ class LTXTransformerConfig:
     timestep_scale_multiplier: float = 1000.0
     ffn_mult: int = 4
     frequency_embedding_size: int = 256
+    # token-chunked FFN (1 = off); see _ffn
+    ffn_chunks: int = 1
 
     @property
     def inner_dim(self) -> int:
@@ -209,7 +211,7 @@ def _qk_norm(p, name, x):
     return x
 
 
-def _ffn(cfg: LTXTransformerConfig, p, x):
+def _ffn_part(cfg: LTXTransformerConfig, p, x):
     h = _apply_linear(p["proj_in"], x)
     if cfg.activation_fn == "geglu":
         h, gate = jnp.split(h, 2, axis=-1)
@@ -221,6 +223,22 @@ def _ffn(cfg: LTXTransformerConfig, p, x):
     else:
         raise ValueError(cfg.activation_fn)
     return _apply_linear(p["proj_out"], h)
+
+
+def _ffn(cfg: LTXTransformerConfig, p, x):
+    """FFN, optionally token-chunked (``cfg.ffn_chunks``) to bound the
+    4x-wide intermediate — the HBM analogue of the reference's in-place
+    chunked feed-forward (``attention.py:334-343``); needed so 13B-class
+    configs fit next to their weights on one 16 GB chip."""
+    if cfg.ffn_chunks <= 1:
+        return _ffn_part(cfg, p, x)
+    s = x.shape[1]
+    n = cfg.ffn_chunks
+    pad = (-s) % n
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    chunks = jnp.split(xp, n, axis=1)
+    out = jnp.concatenate([_ffn_part(cfg, p, c) for c in chunks], axis=1)
+    return out[:, :s] if pad else out
 
 
 def _broadcast_groups(vals: jax.Array, n_tokens: int) -> jax.Array:

@@ -130,3 +130,29 @@ def test_patchify_roundtrip():
     np.testing.assert_array_equal(np.asarray(coords[0, :, 0]), [0, 0, 0])
     np.testing.assert_array_equal(np.asarray(coords[0, :, 1]), [0, 0, 1])
     np.testing.assert_array_equal(np.asarray(coords[0, :, 6]), [0, 1, 0])
+
+
+def test_ffn_chunking_equals_unchunked():
+    import dataclasses as _dc
+
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        forward,
+        init_params,
+    )
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=16,
+        caption_channels=16,
+    )
+    cfg4 = _dc.replace(cfg, ffn_chunks=4)
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.normal(jax.random.key(1), (1, 18, 8))  # 18 % 4 != 0
+    coords = jnp.zeros((1, 3, 18))
+    cap = jax.random.normal(jax.random.key(2), (1, 6, 16))
+    mask = jnp.ones((1, 6), jnp.int32)
+    t = jnp.full((1,), 0.4)
+    a = forward(params, cfg, tokens, coords, t, cap, mask, attn_mode="xla")
+    b = forward(params, cfg4, tokens, coords, t, cap, mask, attn_mode="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
