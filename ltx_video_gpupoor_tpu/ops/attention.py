@@ -14,7 +14,6 @@ import functools
 from typing import Literal
 
 import jax
-import jax.numpy as jnp
 
 from .flash_attention import flash_attention, reference_attention
 from .padding import pad_axis, round_up, unpad_axis

@@ -25,7 +25,6 @@ is host-side between jitted calls when running step-by-step mode.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -21,7 +21,6 @@ reference's runtime decisions depend only on the timestep list — see
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Sequence
 
 import jax
