@@ -93,18 +93,26 @@ def vae_decode(vae_params: dict, vae_cfg, z: jax.Array,
                              target_frames=target_frames)
 
 
-def apply_conditioning(
+def prepare_conditioning(
     init_latents: jax.Array,       # [B, F', H', W', C] noise-free latents
     items: Sequence[ConditioningItem],
     vae_params: dict,
     vae_cfg: ltx_vae.VAEConfig,
-) -> tuple[jax.Array, jax.Array]:
-    """Write conditioning latents into the grid; return (latents,
-    conditioning strength per latent frame position [B, F', H', W'])."""
+    num_prefix_latent_frames: int = 2,
+) -> tuple[jax.Array, jax.Array, list]:
+    """Write conditioning latents into the grid; out-of-grid handling for
+    ``frame_number > 0`` items follows the reference
+    (``pipeline_ltx_video.py:1449-1517``, ``:1613-1687`` "concat" mode):
+    a sequence's tail beyond a ``num_prefix_latent_frames`` latent prefix
+    lands on the grid, while the prefix (or a lone non-first frame)
+    becomes EXTRA tokens carried alongside the sequence. Returns
+    (latents, mask [B, F', H', W'], extras) where each extra is
+    ``(z [B, fp, H', W', C], frame_number, strength)``."""
     b, f_lat, h_lat, w_lat, c = init_latents.shape
     mask = jnp.zeros((b, f_lat, h_lat, w_lat), init_latents.dtype)
     latents = init_latents
     t_factor = vae_cfg.temporal_downscale_factor
+    extras = []
     for item in items:
         media = jnp.asarray(item.media)
         if media.ndim == 4:
@@ -117,16 +125,50 @@ def apply_conditioning(
         assert item.frame_number % t_factor == 0, (
             f"conditioning frame {item.frame_number} not on the latent grid"
         )
-        f0 = item.frame_number // t_factor
         fz = z.shape[1]
-        latents = jax.lax.dynamic_update_slice(
-            latents, z.astype(latents.dtype), (0, f0, 0, 0, 0)
-        )
-        mask = jax.lax.dynamic_update_slice(
-            mask,
-            jnp.full((b, fz, h_lat, w_lat), item.strength, mask.dtype),
-            (0, f0, 0, 0),
-        )
+        if item.frame_number == 0:
+            latents = jax.lax.dynamic_update_slice(
+                latents, z.astype(latents.dtype), (0, 0, 0, 0, 0)
+            )
+            mask = jax.lax.dynamic_update_slice(
+                mask,
+                jnp.full((b, fz, h_lat, w_lat), item.strength, mask.dtype),
+                (0, 0, 0, 0),
+            )
+            continue
+        # non-first frame/sequence
+        fp = min(num_prefix_latent_frames, fz)
+        if fz > fp:
+            f_start = item.frame_number // t_factor + fp
+            latents = jax.lax.dynamic_update_slice(
+                latents, z[:, fp:].astype(latents.dtype),
+                (0, f_start, 0, 0, 0),
+            )
+            mask = jax.lax.dynamic_update_slice(
+                mask,
+                jnp.full((b, fz - fp, h_lat, w_lat), item.strength,
+                         mask.dtype),
+                (0, f_start, 0, 0),
+            )
+        extras.append((z[:, :fp], item.frame_number, item.strength))
+    return latents, mask, extras
+
+
+def apply_conditioning(
+    init_latents: jax.Array,
+    items: Sequence[ConditioningItem],
+    vae_params: dict,
+    vae_cfg: ltx_vae.VAEConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """In-grid-only view of ``prepare_conditioning`` (kept for callers
+    that don't carry extra tokens)."""
+    latents, mask, extras = prepare_conditioning(
+        init_latents, items, vae_params, vae_cfg
+    )
+    assert not extras, (
+        "out-of-grid conditioning requires the extra-token path "
+        "(LTXPipeline.generate)"
+    )
     return latents, mask
 
 
@@ -480,8 +522,9 @@ class LTXPipeline:
             init = noise_grid
 
         cond_mask_grid = jnp.zeros((1, f_lat, h_lat, w_lat), jnp.float32)
+        extras = []
         if conditioning_items:
-            cond_latents, cond_mask_grid = apply_conditioning(
+            cond_latents, cond_mask_grid, extras = prepare_conditioning(
                 jnp.zeros((1, f_lat, h_lat, w_lat, c), jnp.float32),
                 conditioning_items, self.vae_params, self.vae_cfg,
             )
@@ -491,7 +534,6 @@ class LTXPipeline:
             init = init + strength * (cond_latents.astype(init.dtype) - init)
 
         tokens, latent_coords = patchifier.patchify(init)
-        init_tokens = tokens
         cond_mask_tokens = cond_mask_grid.reshape(1, -1)
 
         scale_factors = (
@@ -502,6 +544,40 @@ class LTXPipeline:
         pixel_coords = latent_to_pixel_coords(
             latent_coords, scale_factors, causal_fix=True
         ).astype(jnp.float32)
+
+        # out-of-grid conditioning: extra tokens PREPENDED with their own
+        # pixel coordinates (frame axis offset by the media frame number),
+        # mask = strength, latents = lerp(noise, z, strength) — the
+        # reference's non-TPU path (``pipeline_ltx_video.py:1466-1517``;
+        # its TPU branch trims these, ours keeps them: padding + masking
+        # removes the 128-multiple constraint)
+        num_extra_tokens = 0
+        extra_frame_groups = 0
+        if extras:
+            ex_tokens, ex_coords, ex_masks = [], [], []
+            for i, (z, frame_number, strength_i) in enumerate(extras):
+                k_noise, k_ex = jax.random.split(k_noise)
+                zt, z_coords = patchifier.patchify(z.astype(jnp.float32))
+                ex_noise = jax.random.normal(k_ex, zt.shape, jnp.float32)
+                zt = ex_noise + strength_i * (zt - ex_noise)
+                pc = latent_to_pixel_coords(
+                    z_coords, scale_factors, causal_fix=True
+                ).astype(jnp.float32)
+                pc = pc.at[:, 0].add(float(frame_number))
+                ex_tokens.append(zt)
+                ex_coords.append(pc)
+                ex_masks.append(
+                    jnp.full((1, zt.shape[1]), strength_i, jnp.float32)
+                )
+                extra_frame_groups += z.shape[1]
+            tokens = jnp.concatenate(ex_tokens + [tokens], axis=1)
+            pixel_coords = jnp.concatenate(ex_coords + [pixel_coords], axis=2)
+            cond_mask_tokens = jnp.concatenate(
+                ex_masks + [cond_mask_tokens], axis=1
+            )
+            num_extra_tokens = sum(t.shape[1] for t in ex_tokens)
+
+        init_tokens = tokens
         pixel_coords = pixel_coords.at[:, 0].multiply(1.0 / frame_rate)
 
         schedule = build_guidance_schedule(
@@ -516,13 +592,17 @@ class LTXPipeline:
             self.transformer_params, self.transformer_cfg,
             tokens, init_tokens, cond_mask_tokens, pixel_coords,
             sched.timesteps, schedule, prompt_embeds, prompt_mask,
-            k_denoise, num_frame_groups=f_lat,
+            k_denoise, num_frame_groups=f_lat + extra_frame_groups,
             image_cond_noise_scale=image_cond_noise_scale,
             stochastic_sampling=stochastic_sampling,
             attn_mode=attn_mode,
             interrupt_flag=interrupt_flag,
             progress_callback=progress_callback,
         )
+        if num_extra_tokens:
+            # drop the extra conditioning tokens before decoding
+            # (``pipeline_ltx_video.py:1240-1243`` semantics)
+            latents = latents[:, num_extra_tokens:]
 
         latent_grid = patchifier.unpatchify(latents, h_lat, w_lat, c)
         if output_type == "latent":

@@ -207,3 +207,48 @@ def test_generation_deterministic_by_seed():
     c = np.asarray(gen.generate(emb, mask, seed=8, **kw))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a.astype(np.float32) - c.astype(np.float32)).max() > 0
+
+
+def test_mid_video_single_frame_conditioning_extra_tokens(pipe):
+    """Out-of-grid conditioning: a non-first single frame rides as extra
+    tokens (reference pipeline_ltx_video.py:1466-1517) and is dropped
+    from the output."""
+    emb, mask = _prompts()
+    image = jax.random.uniform(jax.random.key(6), (1, 32, 32, 3)) * 2 - 1
+    out = pipe.generate(
+        emb, mask, height=32, width=32, num_frames=9,
+        num_inference_steps=3, guidance_scale=2.0,
+        conditioning_items=[ConditioningItem(image, 4, 0.9)],
+        key=jax.random.key(0), output_type="latent",
+    )
+    f, h, w = pipe.latent_shape(32, 32, 9)
+    assert out.shape == (1, f, h, w, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # and the result differs from unconditioned generation
+    base = pipe.generate(
+        emb, mask, height=32, width=32, num_frames=9,
+        num_inference_steps=3, guidance_scale=2.0,
+        key=jax.random.key(0), output_type="latent",
+    )
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4
+
+
+def test_mid_video_sequence_conditioning_grid_tail(pipe):
+    """A non-first sequence's tail (beyond the 2-latent prefix) pins the
+    latent grid; the prefix becomes extra tokens."""
+    emb, mask = _prompts()
+    video = jax.random.uniform(jax.random.key(7), (5, 32, 32, 3)) * 2 - 1
+    out = pipe.generate(
+        emb, mask, height=32, width=32, num_frames=9,
+        num_inference_steps=3, guidance_scale=2.0,
+        conditioning_items=[ConditioningItem(video, 4, 1.0)],
+        key=jax.random.key(0), output_type="latent",
+    )
+    enc = ltx_vae.encode(pipe.vae_params, pipe.vae_cfg, video[None])
+    z = ltx_vae.sample_posterior(enc)
+    z = ltx_vae.normalize_latents(z, pipe.vae_params["per_channel_statistics"])
+    # z has 3 latent frames; tail frame (index 2) lands at grid index
+    # 4 // 2 + 2 = 4 with strength 1.0
+    np.testing.assert_allclose(
+        np.asarray(out[:, 4:5]), np.asarray(z[:, 2:3]), atol=1e-3
+    )
