@@ -156,3 +156,42 @@ def test_ffn_chunking_equals_unchunked():
     a = forward(params, cfg, tokens, coords, t, cap, mask, attn_mode="xla")
     b = forward(params, cfg4, tokens, coords, t, cap, mask, attn_mode="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_patchifier_golden_vs_reference():
+    """Token ordering and coordinate grid match the reference
+    SymmetricPatchifier (patch_size=1, the production setting)."""
+    import torch
+    from einops import rearrange as _re
+
+    src = open(
+        "/root/reference/ltx_video/models/transformers/symmetric_patchifier.py"
+    ).read()
+    src = src.replace(
+        "from diffusers.configuration_utils import ConfigMixin", ""
+    )
+    class _CM:
+        pass
+
+    ns = {"ConfigMixin": _CM}
+    exec(compile(src, "ref_patchifier.py", "exec"), ns)
+    ref = ns["SymmetricPatchifier"](patch_size=1)
+
+    from ltx_video_gpupoor_tpu.models.ltx import patchifier as jpat
+
+    rng = np.random.RandomState(0)
+    lat = rng.randn(2, 8, 3, 4, 5).astype(np.float32)  # [B,C,F,H,W]
+    ref_tokens, ref_coords = ref.patchify(torch.from_numpy(lat.copy()))
+    tokens, coords = jpat.patchify(
+        jnp.asarray(np.transpose(lat, (0, 2, 3, 4, 1)))
+    )
+    np.testing.assert_allclose(np.asarray(tokens), ref_tokens.numpy(),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(coords).astype(np.int64),
+                               ref_coords.numpy(), atol=0)
+
+    ref_grid = ref.unpatchify(ref_tokens, 4, 5, 8).numpy()
+    grid = jpat.unpatchify(tokens, 4, 5, 8)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(grid), (0, 4, 1, 2, 3)), ref_grid, atol=0
+    )
