@@ -294,8 +294,11 @@ def _block_forward(
     def from_heads(t):
         return t.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)
 
+    # RMS qk-norm bounds the logits -> the kernel's max-free softmax path
+    sb = 32.0 if cfg.qk_norm else None
     attn_raw = from_heads(
-        attention(to_heads(q), to_heads(k), to_heads(v), mode=attn_mode)
+        attention(to_heads(q), to_heads(k), to_heads(v), mode=attn_mode,
+                  score_bound=sb)
     )
     # STG perturbation mixes BEFORE the output projection
     # (``attention.py:1128-1144``): AttentionSkip swaps in the pre-attention
@@ -326,6 +329,7 @@ def _block_forward(
         q_seg,
         kv_seg,
         mode=attn_mode,
+        score_bound=sb,
     )
     ca = ca.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)
     x = x + _apply_linear(p["attn2"]["to_out"], ca)

@@ -285,6 +285,8 @@ def _self_attention(p, cfg, x, freqs, attn_mode):
     out = attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3), mode=attn_mode,
+        # RMS qk-norm bounds the logits -> kernel max-free softmax path
+        score_bound=32.0 if cfg.qk_norm else None,
     ).transpose(0, 2, 1, 3).reshape(b, s, d)
     return _apply(p["o"], out)
 
@@ -310,6 +312,7 @@ def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
         jnp.ones((b, s), jnp.int32),
         context_mask.astype(jnp.int32),
         mode=attn_mode,
+        score_bound=32.0 if cfg.qk_norm else None,
     )
     if img_context is not None:
         k_img = _apply(p["k_img"], img_context)
@@ -321,6 +324,7 @@ def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
             k_img.reshape(b, si, n, hd).transpose(0, 2, 1, 3),
             v_img.reshape(b, si, n, hd).transpose(0, 2, 1, 3),
             mode=attn_mode,
+            score_bound=32.0 if cfg.qk_norm else None,
         )
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _apply(p["o"], out)

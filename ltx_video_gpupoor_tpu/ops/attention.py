@@ -55,11 +55,17 @@ def attention(
     scale: float | None = None,
     causal: bool = False,
     mode: AttentionMode = "auto",
+    score_bound: float | None = None,
 ) -> jax.Array:
     """Multi-head attention over ``[B, H, S, D]`` tensors.
 
     Sequence lengths need not be 128-multiples: inputs are padded here and
     pad tokens masked via segment ids (id 0 = padding).
+
+    ``score_bound``: static bound on |softmax logits| the caller can
+    guarantee (e.g. RMS qk-normed attention). Enables the kernel's
+    max-free streaming-softmax fast path; logits beyond the bound are
+    clamped (softmax is saturated there anyway). Ignored on the XLA path.
     """
     if mode == "auto":
         mode = _FORCED_MODE
@@ -94,5 +100,6 @@ def attention(
     out = flash_attention(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
         kv_valid=kv_valid, qk_int8=(mode == "pallas_int8"),
+        score_bound=score_bound,
     )
     return unpad_axis(out, 2, sq)

@@ -41,13 +41,13 @@ LOG2E = 1.4426950408889634
 def _flash_kernel(
     q_ref,       # [1, 1, Bq, D]
     k_ref,       # [1, 1, Bkv, D]
-    v_ref,       # [1, 1, Bkv, D]
+    v_ref,       # [1, 1, Bkv, D] — or [1, 1, Bkv, Dp] when sum_col (see below)
     qseg_ref,    # [1, 1, Bq]  (int32) or None
     kseg_ref,    # [1, 1, Bkv] (int32) or None
     o_ref,       # [1, 1, Bq, D]
     m_scratch,   # [Bq, 128] fp32
-    l_scratch,   # [Bq, 128] fp32
-    acc_scratch,  # [Bq, D] fp32
+    l_scratch,   # [Bq, 128] fp32 (unused when sum_col — l lives in acc)
+    acc_scratch,  # [Bq, D] fp32 — or [Bq, Dp] when sum_col
     *,
     scale: float,
     causal: bool,
@@ -57,28 +57,35 @@ def _flash_kernel(
     use_segments: bool,
     kv_valid: int | None = None,
     qk_int8: bool = False,
+    sum_col: int | None = None,
+    score_bound: float | None = None,
 ):
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scratch[:, 0:1] = jnp.full((m_scratch.shape[0], 1), M_FLOOR,
-                                     m_scratch.dtype)
-        l_scratch[:, 0:1] = jnp.zeros((l_scratch.shape[0], 1),
-                                      l_scratch.dtype)
+        if score_bound is None:
+            m_scratch[:, 0:1] = jnp.full((m_scratch.shape[0], 1), M_FLOOR,
+                                         m_scratch.dtype)
+        if sum_col is None:
+            l_scratch[:, 0:1] = jnp.zeros((l_scratch.shape[0], 1),
+                                          l_scratch.dtype)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     q_idx = pl.program_id(2)
 
-    def _compute():
+    def _compute(mask_kv_tail: bool):
         # Matmul in the input dtype (bf16 on the fast path) with fp32
         # accumulation — casting inputs to fp32 here would force the MXU
-        # onto its fp32 path (~8x slower). `scale` is folded into the exp2
-        # argument below instead of touching the [Bq, Bkv] tile twice.
+        # onto its fp32 path (~8x slower). The softmax scale (×log2e, for
+        # exp2) is folded into q at tile load — a [Bq, D] multiply instead
+        # of touching the [Bq, Bkv] scores tile per element.
+        c = scale * LOG2E
         if qk_int8:
             # SageAttention-style tier: per-row symmetric int8 quantization
             # of Q/K inside the kernel, int8 MXU matmul (2x bf16 rate),
-            # fp32 rescale. Accuracy cost ~1e-2 relative on the scores.
+            # fp32 rescale (scale folded into the q-row scales — per-row
+            # quantization is scale-invariant). Accuracy ~1e-2 on scores.
             qf = q_ref[0, 0].astype(jnp.float32)
             kf = k_ref[0, 0].astype(jnp.float32)
             q_s = jnp.maximum(
@@ -93,10 +100,11 @@ def _flash_kernel(
                 q_i8, k_i8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            s = s32.astype(jnp.float32) * (q_s * k_s[:, 0][None, :])
+            s = s32.astype(jnp.float32) * ((q_s * c) * k_s[:, 0][None, :])
         else:
+            qs = (q_ref[0, 0].astype(jnp.float32) * c).astype(q_ref.dtype)
             s = jax.lax.dot_general(
-                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                qs, k_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                  # [Bq, Bkv]
 
@@ -105,10 +113,11 @@ def _flash_kernel(
             kseg = kseg_ref[0, 0]                               # [Bkv]
             mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] > 0)
             s = jnp.where(mask, s, NEG_INF)
-        elif kv_valid is not None:
+        elif mask_kv_tail:
             # tail padding: a cheap iota compare replaces the segment-id
-            # loads + equality masking (the common self-attention case —
-            # padding to the 128 multiple with no real segment structure)
+            # loads + equality masking. Only the one kv block straddling
+            # kv_valid reaches here (pad < 128 <= block_kv, so it is the
+            # last block) — interior blocks skip the 3 VPU ops/element.
             cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1
             )
@@ -122,44 +131,103 @@ def _flash_kernel(
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
 
-        # Online softmax in raw-score space: max commutes with the positive
-        # scale, so p = exp2((s - m) * scale * log2(e)). The M_FLOOR clamp
-        # makes masked entries underflow to 0 with no extra selects.
-        c = scale * LOG2E
+        if score_bound is not None:
+            # Bounded-score fast path (qk-normed attention): softmax with a
+            # FIXED exponent offset instead of the online running max — the
+            # per-element max reduce, the rescale alpha, and the m bookkeeping
+            # all disappear, and accumulation is a plain `acc += p @ v`.
+            # Sound because softmax is invariant to a constant offset; the
+            # min() guard keeps exp2 finite even if a score exceeds the
+            # bound (scores then tie at the bound — by which point softmax
+            # is saturated anyway). Underflow needs a row max below
+            # -score_bound, symmetric to the overflow argument.
+            sb = score_bound * LOG2E
+            p = jnp.exp2(jnp.minimum(s, sb) - sb)               # [Bq, Bkv]
+            if sum_col is not None:
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, 0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                               # [Bq, Dp]
+                acc_scratch[...] = acc_scratch[...] + pv
+            else:
+                l_scratch[:, 0:1] = (
+                    l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+                )
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, 0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scratch[...] = acc_scratch[...] + pv
+            return
+
+        # Online softmax in scaled-score space (scale pre-folded into q):
+        # p = exp2(s - m). The M_FLOOR clamp makes masked entries underflow
+        # to exactly 0 with no extra selects.
         m_prev = m_scratch[:, 0:1]                              # [Bq, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)               # [Bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)                      # >= M_FLOOR
-        p = jnp.exp2((s - m_new) * c)                           # [Bq, Bkv]
-        alpha = jnp.exp2((m_prev - m_new) * c)                  # [Bq, 1]
-        l_new = alpha * l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                       # [Bq, D]
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        p = jnp.exp2(s - m_new)                                 # [Bq, Bkv]
+        alpha = jnp.exp2(m_prev - m_new)                        # [Bq, 1]
+        if sum_col is not None:
+            # v carries a ones column at index `sum_col` (head_dim not a
+            # lane-tile multiple -> the wider PV matmul is free on the MXU):
+            # column sum_col of acc accumulates exactly the softmax
+            # denominator l, replacing the VPU cross-lane row-sum.
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                   # [Bq, Dp]
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
+        else:
+            l_new = (alpha * l_scratch[:, 0:1]
+                     + jnp.sum(p, axis=1, keepdims=True))
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                   # [Bq, D]
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
+            l_scratch[:, 0:1] = l_new
         m_scratch[:, 0:1] = m_new
-        l_scratch[:, 0:1] = l_new
 
+    needs_tail = (
+        not use_segments and kv_valid is not None
+        and kv_valid < num_kv_blocks * block_kv
+    )
     if causal:
         # Skip fully-masked kv blocks above the diagonal.
         @pl.when(kv_idx * block_kv <= (q_idx + 1) * block_q - 1)
         def _():
-            _compute()
+            _compute(needs_tail)
+    elif needs_tail:
+        # Static split: only the last kv block holds padded columns.
+        @pl.when(kv_idx == num_kv_blocks - 1)
+        def _():
+            _compute(True)
+
+        @pl.when(kv_idx != num_kv_blocks - 1)
+        def _():
+            _compute(False)
     else:
-        _compute()
+        _compute(False)
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _finalize():
-        l = l_scratch[:, 0:1]
+        d = o_ref.shape[-1]
+        if sum_col is not None:
+            l = acc_scratch[:, sum_col:sum_col + 1]
+        else:
+            l = l_scratch[:, 0:1]
         l_safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, 0, ...] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0, ...] = (acc_scratch[:, :d] / l_safe).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
-        "qk_int8",
+        "qk_int8", "score_bound",
     ),
 )
 def flash_attention(
@@ -176,6 +244,7 @@ def flash_attention(
     interpret: bool = False,
     kv_valid: int | None = None,
     qk_int8: bool = False,
+    score_bound: float | None = None,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -209,6 +278,20 @@ def flash_attention(
     num_kv_blocks = skv // block_kv
     grid = (b, h, num_q_blocks, num_kv_blocks)
 
+    # When head_dim is not a multiple of the 128-lane tile, the PV matmul
+    # half-fills the MXU output anyway — append a ones column to v at index
+    # d so the same matmul also accumulates the softmax denominator, and
+    # the kernel skips the VPU cross-lane row-sum (measured −15% at d=64,
+    # S=5376 on v5e). For tile-multiple head dims the wider dot would cost
+    # real MXU time, so keep the in-kernel row-sum there.
+    sum_col = None
+    dv = d
+    if d % 128 != 0:
+        sum_col = d
+        dv = -(-d // 128) * 128
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dv - d)))
+        v = v.at[..., d].set(1.0)
+
     in_specs = [
         pl.BlockSpec(
             (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0),
@@ -219,7 +302,7 @@ def flash_attention(
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0),
+            (1, 1, block_kv, dv), lambda b_, h_, i, j: (b_, h_, j, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -252,6 +335,8 @@ def flash_attention(
         use_segments=use_segments,
         kv_valid=kv_valid,
         qk_int8=qk_int8,
+        sum_col=sum_col,
+        score_bound=score_bound,
     )
     if use_segments:
         kernel = base
@@ -271,7 +356,7 @@ def flash_attention(
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # b/h/q grid dims are embarrassingly parallel -> Mosaic may split

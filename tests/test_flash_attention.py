@@ -103,6 +103,45 @@ def test_kv_valid_tail_masking_matches_segments():
     )
 
 
+def test_score_bound_fast_path_matches_reference():
+    """Max-free streaming softmax (qk-normed callers): exact softmax as
+    long as logits stay within the static bound."""
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    b, h, s, d = 2, 2, 384, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, score_bound=32.0, interpret=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # with tail masking
+    out = flash_attention(q, k, v, kv_valid=300, score_bound=32.0,
+                          interpret=True)
+    ref = reference_attention(q[:, :, :], k[:, :, :300], v[:, :, :300])
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # with segment ids
+    seg = jnp.asarray(
+        np.repeat([[1] * 200 + [0] * 184, [1] * 100 + [2] * 284], 1, 0),
+        jnp.int32,
+    )
+    out = flash_attention(q, k, v, seg, seg, score_bound=32.0,
+                          interpret=True)
+    ref = reference_attention(q, k, v, seg, seg)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_score_bound_clamp_keeps_finite():
+    """Logits far beyond the bound: outputs stay finite (clamped scores
+    tie at the bound instead of overflowing the exponent)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(8), 3)
+    b, h, s, d = 1, 1, 128, 64
+    q = _rand(k1, (b, h, s, d)) * 100.0  # logits ~ +-800
+    k = _rand(k2, (b, h, s, d)) * 100.0
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, score_bound=32.0, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_int8_qk_tier_close_to_fp():
     """SageAttention-equivalent int8-QK tier: small accuracy cost only."""
     k1, k2, k3 = jax.random.split(jax.random.key(6), 3)
