@@ -33,6 +33,98 @@ def relative_poses(c2w_list: list[np.ndarray]) -> np.ndarray:
     return np.asarray(poses, np.float32)
 
 
+#: ReCamMaster preset trajectory ids (``cam01`` .. ``cam10``).
+PRESET_TRAJECTORIES = {
+    1: "pan_right",
+    2: "pan_left",
+    3: "tilt_up",
+    4: "tilt_down",
+    5: "zoom_in",
+    6: "zoom_out",
+    7: "translate_up",
+    8: "translate_down",
+    9: "arc_left",
+    10: "arc_right",
+}
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _preset_c2w(kind: str, t: float) -> np.ndarray:
+    """Camera-to-world pose at interpolation parameter ``t`` in [0, 1].
+
+    Synthesized (original) trajectories covering the reference's ten
+    preset motions; the camera starts 5 m from the subject looking at the
+    origin. Translations are in centimeters (the parser divides by 100,
+    matching the reference data's unit convention)."""
+    dist = 500.0
+    pos = np.array([0.0, 0.0, -dist])
+    rot = np.eye(3)
+    if kind in ("pan_right", "pan_left"):
+        sign = 1.0 if kind == "pan_right" else -1.0
+        rot = _rot_y(sign * t * np.deg2rad(25.0))
+    elif kind in ("tilt_up", "tilt_down"):
+        sign = -1.0 if kind == "tilt_up" else 1.0
+        rot = _rot_x(sign * t * np.deg2rad(18.0))
+    elif kind in ("zoom_in", "zoom_out"):
+        sign = 1.0 if kind == "zoom_in" else -1.0
+        pos = np.array([0.0, 0.0, -dist + sign * t * 200.0])
+    elif kind in ("translate_up", "translate_down"):
+        sign = 1.0 if kind == "translate_up" else -1.0
+        pos = np.array([0.0, sign * t * 120.0, -dist])
+        # keep the subject framed: counter-tilt toward the origin
+        rot = _rot_x(-sign * np.arctan2(t * 120.0, dist))
+    elif kind in ("arc_left", "arc_right"):
+        sign = -1.0 if kind == "arc_left" else 1.0
+        ang = sign * t * np.deg2rad(30.0)
+        pos = np.array([dist * np.sin(ang), 0.0, -dist * np.cos(ang)])
+        rot = _rot_y(ang)
+    else:
+        raise ValueError(f"unknown preset trajectory {kind!r}")
+    c2w = np.eye(4)
+    c2w[:3, :3] = rot
+    c2w[:3, 3] = pos
+    return c2w
+
+
+def _format_matrix(m: np.ndarray) -> str:
+    # The stored matrix is read back transposed (the parser's caller does
+    # ``.transpose(0, 2, 1)``), so write the transpose here.
+    mt = m.T
+    return " ".join(
+        "[" + " ".join(f"{x:.6f}" for x in row) + "]" for row in mt
+    )
+
+
+def generate_preset_extrinsics(num_frames: int = 81) -> dict:
+    """Build a ``camera_extrinsics.json``-schema dict of the ten preset
+    trajectories (``frame{i}`` -> ``cam{01..10}`` -> matrix string), the
+    runtime data the reference ships as a static file. Write it with
+    ``json.dump`` and point ``get_camera_embedding`` at it."""
+    out = {}
+    for i in range(num_frames):
+        t = i / max(num_frames - 1, 1)
+        frame = {}
+        for cam_id, kind in PRESET_TRAJECTORIES.items():
+            # The parser permutes axes ([:, [1, 2, 0, 3]]) and flips the
+            # y column; invert that here so the parsed c2w equals the
+            # synthesized one.
+            c2w = _preset_c2w(kind, t)
+            stored = c2w[:, [2, 0, 1, 3]].copy()
+            stored[:3, 2] *= -1.0  # y column (moves to index 2 pre-permute)
+            frame[f"cam{cam_id:02d}"] = _format_matrix(stored)
+        out[f"frame{i}"] = frame
+    return out
+
+
 def get_camera_embedding(
     cam_type: int | str,
     extrinsics_path: str,

@@ -20,9 +20,15 @@ if os.environ.get("_LVGT_TEST_REEXEC") != "1":
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable sitecustomize TPU registration
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = flags + " --xla_force_host_platform_device_count=8"
+    if "collective_call_terminate_timeout" not in flags:
+        # XLA hard-exits when a CPU collective rendezvous exceeds 40 s;
+        # an oversubscribed host can trip that spuriously.
+        flags = (
+            flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        )
+    env["XLA_FLAGS"] = flags.strip()
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -56,6 +56,36 @@ def test_camera_embedding(tmp_path):
     np.testing.assert_allclose(emb, expected, atol=1e-5)
 
 
+def test_preset_extrinsics_roundtrip(tmp_path):
+    """Synthesized preset trajectories parse back to the intended c2w
+    poses and produce well-formed embeddings for every cam type."""
+    data = camera.generate_preset_extrinsics(num_frames=81)
+    assert len(data) == 81 and len(data["frame0"]) == 10
+    p = tmp_path / "camera_extrinsics.json"
+    p.write_text(json.dumps(data))
+    for cam_type, kind in camera.PRESET_TRAJECTORIES.items():
+        # parse exactly as get_camera_embedding does, then undo the axis
+        # conventions: the parsed pose must equal the synthesized one
+        raw = camera.parse_matrix(data["frame80"][f"cam{cam_type:02d}"]).T
+        c2w = raw[:, [1, 2, 0, 3]].copy()
+        c2w[:3, 1] *= -1.0
+        c2w[:3, 3] /= 100.0
+        want = camera._preset_c2w(kind, 1.0)
+        want = want.copy()
+        want[:3, 3] /= 100.0
+        np.testing.assert_allclose(c2w, want, atol=1e-5)
+
+        emb = camera.get_camera_embedding(cam_type, str(p), num_frames=81)
+        assert emb.shape == (21, 12)
+        assert np.isfinite(emb).all()
+        # first frame is always the identity pose
+        np.testing.assert_allclose(
+            emb[0], np.eye(4, dtype=np.float32)[:3].reshape(-1), atol=1e-5
+        )
+        # non-static presets actually move
+        assert np.abs(emb[1:] - emb[0]).max() > 1e-3, kind
+
+
 def test_async_run_executes():
     results = []
     tasks.async_run(results.append, 42)
