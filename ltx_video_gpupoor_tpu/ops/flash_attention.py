@@ -29,7 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 768
-DEFAULT_BLOCK_KV = 2688  # VMEM cap: bq*bkv*4B scores tile ~8 MB
+DEFAULT_BLOCK_KV = 4096
+# The binding VMEM constraint is the fp32 scores tile: bq*bkv*4B. Cap the
+# product at 8 MB (v5e sweeps: larger tiles OOM the Mosaic compiler).
+SCORES_TILE_ELEMS = 1 << 21
 NEG_INF = -1e30
 # Floor for the running max: any real score is far above this, while masked
 # scores (NEG_INF) land ~1e10 below it, so exp underflows to exactly 0 and
@@ -255,8 +258,10 @@ def flash_attention(
             "pad + use segment ids"
         )
     # Pick the largest 128-multiple divisor of the seq len under the cap.
-    # Sweeps on v5e favor ~2 kv blocks per row (bkv ~ skv/2) and bq 512-768;
-    # the caps also bound the fp32 scores tile to ~8 MB of VMEM.
+    # Sweeps on v5e favor bq 512-768 and then the largest kv block the
+    # scores-tile VMEM budget allows (e.g. S=32768: bq 512 x bkv 4096 beats
+    # bkv 2048 by 4%; S=5376: bq 768 x bkv 2688, within 0.7% of the sweep
+    # optimum).
     def fit(cap, s):
         cap = min(cap, s)
         best = 128
@@ -267,7 +272,9 @@ def flash_attention(
             b += 128
         return best
     block_q = fit(block_q, sq)
-    block_kv = fit(min(block_kv, max(1024, skv // 2)), skv)
+    block_kv = fit(
+        min(block_kv, max(1024, SCORES_TILE_ELEMS // block_q)), skv
+    )
     if scale is None:
         scale = d ** -0.5
     use_segments = q_segment_ids is not None
