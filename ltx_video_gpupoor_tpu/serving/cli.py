@@ -39,6 +39,11 @@ def parse_args(argv=None):
                    help="Number of frames")
     p.add_argument("--frame-rate", type=int, default=30)
     p.add_argument("--fit-into-canvas", action="store_true")
+    p.add_argument(
+        "--bucket-resolution", action="store_true",
+        help="snap H/W to the nearest aspect-ratio bin (bounded "
+        "compile cache; see utils/resolution.py)",
+    )
     p.add_argument("--device", type=str, default=None)
     p.add_argument("--VAE-tile-size", type=int, default=None)
     p.add_argument("--model-mode", type=str, default="ltxv_13B")
@@ -150,6 +155,7 @@ def infer(args) -> str:
         input_video=input_video,
         image_cond_noise_scale=args.image_cond_noise_scale,
         fit_into_canvas=args.fit_into_canvas,
+        bucket_resolution=args.bucket_resolution,
         sampling_steps=args.num_inference_steps,
         strength=args.strength,
     )

@@ -27,6 +27,7 @@ from ..pipelines.ltx_pipeline import ConditioningItem, LTXPipeline
 from ..pipelines.multiscale import MultiScalePipeline
 from ..schedulers import rf
 from ..utils import media as media_utils
+from ..utils import resolution
 
 STG_MODES = {
     "attention_values": SkipLayerStrategy.AttentionValues,
@@ -128,6 +129,7 @@ class LTXVideoGenerator:
         sampling_steps: Optional[int] = None,
         strength: float = 1.0,
         output_type: str = "pixels",
+        bucket_resolution: bool = False,
     ) -> np.ndarray | jax.Array:
         cfg = dict(self.pipeline_config)
         stg_strategy = STG_MODES[cfg.get("stg_mode", "attention_values")]
@@ -143,6 +145,12 @@ class LTXVideoGenerator:
         height = min(height, MAX_HEIGHT)
         width = min(width, MAX_WIDTH)
         frame_num = min(frame_num, MAX_FRAMES)
+        if bucket_resolution:
+            # snap to the nearest aspect-ratio bin so arbitrary user sizes
+            # hit a bounded set of compiled programs (utils/resolution.py)
+            height, width, frame_num = resolution.bucketed_dimensions(
+                height, width, frame_num
+            )
         hp, wp, fp = pad_dimensions(height, width, frame_num)
         padding = media_utils.calculate_padding(height, width, hp, wp)
 

@@ -201,3 +201,25 @@ def test_legacy_sincos_embeddings():
     pe = get_3d_sincos_pos_embed(96, grid, 4, 3, 2)
     assert pe.shape == (24, 96)
     assert np.isfinite(pe).all()
+
+
+def test_resolution_bins_and_snap():
+    from ltx_video_gpupoor_tpu.utils import resolution
+
+    bins = resolution.aspect_ratio_bins(512)
+    # square bin is exact; all bins on the 32 grid within the area budget
+    assert bins[1.0] == (512, 512)
+    for r, (h, w) in bins.items():
+        assert h % 32 == 0 and w % 32 == 0
+        assert h * w <= 512 * 512
+        assert abs(r - round(h / w, 2)) < 1e-9
+    # snapping: portrait/landscape/odd sizes land on a bin, deterministic
+    assert resolution.snap_to_bin(480, 704) in bins.values()
+    assert resolution.snap_to_bin(481, 703) == resolution.snap_to_bin(480, 704)
+    h, w, f = resolution.bucketed_dimensions(480, 704, 81)
+    assert (h, w) in resolution.aspect_ratio_bins(512).values()
+    assert f == 81  # already on the 8k+1 grid
+    assert resolution.bucketed_dimensions(480, 704, 80)[2] == 81
+    # large inputs choose the 1024 base
+    h2, w2, _ = resolution.bucketed_dimensions(1024, 1024, 9)
+    assert (h2, w2) == (1024, 1024)
