@@ -100,6 +100,16 @@ def infer(args) -> str:
         tf_file, te_file = model_zoo.select_model_files(
             args.model_mode, args.quantization, args.transformer_dtype_policy
         )
+        try:
+            from . import downloads
+
+            downloads.prepare_models_and_enhancers(
+                te_file, ckpt_dir=args.ckpt_dir
+            )
+        except Exception as e:
+            # offline / partially-provisioned dirs fall through to the
+            # loader, which reports exactly which file is missing
+            print(f"checkpoint download skipped: {e}")
         model = model_zoo.load_ltxv_model(
             tf_file, args.model_mode, args.ckpt_dir, te_file
         )

@@ -171,3 +171,21 @@ def test_cli_v2v_with_strength(tmp_path):
     ])
     path = infer(args)
     assert os.path.isfile(path)
+
+
+def test_downloads_idempotent_offline(tmp_path):
+    """Fully-provisioned checkpoint dir: no network, no hub import."""
+    from ltx_video_gpupoor_tpu.serving import downloads
+
+    d = downloads.LTX_TEXT_ENCODER_DEF
+    for folder, files in zip(d["sourceFolderList"], d["fileList"]):
+        for name in files + (["te.safetensors"] if folder else []):
+            p = tmp_path / folder / name if folder else tmp_path / name
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(b"x")
+    fetched = downloads.prepare_models_and_enhancers(
+        "te.safetensors", ckpt_dir=str(tmp_path)
+    )
+    assert fetched == []
+    assert downloads.compute_list(None) == []
+    assert downloads.compute_list("a/b/c.safetensors") == ["c.safetensors"]
