@@ -358,12 +358,22 @@ def forward(
     skip_layer_strategy: Optional[str] = None,
     attn_mode: str = "auto",
     scan_layers: bool = True,
+    previous_residual: Optional[jax.Array] = None,  # [B, S, D] block delta
+    compute: bool | jax.Array = True,
+    return_residual: bool = False,
 ) -> jax.Array:
-    """Denoiser forward: returns velocity prediction ``[B, S, C_out]``.
+    """Denoiser forward: returns velocity prediction ``[B, S, C_out]``
+    (or ``(velocity, residual)`` with ``return_residual``).
 
     Guidance streams are batch rows; per-token timesteps are expressed as
     per-group timesteps ``[B, G]`` where G divides S (the reference reduces
     per-token t the same way — ``transformer3d.py:423-425``).
+
+    ``previous_residual``/``compute`` implement TeaCache-style step
+    skipping (the reference ships it for Wan only, ``model.py:1030-1057``;
+    here the flagship family gets the same knob): when ``compute`` is
+    False the block stack is bypassed and the previous step's block-stack
+    delta is re-applied to the current embedding.
     """
     d = cfg.inner_dim
     b, s, _ = latents.shape
@@ -409,15 +419,29 @@ def forward(
         )
         return x, None
 
-    if scan_layers:
-        x, _ = jax.lax.scan(body, x, (params["blocks"], skip_layer_mask))
+    def run_blocks(x):
+        if scan_layers:
+            x, _ = jax.lax.scan(body, x, (params["blocks"], skip_layer_mask))
+        else:
+            # unrolled: static-index slices of the stacked weights let XLA
+            # feed matmuls without the per-iteration gather copy a scan
+            # incurs — larger executables, one compile, faster steady-state
+            for i in range(cfg.num_layers):
+                layer_params = jax.tree.map(lambda a: a[i], params["blocks"])
+                x, _ = body(x, (layer_params, skip_layer_mask[i]))
+        return x
+
+    x_in = x
+    if previous_residual is None:
+        x = run_blocks(x)
     else:
-        # unrolled: static-index slices of the stacked weights let XLA feed
-        # matmuls without the per-iteration gather copy a scan incurs —
-        # larger executables, one compile, faster steady-state
-        for i in range(cfg.num_layers):
-            layer_params = jax.tree.map(lambda a: a[i], params["blocks"])
-            x, _ = body(x, (layer_params, skip_layer_mask[i]))
+        x = jax.lax.cond(
+            jnp.asarray(compute, bool),
+            run_blocks,
+            lambda xx: xx + previous_residual.astype(xx.dtype),
+            x,
+        )
+    residual = x - x_in
 
     # final modulation + projection
     table = params["scale_shift_table"].astype(jnp.float32)  # [2, D]
@@ -426,4 +450,7 @@ def forward(
     scale = _broadcast_groups(vals[:, :, 1], s).astype(x.dtype)
     x = layer_norm(x, eps=1e-6)
     x = x * (1 + scale) + shift
-    return _apply_linear(params["proj_out"], x)
+    out = _apply_linear(params["proj_out"], x)
+    if return_residual:
+        return out, residual
+    return out

@@ -112,11 +112,24 @@ def prepare_conditioning(
     mask = jnp.zeros((b, f_lat, h_lat, w_lat), init_latents.dtype)
     latents = init_latents
     t_factor = vae_cfg.temporal_downscale_factor
+    sf = vae_cfg.spatial_downscale_factor
+    height, width = h_lat * sf, w_lat * sf
     extras = []
     for item in items:
         media = jnp.asarray(item.media)
         if media.ndim == 4:
             media = media[None]
+        if media.shape[2] != height or media.shape[3] != width:
+            # items arrive at the generation's target size; each pass
+            # (multi-scale runs at downscaled dims) resizes to its own
+            # resolution (``_resize_conditioning_item``,
+            # ``pipeline_ltx_video.py:1402, 1546-1564``)
+            media = jax.image.resize(
+                media,
+                (media.shape[0], media.shape[1], height, width,
+                 media.shape[4]),
+                method="bilinear",
+            )
         enc = vae_encode(vae_params, vae_cfg, media)
         z = ltx_vae.sample_posterior(enc)
         stats = vae_params.get("per_channel_statistics")
@@ -274,6 +287,40 @@ def build_guidance_schedule(
 
 
 # ---------------------------------------------------------------------------
+# TeaCache schedule (LTX)
+# ---------------------------------------------------------------------------
+
+def ltx_teacache_schedule(
+    transformer_params: dict,
+    cfg: LTXTransformerConfig,
+    timesteps: np.ndarray,
+    multiplier: float,
+    start_step: int = 0,
+) -> np.ndarray:
+    """Static per-step compute mask for the LTX DiT.
+
+    The reference ships TeaCache for Wan only (``model.py:854-899``); the
+    same signal exists here — the adaLN-single timestep embedding — so the
+    flagship family gets the same speed knob. Precomputed host-side: the
+    skip decisions depend only on the (static) timestep list.
+    """
+    from ..models.ltx import transformer3d as t3d
+    from . import teacache
+
+    t = np.asarray(timesteps, np.float32) * cfg.timestep_scale_multiplier
+    emb = t3d.timestep_embedding(
+        jnp.asarray(t), cfg.frequency_embedding_size
+    )
+    e = t3d._apply_linear(transformer_params["adaln"]["emb_linear_1"], emb)
+    e = jax.nn.silu(e)
+    e_list = np.asarray(
+        t3d._apply_linear(transformer_params["adaln"]["emb_linear_2"], e),
+        np.float32,
+    )
+    return teacache.calibrate_mask(e_list, multiplier, start_step=start_step)
+
+
+# ---------------------------------------------------------------------------
 # Denoise loop
 # ---------------------------------------------------------------------------
 
@@ -293,6 +340,7 @@ def denoise(
     image_cond_noise_scale: float = 0.0,
     stochastic_sampling: bool = False,
     attn_mode: str = "auto",
+    teacache_mask: Optional[np.ndarray] = None,  # [steps] bool compute-mask
     interrupt_flag=None,
     progress_callback=None,
 ) -> jax.Array:
@@ -337,9 +385,15 @@ def denoise(
         "skip": jnp.asarray(schedule.skip_layer_mask),  # [steps, L, conds]
         "key": jax.random.split(key, len(np.asarray(timesteps))),
     }
+    use_tc = teacache_mask is not None
+    if use_tc:
+        per_step["compute"] = jnp.asarray(np.asarray(teacache_mask, bool))
 
     def body(carry, step):
-        latents = carry
+        if use_tc:
+            latents, residual = carry
+        else:
+            latents = carry
         t = step["t"]
         k_noise, k_step = jax.random.split(step["key"])
 
@@ -359,13 +413,26 @@ def denoise(
         tg = jnp.concatenate([t_groups] * num_conds, axis=0)
         skip = step["skip"]  # [L, num_conds]; stream rows ARE the batch
 
-        pred = transformer_forward(
-            transformer_params, transformer_cfg,
-            x, coords, tg, ctx, ctx_mask,
-            skip_layer_mask=skip,
-            skip_layer_strategy=schedule.skip_layer_strategy,
-            attn_mode=attn_mode,
-        ).astype(jnp.float32)
+        if use_tc:
+            pred, residual = transformer_forward(
+                transformer_params, transformer_cfg,
+                x, coords, tg, ctx, ctx_mask,
+                skip_layer_mask=skip,
+                skip_layer_strategy=schedule.skip_layer_strategy,
+                attn_mode=attn_mode,
+                previous_residual=residual,
+                compute=step["compute"],
+                return_residual=True,
+            )
+            pred = pred.astype(jnp.float32)
+        else:
+            pred = transformer_forward(
+                transformer_params, transformer_cfg,
+                x, coords, tg, ctx, ctx_mask,
+                skip_layer_mask=skip,
+                skip_layer_strategy=schedule.skip_layer_strategy,
+                attn_mode=attn_mode,
+            ).astype(jnp.float32)
 
         streams = jnp.split(pred, num_conds, axis=0)
         if schedule.do_stg:
@@ -402,23 +469,37 @@ def denoise(
         # conditioned tokens only start moving once t < 1 - strength
         to_denoise = (t - 1e-6 < (1.0 - cond_mask_tokens))[..., None]
         latents = jnp.where(to_denoise, denoised, latents)
-        return latents, None
+        return ((latents, residual) if use_tc else latents), None
+
+    if use_tc:
+        # residual carry for TeaCache reuse; step 0 always computes, so the
+        # zero init is never consumed
+        carry0 = (
+            latents,
+            jnp.zeros(
+                (num_conds, n_tokens, transformer_cfg.inner_dim),
+                latents.dtype,
+            ),
+        )
+    else:
+        carry0 = latents
 
     if interrupt_flag is None and progress_callback is None:
-        latents, _ = jax.lax.scan(body, latents, per_step)
-        return latents
+        carry, _ = jax.lax.scan(body, carry0, per_step)
+        return carry[0] if use_tc else carry
 
     from ..core.interrupt import check
 
     step_fn = jax.jit(lambda lat, step: body(lat, step)[0])
     n_steps = len(np.asarray(timesteps))
+    carry = carry0
     for i in range(n_steps):
         check(interrupt_flag)
         step_i = jax.tree.map(lambda a: a[i], per_step)
-        latents = step_fn(latents, step_i)
+        carry = step_fn(carry, step_i)
         if progress_callback is not None:
             progress_callback(i, n_steps)
-    return latents
+    return carry[0] if use_tc else carry
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +517,12 @@ class LTXPipeline:
     tokenizer: object = None          # HF tokenizer (optional in tests)
     t5_params: dict = None
     t5_cfg: object = None
+    # (z_tile latent frames, hw_tile pixels) for the VAE decode; None =
+    # size-based auto: untiled below the measured 16 GiB-HBM envelope
+    # (704x480x121f decodes untiled in 0.49 s), tiled above it — the
+    # reference's VRAM-class policy (``vae.py:92-115``) translated to a
+    # footprint rule
+    vae_tile_size: Optional[tuple] = None
 
     def encode_prompt(self, prompts: list[str], max_len: int = 256):
         """Tokenize + T5-encode. Returns (embeds [B, S, D], mask [B, S]).
@@ -491,6 +578,7 @@ class LTXPipeline:
         decode_timestep: float = 0.0,
         decode_noise_scale: Optional[float] = None,
         attn_mode: str = "auto",
+        teacache_multiplier: float = 0.0,
         interrupt_flag=None,
         progress_callback=None,
     ):
@@ -588,6 +676,13 @@ class LTXPipeline:
             skip_layer_strategy=skip_layer_strategy,
         )
 
+        tc_mask = None
+        if teacache_multiplier and teacache_multiplier > 1.0:
+            tc_mask = ltx_teacache_schedule(
+                self.transformer_params, self.transformer_cfg, ts,
+                teacache_multiplier,
+            )
+
         latents = denoise(
             self.transformer_params, self.transformer_cfg,
             tokens, init_tokens, cond_mask_tokens, pixel_coords,
@@ -596,6 +691,7 @@ class LTXPipeline:
             image_cond_noise_scale=image_cond_noise_scale,
             stochastic_sampling=stochastic_sampling,
             attn_mode=attn_mode,
+            teacache_mask=tc_mask,
             interrupt_flag=interrupt_flag,
             progress_callback=progress_callback,
         )
@@ -611,12 +707,25 @@ class LTXPipeline:
             latent_grid, decode_timestep, decode_noise_scale, k_decode
         )
 
+    def _decode_tiles(self, z: jax.Array) -> tuple[int, int]:
+        """(z_tile, hw_tile) for this latent shape."""
+        if self.vae_tile_size is not None:
+            return self.vae_tile_size
+        if not isinstance(self.vae_cfg, ltx_vae.VAEConfig):
+            return (0, 0)  # legacy VAE: no tiling support
+        sf = self.vae_cfg.spatial_downscale_factor
+        h, w = z.shape[2] * sf, z.shape[3] * sf
+        if h * w <= 704 * 480:
+            return (0, 0)
+        return (4, 512)
+
     def decode(self, latent_grid, decode_timestep=0.0,
                decode_noise_scale=None, key=None):
         stats = self.vae_params.get("per_channel_statistics")
         z = latent_grid if stats is None else \
             ltx_vae.un_normalize_latents(latent_grid, stats)
         t = None
+        kd = None
         if self.vae_cfg.timestep_conditioning:
             key = key if key is not None else jax.random.key(0)
             kn, kd = jax.random.split(key)
@@ -625,5 +734,13 @@ class LTXPipeline:
             noise = jax.random.normal(kn, z.shape, z.dtype)
             z = z * (1 - decode_noise_scale) + noise * decode_noise_scale
             t = jnp.asarray(decode_timestep)
-            return vae_decode(self.vae_params, self.vae_cfg, z, t, kd)
-        return vae_decode(self.vae_params, self.vae_cfg, z)
+        z_tile, hw_tile = self._decode_tiles(z)
+        if z_tile or hw_tile:
+            from ..models.ltx.vae_tiling import tiled_decode
+
+            return tiled_decode(
+                self.vae_params, self.vae_cfg, z,
+                z_tile=z_tile, hw_tile=hw_tile,
+                timestep=t, noise_key=kd,
+            )
+        return vae_decode(self.vae_params, self.vae_cfg, z, t, kd)

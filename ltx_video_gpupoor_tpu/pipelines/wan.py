@@ -33,6 +33,7 @@ from ..ops.rope import wan_rope_freqs
 from ..schedulers import dpm as jdpm
 from ..schedulers import flowmatch as jfm
 from ..schedulers import unipc as junipc
+from . import teacache
 
 # Published TeaCache polynomial coefficients for the Wan 2.1 family (from
 # the TeaCache project; the reference consumes them via the externally-set
@@ -85,41 +86,9 @@ def teacache_skip_schedule(
         wan_model._apply(model_params["time_embedding"]["fc2"], e),
         np.float32,
     )
-    rescale = np.poly1d(coefficients)
-    n = len(timesteps)
-
-    def deltas(i):
-        prev, cur = e_list[i - 1], e_list[i]
-        rel = np.abs(cur - prev).mean() / (np.abs(prev).mean() + 1e-12)
-        return abs(float(rescale(rel)))
-
-    def run(threshold):
-        acc, steps_run, mask = 0.0, 0, []
-        for i in range(n):
-            skip = False
-            if not (i <= start_step or i == n - 1):
-                acc += deltas(i)
-                if acc < threshold:
-                    skip = True
-                else:
-                    acc = 0.0
-            mask.append(not skip)
-            if not skip:
-                steps_run += 1
-        return steps_run, np.asarray(mask)
-
-    target = int(n / multiplier)
-    best_thr, best_diff, best_mask = 0.01, 10**9, None
-    thr = 0.01
-    while thr <= 0.6:
-        steps_run, mask = run(thr)
-        diff = abs(target - steps_run)
-        if diff < best_diff:
-            best_thr, best_diff, best_mask = thr, diff, mask
-        elif diff > best_diff:
-            break
-        thr += 0.01
-    return best_mask
+    return teacache.calibrate_mask(
+        e_list, multiplier, coefficients, start_step
+    )
 
 
 # ---------------------------------------------------------------------------

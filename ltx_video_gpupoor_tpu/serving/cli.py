@@ -40,6 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--frame-rate", type=int, default=30)
     p.add_argument("--fit-into-canvas", action="store_true")
     p.add_argument(
+        "--teacache", type=float, default=0.0,
+        help="TeaCache speed multiplier (e.g. 1.75); 0 disables. "
+        "Step-skip cache over the DiT (the reference ships this for "
+        "Wan only)",
+    )
+    p.add_argument(
         "--bucket-resolution", action="store_true",
         help="snap H/W to the nearest aspect-ratio bin (bounded "
         "compile cache; see utils/resolution.py)",
@@ -132,6 +138,11 @@ def infer(args) -> str:
 
     gen = model.generator
     pipe = gen.pipeline
+    if args.VAE_tile_size is not None:
+        # 0 disables tiling entirely; otherwise hw tile pixels (+ z tiling)
+        pipe.vae_tile_size = (
+            (0, 0) if args.VAE_tile_size == 0 else (4, args.VAE_tile_size)
+        )
     if pipe.t5_params is not None and pipe.tokenizer is not None:
         embeds, mask = pipe.encode_prompt(
             [args.negative_prompt, args.prompt]
@@ -166,6 +177,7 @@ def infer(args) -> str:
         image_cond_noise_scale=args.image_cond_noise_scale,
         fit_into_canvas=args.fit_into_canvas,
         bucket_resolution=args.bucket_resolution,
+        teacache_multiplier=args.teacache,
         sampling_steps=args.num_inference_steps,
         strength=args.strength,
     )

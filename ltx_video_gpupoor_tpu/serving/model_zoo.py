@@ -319,11 +319,18 @@ def build_demo_model(seed: int = 0) -> LoadedModel:
         out_channels=8, num_layers=2, cross_attention_dim=32,
         caption_channels=32,
     )
+    # production compression factors (32x spatial, 8x temporal) so demo
+    # runs at real resolutions see real token counts — a tiny-VAE demo at
+    # 704x480x121f would otherwise patchify to 320k+ tokens and run the
+    # attention grid for minutes
     vcfg = ltx_vae.VAEConfig.from_dict({
         "_class_name": "CausalVideoAutoencoder",
         "dims": 3,
         "latent_channels": 8,
-        "blocks": [["res_x", 1], ["compress_all", 1], ["res_x", 1]],
+        "blocks": [
+            ["res_x", 1], ["compress_all", 1], ["compress_all", 1],
+            ["compress_all", 1], ["res_x", 1],
+        ],
         "base_channels": 8,
         "norm_num_groups": 4,
         "patch_size": 4,
@@ -348,6 +355,7 @@ def build_demo_model(seed: int = 0) -> LoadedModel:
     return LoadedModel(
         generator=LTXVideoGenerator(
             pipeline=pipeline, multiscale=multiscale,
-            pipeline_config="ltxv-2b-0.9.6-distilled",
+            # the multi-scale two-pass config — the production i2v path
+            pipeline_config="ltxv-13b-0.9.7-distilled",
         )
     )

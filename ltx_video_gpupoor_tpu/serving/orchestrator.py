@@ -130,6 +130,7 @@ class LTXVideoGenerator:
         strength: float = 1.0,
         output_type: str = "pixels",
         bucket_resolution: bool = False,
+        teacache_multiplier: float = 0.0,
     ) -> np.ndarray | jax.Array:
         cfg = dict(self.pipeline_config)
         stg_strategy = STG_MODES[cfg.get("stg_mode", "attention_values")]
@@ -182,6 +183,7 @@ class LTXVideoGenerator:
             )
 
         common = dict(
+            teacache_multiplier=teacache_multiplier,
             frame_rate=frame_rate,
             conditioning_items=conditioning,
             image_cond_noise_scale=(

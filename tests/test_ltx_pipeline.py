@@ -252,3 +252,96 @@ def test_mid_video_sequence_conditioning_grid_tail(pipe):
     np.testing.assert_allclose(
         np.asarray(out[:, 4:5]), np.asarray(z[:, 2:3]), atol=1e-3
     )
+
+
+def test_teacache_residual_reuse_exact(pipe):
+    """compute=False with the previous residual reproduces the full
+    forward exactly (same input => identical block-stack delta)."""
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import forward
+
+    b, s = 2, 16
+    x = jax.random.normal(jax.random.key(3), (b, s, TF_CFG.in_channels))
+    coords = jnp.tile(jnp.arange(s, dtype=jnp.float32)[None, None], (b, 3, 1))
+    t = jnp.full((b,), 0.5)
+    ctx = jax.random.normal(jax.random.key(4), (b, 8, TF_CFG.caption_channels))
+    cmask = jnp.ones((b, 8), jnp.int32)
+
+    out_full, res = forward(
+        pipe.transformer_params, TF_CFG, x, coords, t, ctx, cmask,
+        return_residual=True,
+    )
+    out_skip, res2 = forward(
+        pipe.transformer_params, TF_CFG, x, coords, t, ctx, cmask,
+        previous_residual=res, compute=jnp.asarray(False),
+        return_residual=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skip), np.asarray(out_full), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2), np.asarray(res), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_ltx_teacache_schedule(pipe):
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import (
+        ltx_teacache_schedule,
+    )
+
+    ts = np.linspace(1.0, 0.05, 30, dtype=np.float32)
+    mask = ltx_teacache_schedule(
+        pipe.transformer_params, TF_CFG, ts, multiplier=2.0
+    )
+    assert mask.shape == (30,)
+    assert mask[0] and mask[-1]
+    executed = int(mask.sum())
+    assert abs(executed - 15) <= 3  # ~steps/multiplier
+    assert executed < 30  # actually skips something
+
+
+def test_teacache_alltrue_matches_baseline(pipe):
+    """An all-compute mask goes through the residual-carry code path but
+    must reproduce the maskless scan bit-for-bit."""
+    from ltx_video_gpupoor_tpu.pipelines import ltx_pipeline as lp
+
+    emb, mask = _prompts()
+    kwargs = dict(
+        height=32, width=32, num_frames=9, num_inference_steps=4,
+        guidance_scale=3.0, key=jax.random.key(5), output_type="latent",
+    )
+    base = np.asarray(pipe.generate(emb, mask, **kwargs))
+
+    import unittest.mock as um
+
+    with um.patch.object(
+        lp, "ltx_teacache_schedule",
+        lambda *a, **k: np.ones(4, bool),
+    ):
+        tc = np.asarray(
+            pipe.generate(emb, mask, teacache_multiplier=2.0, **kwargs)
+        )
+    np.testing.assert_array_equal(tc, base)
+
+
+def test_teacache_skipping_runs_and_differs(pipe):
+    from ltx_video_gpupoor_tpu.pipelines import ltx_pipeline as lp
+
+    emb, mask = _prompts()
+    kwargs = dict(
+        height=32, width=32, num_frames=9, num_inference_steps=6,
+        guidance_scale=3.0, key=jax.random.key(6), output_type="latent",
+    )
+    base = np.asarray(pipe.generate(emb, mask, **kwargs))
+    import unittest.mock as um
+
+    skip_mask = np.array([1, 1, 0, 1, 0, 1], bool)
+    with um.patch.object(
+        lp, "ltx_teacache_schedule", lambda *a, **k: skip_mask
+    ):
+        tc = np.asarray(
+            pipe.generate(emb, mask, teacache_multiplier=2.0, **kwargs)
+        )
+    assert np.isfinite(tc).all()
+    assert not np.array_equal(tc, base)
+    # approximate: the cached steps keep the trajectory in the same range
+    assert np.abs(tc - base).mean() < 5 * np.abs(base).std()
