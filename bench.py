@@ -6,6 +6,9 @@ compute cost is identical to real weights. The transformer runs the
 dynamic-activation int8 tier — the counterpart of the reference's default
 quanto-int8 serving mode; pass BENCH_BF16=1 in the env for pure bf16.
 
+BENCH_TEACACHE=<mult> adds the TeaCache skip schedule (the serving
+speed knob; 1.75 measures 7.3 s/video).
+
 BENCH_13B=1 switches to LTXV-13B dims (48 layers, 4096 width, head_dim
 128) with leafwise-quantized int8 init (12.2 GiB weights) and 4-way
 token-chunked FFN. The full-shape forward fits and runs on one 16 GiB
@@ -140,6 +143,21 @@ def main():
         n_media_tokens=n_tokens, target_shift_terminal=0.1,
     )
 
+    # Optional TeaCache mode (BENCH_TEACACHE=<multiplier>): static skip
+    # schedule + residual reuse, the serving-mode speed knob.
+    tc_mult = float(os.environ.get("BENCH_TEACACHE", "0") or 0)
+    tc_mask = None
+    if tc_mult > 1.0:
+        from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import (
+            ltx_teacache_schedule,
+        )
+
+        tc_mask = jnp.asarray(ltx_teacache_schedule(
+            params, cfg, np.asarray(sched.timesteps), tc_mult
+        ))
+        print(f"# teacache: {int(np.asarray(tc_mask).sum())}/"
+              f"{len(np.asarray(tc_mask))} steps computed")
+
     # pass everything as jit arguments: closure arrays become embedded
     # MLIR constants, whose device->host fetch at trace time fails when
     # HBM is nearly full (13B int8 weights leave ~4 GiB)
@@ -147,17 +165,40 @@ def main():
     def denoise(params, latents, coords, caption, cmask, sched_ts):
         inner_sched = rf.RectifiedFlowSchedule(timesteps=sched_ts)
 
-        def body(lat, t):
+        def body(carry, step):
+            if tc_mask is None:
+                lat = carry
+                t = step
+            else:
+                lat, res = carry
+                t, comp = step
             x = jnp.concatenate([lat, lat], axis=0)
-            v = forward(
-                params, cfg, x, coords,
-                jnp.full((NUM_CONDS,), t), caption, cmask,
-            )
+            if tc_mask is None:
+                v = forward(
+                    params, cfg, x, coords,
+                    jnp.full((NUM_CONDS,), t), caption, cmask,
+                )
+            else:
+                v, res = forward(
+                    params, cfg, x, coords,
+                    jnp.full((NUM_CONDS,), t), caption, cmask,
+                    previous_residual=res, compute=comp,
+                    return_residual=True,
+                )
             un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
             pred = un + 3.0 * (co - un)
-            return rf.step(inner_sched, pred.astype(lat.dtype), t, lat), None
+            lat = rf.step(inner_sched, pred.astype(lat.dtype), t, lat)
+            return (lat if tc_mask is None else (lat, res)), None
 
-        lat, _ = jax.lax.scan(body, latents, sched_ts)
+        if tc_mask is None:
+            lat, _ = jax.lax.scan(body, latents, sched_ts)
+        else:
+            res0 = jnp.zeros(
+                (NUM_CONDS, latents.shape[1], cfg.inner_dim), latents.dtype
+            )
+            (lat, _), _ = jax.lax.scan(
+                body, (latents, res0), (sched_ts, tc_mask)
+            )
         return lat[0, 0, 0].astype(jnp.float32)
 
     latents = tokens[:1]
