@@ -43,7 +43,10 @@ from ltx_video_gpupoor_tpu.schedulers import rf
 BASELINE_SEC_PER_VIDEO = 20.0
 
 HEIGHT, WIDTH, FRAMES, STEPS = 480, 704, 121, 30
-NUM_CONDS = 2  # cfg streams
+# 2 cfg streams for the 2B dev-mode config; the 13B serving mode is the
+# DISTILLED checkpoint (no CFG -> single stream, inference.py:485-493 +
+# ltxv-13b-0.9.7-distilled.yaml), so BENCH_13B runs 1 stream
+NUM_CONDS = 1 if os.environ.get("BENCH_13B") else 2
 
 
 def _quantized_init_13b(cfg, key):
@@ -172,7 +175,8 @@ def main():
             else:
                 lat, res = carry
                 t, comp = step
-            x = jnp.concatenate([lat, lat], axis=0)
+            x = (jnp.concatenate([lat, lat], axis=0)
+                 if NUM_CONDS == 2 else lat)
             if tc_mask is None:
                 v = forward(
                     params, cfg, x, coords,
@@ -185,8 +189,11 @@ def main():
                     previous_residual=res, compute=comp,
                     return_residual=True,
                 )
-            un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
-            pred = un + 3.0 * (co - un)
+            if NUM_CONDS == 2:
+                un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
+                pred = un + 3.0 * (co - un)
+            else:
+                pred = v.astype(jnp.float32)
             lat = rf.step(inner_sched, pred.astype(lat.dtype), t, lat)
             return (lat if tc_mask is None else (lat, res)), None
 

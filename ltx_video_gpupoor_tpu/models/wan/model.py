@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
 
-from ...ops.attention import attention
+from ...ops.attention import attention, parse_sp
 from ...ops.norms import layer_norm, rms_norm
 from ...ops.rope import apply_rotary_emb
 
@@ -282,17 +282,33 @@ def _self_attention(p, cfg, x, freqs, attn_mode):
     cos, sin = freqs  # [L, hd] fp32
     q = apply_rotary_emb(q, cos[None, :, None, :], sin[None, :, None, :])
     k = apply_rotary_emb(k, cos[None, :, None, :], sin[None, :, None, :])
-    out = attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), mode=attn_mode,
-        # RMS qk-norm bounds the logits -> kernel max-free softmax path
-        score_bound=32.0 if cfg.qk_norm else None,
-    ).transpose(0, 2, 1, 3).reshape(b, s, d)
+    # RMS qk-norm bounds the logits -> kernel max-free softmax path
+    sb = 32.0 if cfg.qk_norm else None
+    base_mode, sp_axis = parse_sp(attn_mode)
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    if sp_axis is not None:
+        # USP: tokens are sequence-sharded over `sp_axis` (caller runs
+        # inside shard_map — parallel/usp.py); RoPE above already used the
+        # per-shard slice of the GLOBAL frequency table
+        from ...parallel.ulysses import ulysses_attention
+
+        out = ulysses_attention(
+            qh, kh, vh, axis_name=sp_axis, attn_mode=base_mode,
+            score_bound=sb,
+        )
+    else:
+        out = attention(qh, kh, vh, mode=base_mode, score_bound=sb)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _apply(p["o"], out)
 
 
 def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
                      img_context=None):
+    # under USP, sequence-sharded q rows against replicated context need
+    # no collective — run the local kernel
+    attn_mode, _ = parse_sp(attn_mode)
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     q = _apply(p["q"], x)

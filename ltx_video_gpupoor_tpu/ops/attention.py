@@ -23,6 +23,20 @@ AttentionMode = Literal["auto", "pallas", "pallas_int8", "xla"]
 _FORCED_MODE: AttentionMode = "auto"
 
 
+def parse_sp(mode: str) -> tuple[str, str | None]:
+    """Split a sequence-parallel mode string.
+
+    ``"ulysses:sp"`` -> ("auto", "sp"): self-attention runs the Ulysses
+    all-to-all exchange over mesh axis ``sp`` (inside ``shard_map``),
+    with the local kernel chosen as usual. Any other mode -> (mode, None).
+    Cross-attention callers use only the base mode — sequence-sharded q
+    rows against replicated kv need no collective.
+    """
+    if mode.startswith("ulysses:"):
+        return "auto", mode.split(":", 1)[1]
+    return mode, None
+
+
 def set_attention_mode(mode: AttentionMode) -> None:
     """Process-wide override (parity with the reference's ``--attention``
     CLI flag / sage tiers, ``/root/reference/inference.py:87-93, 592``).

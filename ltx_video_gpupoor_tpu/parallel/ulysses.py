@@ -60,6 +60,7 @@ def ulysses_attention(
     v: jax.Array,
     axis_name: str = "sp",
     attn_mode: str = "auto",
+    score_bound: float | None = None,
 ) -> jax.Array:
     """Sequence-parallel attention: heads must be divisible by the sp size.
 
@@ -68,7 +69,7 @@ def ulysses_attention(
     qh = _heads_to_seq(q, axis_name)
     kh = _heads_to_seq(k, axis_name)
     vh = _heads_to_seq(v, axis_name)
-    out = attention(qh, kh, vh, mode=attn_mode)
+    out = attention(qh, kh, vh, mode=attn_mode, score_bound=score_bound)
     return _seq_to_heads(out, axis_name)
 
 

@@ -1,0 +1,86 @@
+"""Model-level unified sequence parallelism (USP) for the Wan DiT.
+
+Parity target: ``usp_dit_forward`` at
+``/root/reference/wan/distributed/xdit_context_parallel.py:66-146`` — the
+reference chunks the token sequence across SP ranks after the patch
+embed, runs every block with ``xFuserLongContextAttention`` (Ulysses
+all-to-all + ring), and all-gathers before the head.
+
+TPU-native redesign: ONE ``shard_map`` over the ``sp`` mesh axis wraps the
+whole forward. The latent video enters sharded on the FRAME axis (frames
+map to contiguous token ranges under row-major (f, h, w) patchify, and
+the t2v/i2v patch size is 1 in time, so the conv patch embed needs no
+halo). The RoPE table enters sharded on its token axis, so every shard
+applies frequencies for its GLOBAL positions by construction — no
+pad-then-slice (the reference's ``pad_freqs``, ``:12-22``, which is
+subtly wrong for the pad region). Self-attention runs the Ulysses
+head<->sequence ``all_to_all`` (``parallel/ulysses.py``); cross-attention
+needs no collective (sequence-sharded q against replicated text context);
+everything else in the block is per-token. The head output leaves sharded
+on frames — there is no final all-gather unless the caller asks for a
+replicated result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.wan import model as wan_model
+
+
+def usp_wan_forward(
+    mesh: Mesh,
+    params: dict,
+    cfg: wan_model.WanConfig,
+    x: jax.Array,                 # [B, F, H, W, C] latent video (global)
+    t: jax.Array,                 # [B]
+    context: jax.Array,           # [B, Sc, text_dim]
+    context_mask: jax.Array,      # [B, Sc]
+    freqs: tuple,                 # (cos, sin) [L, head_dim] global RoPE
+    axis_name: str = "sp",
+    attn_mode: str = "auto",
+    clip_features: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sequence-parallel denoiser evaluation; returns velocity
+    [B, F, H, W, C_out] sharded on frames over ``axis_name``.
+
+    Requirements: frames divisible by the sp size; heads divisible by the
+    sp size (the Ulysses exchange regroups heads).
+    """
+    sp = mesh.shape[axis_name]
+    if x.shape[1] % sp:
+        raise ValueError(
+            f"frames ({x.shape[1]}) must divide over sp={sp}"
+        )
+    if cfg.num_heads % sp:
+        raise ValueError(
+            f"heads ({cfg.num_heads}) must divide over sp={sp}"
+        )
+
+    def fwd(params, x, t, context, context_mask, cos, sin, clip_feat):
+        out, _ = wan_model.forward(
+            params, cfg, x, t, context, context_mask, (cos, sin),
+            clip_features=clip_feat,
+            attn_mode=f"ulysses:{axis_name}"
+            if attn_mode in ("auto", "pallas", "xla")
+            else attn_mode,
+        )
+        return out
+
+    frame_spec = P(None, axis_name)       # [B, F, H, W, C] on frames
+    tok_spec = P(axis_name)               # [L, head_dim] RoPE rows
+    repl = P()
+    fn = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(repl, frame_spec, repl, repl, repl, tok_spec, tok_spec,
+                  repl),
+        out_specs=frame_spec,
+        check_vma=False,
+    )
+    return fn(params, x, t, context, context_mask, freqs[0], freqs[1],
+              clip_features)

@@ -123,3 +123,31 @@ def test_sharded_pipeline_matches_single_device(mesh8):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(base), atol=1e-4, rtol=1e-4
     )
+
+
+def test_usp_wan_forward_matches_single_device(sp_mesh):
+    """Model-level USP (ulysses inside shard_map over sp): the reference's
+    usp_dit_forward equivalent. Frames sharded, global RoPE by
+    construction, no all-gather before the head."""
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+    from ltx_video_gpupoor_tpu.parallel.usp import usp_wan_forward
+
+    cfg = wan_model.WanConfig(
+        dim=512, ffn_dim=1024, num_heads=8, num_layers=2, text_dim=256,
+    )
+    params = wan_model.init_params(jax.random.key(0), cfg)
+    f, h, w = 8, 8, 12   # frames divide sp=8; heads (8) divide sp=8
+    x = jax.random.normal(jax.random.key(1), (1, f, h, w, cfg.in_dim))
+    t = jnp.full((1,), 400.0)
+    ctx = jax.random.normal(jax.random.key(2), (1, 64, cfg.text_dim))
+    cmask = jnp.ones((1, 64), jnp.int32).at[:, 50:].set(0)
+    freqs = wan_rope_freqs((f, h // 2, w // 2), cfg.head_dim)
+
+    ref, _ = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs)
+    out = usp_wan_forward(
+        sp_mesh, params, cfg, x, t, ctx, cmask, freqs, axis_name="sp"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
