@@ -44,12 +44,17 @@ def usp_wan_forward(
     axis_name: str = "sp",
     attn_mode: str = "auto",
     clip_features: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Sequence-parallel denoiser evaluation; returns velocity
-    [B, F, H, W, C_out] sharded on frames over ``axis_name``.
+    slg_keep: Optional[jax.Array] = None,       # [L, B] (replicated)
+    previous_residual: Optional[jax.Array] = None,  # [B, N, D] token-sharded
+    compute: bool | jax.Array = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Sequence-parallel denoiser evaluation; returns
+    ``(velocity [B, F, H, W, C_out], residual [B, N, D])``, both sharded
+    over ``axis_name`` (frames / token rows respectively).
 
     Requirements: frames divisible by the sp size; heads divisible by the
-    sp size (the Ulysses exchange regroups heads).
+    sp size (the Ulysses exchange regroups heads). TeaCache residual
+    reuse works per shard (the residual is per-token).
     """
     sp = mesh.shape[axis_name]
     if x.shape[1] % sp:
@@ -61,26 +66,51 @@ def usp_wan_forward(
             f"heads ({cfg.num_heads}) must divide over sp={sp}"
         )
 
-    def fwd(params, x, t, context, context_mask, cos, sin, clip_feat):
-        out, _ = wan_model.forward(
-            params, cfg, x, t, context, context_mask, (cos, sin),
-            clip_features=clip_feat,
-            attn_mode=f"ulysses:{axis_name}"
-            if attn_mode in ("auto", "pallas", "xla")
-            else attn_mode,
-        )
-        return out
-
+    inner_mode = (
+        f"ulysses:{axis_name}"
+        if attn_mode in ("auto", "pallas", "xla") else attn_mode
+    )
     frame_spec = P(None, axis_name)       # [B, F, H, W, C] on frames
+    token_spec = P(None, axis_name)       # [B, N, D] residual rows
     tok_spec = P(axis_name)               # [L, head_dim] RoPE rows
     repl = P()
+
+    # assemble (value, in_spec) pairs for the present optionals so None
+    # never crosses the shard_map boundary
+    extras: list = []
+    extra_specs: list = []
+    names: list = []
+    for name, val, spec in (
+        ("clip_features", clip_features, repl),
+        ("slg_keep", slg_keep, repl),
+        ("previous_residual", previous_residual, token_spec),
+    ):
+        if val is not None:
+            names.append(name)
+            extras.append(val)
+            extra_specs.append(spec)
+    compute_is_traced = not isinstance(compute, bool)
+    if compute_is_traced:
+        names.append("compute")
+        extras.append(compute)
+        extra_specs.append(repl)
+
+    def fwd(params, x, t, context, context_mask, cos, sin, *rest):
+        kw = dict(zip(names, rest))
+        if not compute_is_traced:
+            kw["compute"] = compute
+        return wan_model.forward(
+            params, cfg, x, t, context, context_mask, (cos, sin),
+            attn_mode=inner_mode, **kw,
+        )
+
     fn = jax.shard_map(
         fwd,
         mesh=mesh,
         in_specs=(repl, frame_spec, repl, repl, repl, tok_spec, tok_spec,
-                  repl),
-        out_specs=frame_spec,
+                  *extra_specs),
+        out_specs=(frame_spec, token_spec),
         check_vma=False,
     )
     return fn(params, x, t, context, context_mask, freqs[0], freqs[1],
-              clip_features)
+              *extras)

@@ -103,6 +103,11 @@ class WanPipeline:
     vae_cfg: wan_vae.WanVAEConfig
     vae_stride: tuple = (4, 8, 8)
     num_train_timesteps: int = 1000
+    # sequence parallelism: when a mesh is set, every denoiser evaluation
+    # runs usp_wan_forward (one shard_map over `sp_axis`; frames sharded,
+    # Ulysses all-to-all self-attention) — the xDiT USP serving mode
+    sp_mesh: object = None
+    sp_axis: str = "sp"
     # pixel tile size for VAE decode/encode; 0 = untiled
     # (reference get_VAE_tile_size policy, ``wan/modules/vae.py:790-811``)
     vae_tile_size: int = 256
@@ -238,13 +243,29 @@ class WanPipeline:
                 else jnp.concatenate([vace_context] * num_streams, axis=0)
             )
             t = jnp.full((num_streams,), t_scalar)
-            out, new_res = wan_model.forward(
-                self.model_params, cfg, xs, t, ctx, cmask, freqs,
-                clip_features=clip, vace_context=vctx, vace_scale=vace_scale,
-                slg_keep=keep, cam_emb=cam_emb,
-                previous_residual=residual, compute=compute,
-                attn_mode=attn_mode,
-            )
+            if self.sp_mesh is not None:
+                if vctx is not None or cam_emb is not None:
+                    raise NotImplementedError(
+                        "USP denoise supports t2v/i2v/Phantom (+SLG, "
+                        "TeaCache); VACE/ReCamMaster run single-device"
+                    )
+                from ..parallel.usp import usp_wan_forward
+
+                out, new_res = usp_wan_forward(
+                    self.sp_mesh, self.model_params, cfg, xs, t, ctx,
+                    cmask, freqs, axis_name=self.sp_axis,
+                    attn_mode=attn_mode, clip_features=clip,
+                    slg_keep=keep, previous_residual=residual,
+                    compute=compute,
+                )
+            else:
+                out, new_res = wan_model.forward(
+                    self.model_params, cfg, xs, t, ctx, cmask, freqs,
+                    clip_features=clip, vace_context=vctx,
+                    vace_scale=vace_scale, slg_keep=keep, cam_emb=cam_emb,
+                    previous_residual=residual, compute=compute,
+                    attn_mode=attn_mode,
+                )
             return out, new_res
 
         # token-space residual shape for TeaCache carry

@@ -144,10 +144,50 @@ def test_usp_wan_forward_matches_single_device(sp_mesh):
     cmask = jnp.ones((1, 64), jnp.int32).at[:, 50:].set(0)
     freqs = wan_rope_freqs((f, h // 2, w // 2), cfg.head_dim)
 
-    ref, _ = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs)
-    out = usp_wan_forward(
+    ref, ref_res = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs)
+    out, res = usp_wan_forward(
         sp_mesh, params, cfg, x, t, ctx, cmask, freqs, axis_name="sp"
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+    np.testing.assert_allclose(
+        np.asarray(res), np.asarray(ref_res), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_usp_wan_pipeline_matches_single_device(sp_mesh):
+    """Pipeline-level USP: the full scanned denoise with the mesh set
+    equals the single-device run (t2v, CFG, SLG window, TeaCache off)."""
+    import dataclasses as dc
+
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.models.wan import vae as wvae
+    from ltx_video_gpupoor_tpu.pipelines.wan import WanPipeline
+    from ltx_video_gpupoor_tpu.schedulers import unipc
+
+    cfg = wan_model.WanConfig(
+        dim=256, ffn_dim=512, num_heads=8, num_layers=2, text_dim=128,
+    )
+    vcfg = wvae.WanVAEConfig(
+        dim=8, z_dim=16, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,),
+    )
+    params = wan_model.init_params(jax.random.key(0), cfg)
+    vparams = wvae.init_params(jax.random.key(1), vcfg)
+    pipe = WanPipeline(
+        model_params=params, model_cfg=cfg,
+        vae_params=vparams, vae_cfg=vcfg, vae_tile_size=0,
+    )
+    lat = jax.random.normal(jax.random.key(2), (1, 8, 8, 12, 16))
+    ctx = jax.random.normal(jax.random.key(3), (2, 32, cfg.text_dim))
+    cmask = jnp.ones((2, 32), jnp.int32)
+    sigmas = unipc.unipc_sigmas(4, shift=5.0)
+    kwargs = dict(
+        guide_scale=5.0, solver="unipc", slg_layers=[1],
+        slg_start=0.0, slg_end=1.0, key=jax.random.key(4),
+    )
+    ref = np.asarray(pipe.denoise(lat, ctx, cmask, sigmas, **kwargs))
+    pipe_sp = dc.replace(pipe, sp_mesh=sp_mesh)
+    out = np.asarray(pipe_sp.denoise(lat, ctx, cmask, sigmas, **kwargs))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
