@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.dtypes import DtypePolicy, DEFAULT_POLICY
-from ...ops.attention import attention
+from ...ops.attention import attention, parse_sp
 from ...ops.norms import layer_norm, rms_norm
 from ...ops.rope import apply_rotary_emb, ltx_freqs_cis
 
@@ -296,10 +296,22 @@ def _block_forward(
 
     # RMS qk-norm bounds the logits -> the kernel's max-free softmax path
     sb = 32.0 if cfg.qk_norm else None
-    attn_raw = from_heads(
-        attention(to_heads(q), to_heads(k), to_heads(v), mode=attn_mode,
-                  score_bound=sb)
-    )
+    base_mode, sp_axis = parse_sp(attn_mode)
+    if sp_axis is not None:
+        # USP: tokens sequence-sharded over `sp_axis` (parallel/usp.py);
+        # RoPE above used the per-shard slice of the GLOBAL fractional
+        # coordinates, so only the attention itself needs the exchange
+        from ...parallel.ulysses import ulysses_attention
+
+        attn_raw = from_heads(ulysses_attention(
+            to_heads(q), to_heads(k), to_heads(v), axis_name=sp_axis,
+            attn_mode=base_mode, score_bound=sb,
+        ))
+    else:
+        attn_raw = from_heads(
+            attention(to_heads(q), to_heads(k), to_heads(v), mode=base_mode,
+                      score_bound=sb)
+        )
     # STG perturbation mixes BEFORE the output projection
     # (``attention.py:1128-1144``): AttentionSkip swaps in the pre-attention
     # (modulated, normed) input; AttentionValues swaps in the raw values.
@@ -322,13 +334,14 @@ def _block_forward(
         else jnp.ones((b, sc), jnp.int32)
     )
     q_seg = jnp.ones((b, s), jnp.int32)
+    # sequence-sharded q rows against replicated context: no collective
     ca = attention(
         q.reshape(b, s, heads, hd).transpose(0, 2, 1, 3),
         k.reshape(b, sc, heads, hd).transpose(0, 2, 1, 3),
         v.reshape(b, sc, heads, hd).transpose(0, 2, 1, 3),
         q_seg,
         kv_seg,
-        mode=attn_mode,
+        mode=base_mode,
         score_bound=sb,
     )
     ca = ca.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)

@@ -29,6 +29,7 @@ from typing import Optional
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..models.ltx import transformer3d as ltx_model
 from ..models.wan import model as wan_model
 
 
@@ -114,3 +115,92 @@ def usp_wan_forward(
     )
     return fn(params, x, t, context, context_mask, freqs[0], freqs[1],
               *extras)
+
+
+def usp_ltx_forward(
+    mesh: Mesh,
+    params: dict,
+    cfg: ltx_model.LTXTransformerConfig,
+    latents: jax.Array,            # [B, N, C] patchified tokens (global)
+    indices_grid: jax.Array,       # [B, 3, N] fractional coords (global)
+    timestep: jax.Array,           # [B] or [B, G] per-group timesteps
+    caption: jax.Array,
+    caption_mask: Optional[jax.Array] = None,
+    skip_layer_mask: Optional[jax.Array] = None,
+    skip_layer_strategy: Optional[str] = None,
+    axis_name: str = "sp",
+    attn_mode: str = "auto",
+    previous_residual: Optional[jax.Array] = None,
+    compute: bool | jax.Array = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Sequence-parallel LTX DiT forward; returns ``(velocity, residual)``
+    token-sharded over ``axis_name``.
+
+    Fractional-coordinate RoPE is computed INSIDE the forward from the
+    sharded ``indices_grid``, so every shard sees its GLOBAL positions —
+    exactly the design the reference's pad-then-slice approximates
+    (``xdit_context_parallel.py:12-22, 52-57``). Per-group timesteps
+    require the group count to divide over sp (token shards then align
+    with whole frame groups).
+    """
+    sp = mesh.shape[axis_name]
+    n = latents.shape[1]
+    if n % sp:
+        raise ValueError(f"tokens ({n}) must divide over sp={sp}")
+    if cfg.num_attention_heads % sp:
+        raise ValueError(
+            f"heads ({cfg.num_attention_heads}) must divide over sp={sp}"
+        )
+    t = timestep
+    t_grouped = hasattr(t, "ndim") and t.ndim == 2 and t.shape[1] > 1
+    if t_grouped and t.shape[1] % sp:
+        raise ValueError(
+            f"timestep groups ({t.shape[1]}) must divide over sp={sp}"
+        )
+
+    token_spec = P(None, axis_name)
+    coord_spec = P(None, None, axis_name)
+    repl = P()
+    t_spec = token_spec if t_grouped else repl
+
+    inner_mode = (
+        f"ulysses:{axis_name}"
+        if attn_mode in ("auto", "pallas", "xla") else attn_mode
+    )
+
+    extras: list = []
+    extra_specs: list = []
+    names: list = []
+    for name, val, spec in (
+        ("caption_mask", caption_mask, repl),
+        ("skip_layer_mask", skip_layer_mask, repl),
+        ("previous_residual", previous_residual, token_spec),
+    ):
+        if val is not None:
+            names.append(name)
+            extras.append(val)
+            extra_specs.append(spec)
+    compute_is_traced = not isinstance(compute, bool)
+    if compute_is_traced:
+        names.append("compute")
+        extras.append(compute)
+        extra_specs.append(repl)
+
+    def fwd(params, latents, coords, t, caption, *rest):
+        kw = dict(zip(names, rest))
+        if not compute_is_traced:
+            kw["compute"] = compute
+        return ltx_model.forward(
+            params, cfg, latents, coords, t, caption,
+            skip_layer_strategy=skip_layer_strategy,
+            attn_mode=inner_mode, return_residual=True, **kw,
+        )
+
+    fn = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(repl, token_spec, coord_spec, t_spec, repl, *extra_specs),
+        out_specs=(token_spec, token_spec),
+        check_vma=False,
+    )
+    return fn(params, latents, indices_grid, t, caption, *extras)

@@ -341,6 +341,8 @@ def denoise(
     stochastic_sampling: bool = False,
     attn_mode: str = "auto",
     teacache_mask: Optional[np.ndarray] = None,  # [steps] bool compute-mask
+    sp_mesh=None,
+    sp_axis: str = "sp",
     interrupt_flag=None,
     progress_callback=None,
 ) -> jax.Array:
@@ -413,7 +415,25 @@ def denoise(
         tg = jnp.concatenate([t_groups] * num_conds, axis=0)
         skip = step["skip"]  # [L, num_conds]; stream rows ARE the batch
 
-        if use_tc:
+        if sp_mesh is not None:
+            # USP: every evaluation runs under one shard_map over sp_axis
+            from ..parallel.usp import usp_ltx_forward
+
+            tc_kw = (
+                dict(previous_residual=residual, compute=step["compute"])
+                if use_tc else {}
+            )
+            pred, new_res = usp_ltx_forward(
+                sp_mesh, transformer_params, transformer_cfg,
+                x, coords, tg, ctx, caption_mask=ctx_mask,
+                skip_layer_mask=skip,
+                skip_layer_strategy=schedule.skip_layer_strategy,
+                axis_name=sp_axis, attn_mode=attn_mode, **tc_kw,
+            )
+            if use_tc:
+                residual = new_res
+            pred = pred.astype(jnp.float32)
+        elif use_tc:
             pred, residual = transformer_forward(
                 transformer_params, transformer_cfg,
                 x, coords, tg, ctx, ctx_mask,
@@ -517,6 +537,10 @@ class LTXPipeline:
     tokenizer: object = None          # HF tokenizer (optional in tests)
     t5_params: dict = None
     t5_cfg: object = None
+    # sequence parallelism: when set, every denoiser evaluation runs
+    # usp_ltx_forward under one shard_map over `sp_axis`
+    sp_mesh: object = None
+    sp_axis: str = "sp"
     # (z_tile latent frames, hw_tile pixels) for the VAE decode; None =
     # size-based auto: untiled below the measured 16 GiB-HBM envelope
     # (704x480x121f decodes untiled in 0.49 s), tiled above it — the
@@ -692,6 +716,8 @@ class LTXPipeline:
             stochastic_sampling=stochastic_sampling,
             attn_mode=attn_mode,
             teacache_mask=tc_mask,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
             interrupt_flag=interrupt_flag,
             progress_callback=progress_callback,
         )

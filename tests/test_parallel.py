@@ -191,3 +191,53 @@ def test_usp_wan_pipeline_matches_single_device(sp_mesh):
     pipe_sp = dc.replace(pipe, sp_mesh=sp_mesh)
     out = np.asarray(pipe_sp.denoise(lat, ctx, cmask, sigmas, **kwargs))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_usp_ltx_pipeline_matches_single_device(mesh8):
+    """LTX flagship under USP (sp=2 of the dp2/sp2/tp2 mesh): generate()
+    with sp_mesh set equals the single-device run — CFG + STG + per-group
+    conditioning timesteps all under the shard_map."""
+    import dataclasses as dc
+
+    from ltx_video_gpupoor_tpu.models.ltx import vae as ltx_vae
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        init_params as tf_init,
+    )
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import LTXPipeline
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=16, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=32,
+        caption_channels=24,
+    )
+    vcfg = ltx_vae.VAEConfig.from_dict({
+        "_class_name": "CausalVideoAutoencoder",
+        "dims": 3,
+        "latent_channels": 8,
+        "blocks": [["res_x", 1], ["compress_all", 1], ["res_x", 1]],
+        "base_channels": 8,
+        "norm_num_groups": 4,
+        "patch_size": 2,
+        "norm_layer": "pixel_norm",
+        "latent_log_var": "uniform",
+        "use_quant_conv": False,
+        "causal_decoder": False,
+    })
+    pipe = LTXPipeline(
+        transformer_params=tf_init(jax.random.key(0), cfg),
+        transformer_cfg=cfg,
+        vae_params=ltx_vae.init_params(jax.random.key(1), vcfg),
+        vae_cfg=vcfg,
+    )
+    emb = jax.random.normal(jax.random.key(2), (2, 8, cfg.caption_channels))
+    mask = jnp.ones((2, 8), jnp.int32)
+    kwargs = dict(
+        height=32, width=32, num_frames=7,  # f_lat=4 divides sp=2
+        num_inference_steps=3, guidance_scale=3.0, stg_scale=1.0,
+        skip_block_list=[1], key=jax.random.key(3), output_type="latent",
+    )
+    ref = np.asarray(pipe.generate(emb, mask, **kwargs))
+    pipe_sp = dc.replace(pipe, sp_mesh=mesh8)
+    out = np.asarray(pipe_sp.generate(emb, mask, **kwargs))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
