@@ -284,4 +284,13 @@ class LTXVideoGenerator:
         if output_type == "latent":
             return result
         frames = np.asarray(result[0], np.float32)  # [F, H, W, 3]
+        if frames.shape[1] != hp or frames.shape[2] != wp:
+            # multi-scale pass 2 decodes at 2x the downscaled dims (can
+            # exceed the request); bilinear-resize back to the padded
+            # target (``pipeline_ltx_video.py:1891-1903``)
+            frames = np.asarray(jax.image.resize(
+                jnp.asarray(frames),
+                (frames.shape[0], hp, wp, frames.shape[3]),
+                method="bilinear",
+            ))
         return media_utils.crop_padding(frames, padding, frame_num)

@@ -189,3 +189,24 @@ def test_downloads_idempotent_offline(tmp_path):
     assert fetched == []
     assert downloads.compute_list(None) == []
     assert downloads.compute_list("a/b/c.safetensors") == ["c.safetensors"]
+
+
+def test_multiscale_output_resized_to_request():
+    """Multi-scale pass 2 decodes at 2x the downscaled dims (128 for a 96
+    request); the final frames must come back at the requested size
+    (reference resize, ``pipeline_ltx_video.py:1891-1903``)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = model_zoo.build_demo_model(0)
+    gen = model.generator
+    pipe = gen.pipeline
+    emb = jax.random.normal(
+        jax.random.key(0), (2, 16, pipe.transformer_cfg.caption_channels)
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    frames = gen.generate(
+        emb, mask, height=96, width=96, frame_num=9, seed=0,
+        sampling_steps=2, output_type="pixels",
+    )
+    assert frames.shape == (9, 96, 96, 3)
