@@ -55,6 +55,13 @@ class LTXTransformerConfig:
     cross_attention_dim: int = 2048
     caption_channels: int = 4096
     qk_norm: Optional[str] = "rms_norm"
+    # Static |logit| bound enabling the attention kernel's max-free
+    # softmax (only used when qk_norm is on). The RMS norm is over the
+    # FULL projection dim, so this is an empirical bound on trained
+    # attention sharpness, not an algebraic one — logits beyond it clamp
+    # (they tie where softmax is already saturated). Must stay <= ~45 for
+    # the fp32 exp2 underflow margin; None = exact online softmax.
+    attention_score_bound: Optional[float] = 40.0
     standardization_norm: str = "rms_norm"  # or "layer_norm"
     activation_fn: str = "gelu-approximate"  # or "geglu"
     adaptive_norm: str = "single_scale_shift"
@@ -294,8 +301,9 @@ def _block_forward(
     def from_heads(t):
         return t.transpose(0, 2, 1, 3).reshape(b, s, heads * hd)
 
-    # RMS qk-norm bounds the logits -> the kernel's max-free softmax path
-    sb = 32.0 if cfg.qk_norm else None
+    # qk-normed logits stay within the configured bound -> the kernel's
+    # max-free softmax path (see attention_score_bound in the config)
+    sb = cfg.attention_score_bound if cfg.qk_norm else None
     base_mode, sp_axis = parse_sp(attn_mode)
     if sp_axis is not None:
         # USP: tokens sequence-sharded over `sp_axis` (parallel/usp.py);

@@ -53,6 +53,10 @@ class WanConfig:
     num_heads: int = 16
     num_layers: int = 32
     qk_norm: bool = True
+    # |logit| bound for the kernel's max-free softmax when qk_norm is on;
+    # empirical (RMS norm is over the full dim), clamp-saturating beyond
+    # it; <= ~45 for fp32 exp2 underflow margin; None = exact softmax
+    attention_score_bound: Optional[float] = 40.0
     cross_attn_norm: bool = True
     eps: float = 1e-6
     vace_layers: Optional[tuple] = None
@@ -282,8 +286,8 @@ def _self_attention(p, cfg, x, freqs, attn_mode):
     cos, sin = freqs  # [L, hd] fp32
     q = apply_rotary_emb(q, cos[None, :, None, :], sin[None, :, None, :])
     k = apply_rotary_emb(k, cos[None, :, None, :], sin[None, :, None, :])
-    # RMS qk-norm bounds the logits -> kernel max-free softmax path
-    sb = 32.0 if cfg.qk_norm else None
+    # qk-normed logits stay within the configured bound (see config)
+    sb = cfg.attention_score_bound if cfg.qk_norm else None
     base_mode, sp_axis = parse_sp(attn_mode)
     qh = q.transpose(0, 2, 1, 3)
     kh = k.transpose(0, 2, 1, 3)
@@ -328,7 +332,7 @@ def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
         jnp.ones((b, s), jnp.int32),
         context_mask.astype(jnp.int32),
         mode=attn_mode,
-        score_bound=32.0 if cfg.qk_norm else None,
+        score_bound=cfg.attention_score_bound if cfg.qk_norm else None,
     )
     if img_context is not None:
         k_img = _apply(p["k_img"], img_context)
@@ -340,7 +344,7 @@ def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
             k_img.reshape(b, si, n, hd).transpose(0, 2, 1, 3),
             v_img.reshape(b, si, n, hd).transpose(0, 2, 1, 3),
             mode=attn_mode,
-            score_bound=32.0 if cfg.qk_norm else None,
+            score_bound=cfg.attention_score_bound if cfg.qk_norm else None,
         )
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _apply(p["o"], out)

@@ -26,14 +26,16 @@ _FORCED_MODE: AttentionMode = "auto"
 def parse_sp(mode: str) -> tuple[str, str | None]:
     """Split a sequence-parallel mode string.
 
-    ``"ulysses:sp"`` -> ("auto", "sp"): self-attention runs the Ulysses
-    all-to-all exchange over mesh axis ``sp`` (inside ``shard_map``),
-    with the local kernel chosen as usual. Any other mode -> (mode, None).
+    ``"ulysses:<axis>[:<base>]"`` -> (base or "auto", axis):
+    self-attention runs the Ulysses all-to-all exchange over mesh axis
+    ``<axis>`` (inside ``shard_map``), with ``<base>`` as the local
+    kernel mode (e.g. ``pallas_int8``). Any other mode -> (mode, None).
     Cross-attention callers use only the base mode — sequence-sharded q
     rows against replicated kv need no collective.
     """
     if mode.startswith("ulysses:"):
-        return "auto", mode.split(":", 1)[1]
+        parts = mode.split(":", 2)
+        return (parts[2] if len(parts) > 2 else "auto"), parts[1]
     return mode, None
 
 

@@ -146,23 +146,16 @@ def _flash_kernel(
             # -score_bound, symmetric to the overflow argument.
             sb = score_bound * LOG2E
             p = jnp.exp2(jnp.minimum(s, sb) - sb)               # [Bq, Bkv]
-            if sum_col is not None:
-                pv = jax.lax.dot_general(
-                    p.astype(v_ref.dtype), v_ref[0, 0],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                               # [Bq, Dp]
-                acc_scratch[...] = acc_scratch[...] + pv
-            else:
+            if sum_col is None:
                 l_scratch[:, 0:1] = (
                     l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
                 )
-                pv = jax.lax.dot_general(
-                    p.astype(v_ref.dtype), v_ref[0, 0],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc_scratch[...] = acc_scratch[...] + pv
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                   # [Bq, D(p)]
+            acc_scratch[...] = acc_scratch[...] + pv
             return
 
         # Online softmax in scaled-score space (scale pre-folded into q):
@@ -272,8 +265,9 @@ def flash_attention(
             b += 128
         return best
     block_q = fit(block_q, sq)
+    # the VMEM budget binds even for explicit oversized block_q requests
     block_kv = fit(
-        min(block_kv, max(1024, SCORES_TILE_ELEMS // block_q)), skv
+        min(block_kv, max(128, SCORES_TILE_ELEMS // block_q)), skv
     )
     if scale is None:
         scale = d ** -0.5

@@ -67,10 +67,9 @@ def usp_wan_forward(
             f"heads ({cfg.num_heads}) must divide over sp={sp}"
         )
 
-    inner_mode = (
-        f"ulysses:{axis_name}"
-        if attn_mode in ("auto", "pallas", "xla") else attn_mode
-    )
+    # every supported base mode rides the Ulysses exchange — a mode that
+    # bypassed it would silently confine attention to the local shard
+    inner_mode = f"ulysses:{axis_name}:{attn_mode}"
     frame_spec = P(None, axis_name)       # [B, F, H, W, C] on frames
     token_spec = P(None, axis_name)       # [B, N, D] residual rows
     tok_spec = P(axis_name)               # [L, head_dim] RoPE rows
@@ -163,10 +162,9 @@ def usp_ltx_forward(
     repl = P()
     t_spec = token_spec if t_grouped else repl
 
-    inner_mode = (
-        f"ulysses:{axis_name}"
-        if attn_mode in ("auto", "pallas", "xla") else attn_mode
-    )
+    # every supported base mode rides the Ulysses exchange — a mode that
+    # bypassed it would silently confine attention to the local shard
+    inner_mode = f"ulysses:{axis_name}:{attn_mode}"
 
     extras: list = []
     extra_specs: list = []

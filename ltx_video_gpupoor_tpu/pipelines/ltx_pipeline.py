@@ -735,13 +735,16 @@ class LTXPipeline:
 
     def _decode_tiles(self, z: jax.Array) -> tuple[int, int]:
         """(z_tile, hw_tile) for this latent shape."""
-        if self.vae_tile_size is not None:
-            return self.vae_tile_size
         if not isinstance(self.vae_cfg, ltx_vae.VAEConfig):
             return (0, 0)  # legacy VAE: no tiling support
+        if self.vae_tile_size is not None:
+            return self.vae_tile_size
         sf = self.vae_cfg.spatial_downscale_factor
+        tf = self.vae_cfg.temporal_downscale_factor
         h, w = z.shape[2] * sf, z.shape[3] * sf
-        if h * w <= 704 * 480:
+        frames = (z.shape[1] - 1) * tf + 1
+        # voxel budget: the measured 16 GiB untiled envelope
+        if h * w * frames <= 704 * 480 * 121:
             return (0, 0)
         return (4, 512)
 

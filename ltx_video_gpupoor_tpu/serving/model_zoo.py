@@ -94,13 +94,23 @@ class LoadedModel:
 
 
 def _maybe(path: Optional[str], ckpt_dir: str) -> Optional[str]:
+    """Resolve a checkpoint name against ``ckpt_dir``.
+
+    Filenames may carry the reference's ``ckpts/<subfolder>/`` prefix
+    (TEXT_ENCODER_CHOICES) and the download layer preserves the hub
+    subfolder layout, so the subfolder-relative path under ``ckpt_dir``
+    must be checked too — not just the basename."""
     if not path:
         return None
-    full = os.path.join(ckpt_dir, os.path.basename(path))
-    if os.path.isfile(full):
-        return full
-    if os.path.isfile(path):
-        return path
+    rel = path[len("ckpts/"):] if path.startswith("ckpts/") else path
+    candidates = [
+        os.path.join(ckpt_dir, os.path.basename(path)),
+        os.path.join(ckpt_dir, rel),
+        path,
+    ]
+    for cand in candidates:
+        if os.path.isfile(cand):
+            return cand
     return None
 
 

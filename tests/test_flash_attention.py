@@ -153,3 +153,12 @@ def test_int8_qk_tier_close_to_fp():
     ref = reference_attention(q, k, v)
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert err < 0.02, err
+
+
+def test_parse_sp_modes():
+    from ltx_video_gpupoor_tpu.ops.attention import parse_sp
+
+    assert parse_sp("auto") == ("auto", None)
+    assert parse_sp("pallas_int8") == ("pallas_int8", None)
+    assert parse_sp("ulysses:sp") == ("auto", "sp")
+    assert parse_sp("ulysses:sp:pallas_int8") == ("pallas_int8", "sp")

@@ -210,3 +210,18 @@ def test_multiscale_output_resized_to_request():
         sampling_steps=2, output_type="pixels",
     )
     assert frames.shape == (9, 96, 96, 3)
+
+
+def test_ckpt_resolution_subfolder_layout(tmp_path):
+    """Files fetched into the hub's subfolder layout under a custom
+    --ckpt-dir must resolve (T5 lives in <ckpt_dir>/T5_xxl_1.1/)."""
+    sub = tmp_path / "T5_xxl_1.1"
+    sub.mkdir()
+    name = "T5_xxl_1.1_enc_quanto_bf16_int8.safetensors"
+    (sub / name).write_bytes(b"x")
+    got = model_zoo._maybe(f"ckpts/T5_xxl_1.1/{name}", str(tmp_path))
+    assert got == str(sub / name)
+    # flat layout still wins when present
+    (tmp_path / name).write_bytes(b"y")
+    got = model_zoo._maybe(f"ckpts/T5_xxl_1.1/{name}", str(tmp_path))
+    assert got == str(tmp_path / name)
