@@ -24,6 +24,13 @@ import jax.numpy as jnp
 
 from . import vae as ltx_vae
 
+# Per-tile calls MUST be jitted: an eager decode dispatches hundreds of
+# ops one-by-one (catastrophic through a remote-device relay). cfg is a
+# frozen dataclass -> hashable static arg; params stay an argument so
+# weights are not baked into the executable as constants.
+_tile_decode = jax.jit(ltx_vae.decode, static_argnums=(1,))
+_tile_encode = jax.jit(ltx_vae.encode, static_argnums=(1,))
+
 
 def get_vae_tile_size(
     vae_config: int = 0,
@@ -133,7 +140,7 @@ def tiled_encode(
     sf = cfg.spatial_downscale_factor
 
     def encode_fn(x):
-        return ltx_vae.encode(params, cfg, x)
+        return _tile_encode(params, cfg, x)
 
     def encode_maybe_hw(x):
         if hw_tile and x.shape[2] > hw_tile:
@@ -185,7 +192,7 @@ def tiled_decode(
     hw_tile_latent = hw_tile // sf if hw_tile else 0
 
     def decode_fn(z):
-        return ltx_vae.decode(params, cfg, z, timestep, noise_key)
+        return _tile_decode(params, cfg, z, timestep, noise_key)
 
     def decode_maybe_hw(z):
         if hw_tile_latent and z.shape[2] > hw_tile_latent:

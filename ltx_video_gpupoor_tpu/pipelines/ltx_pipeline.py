@@ -93,6 +93,14 @@ def vae_decode(vae_params: dict, vae_cfg, z: jax.Array,
                              target_frames=target_frames)
 
 
+# Eager VAE calls dispatch hundreds of ops one-by-one (catastrophic
+# through a remote-device relay) — production paths go through these
+# jitted wrappers. cfg / target_frames are static; params are arguments
+# so weights don't bake into the executable.
+_jit_vae_encode = jax.jit(vae_encode, static_argnums=(1,))
+_jit_vae_decode = jax.jit(vae_decode, static_argnums=(1, 5))
+
+
 def prepare_conditioning(
     init_latents: jax.Array,       # [B, F', H', W', C] noise-free latents
     items: Sequence[ConditioningItem],
@@ -130,7 +138,7 @@ def prepare_conditioning(
                  media.shape[4]),
                 method="bilinear",
             )
-        enc = vae_encode(vae_params, vae_cfg, media)
+        enc = _jit_vae_encode(vae_params, vae_cfg, media)
         z = ltx_vae.sample_posterior(enc)
         stats = vae_params.get("per_channel_statistics")
         if stats is not None:
@@ -772,4 +780,4 @@ class LTXPipeline:
                 z_tile=z_tile, hw_tile=hw_tile,
                 timestep=t, noise_key=kd,
             )
-        return vae_decode(self.vae_params, self.vae_cfg, z, t, kd)
+        return _jit_vae_decode(self.vae_params, self.vae_cfg, z, t, kd)

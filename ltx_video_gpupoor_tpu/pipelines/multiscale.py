@@ -21,6 +21,8 @@ from ..models.ltx import latent_upsampler as lup
 from ..models.ltx import vae as ltx_vae
 from .ltx_pipeline import LTXPipeline
 
+_jit_upsample = jax.jit(lup.forward, static_argnums=(1,))
+
 
 def adain_filter_latent(
     latents: jax.Array, reference: jax.Array, factor: float = 1.0
@@ -47,7 +49,7 @@ def upsample_latents(
 ) -> jax.Array:
     """Un-normalize -> upsample -> re-normalize (``:1760-1772``)."""
     z = ltx_vae.un_normalize_latents(latents, vae_stats)
-    z = lup.forward(upsampler_params, upsampler_cfg, z)
+    z = _jit_upsample(upsampler_params, upsampler_cfg, z)
     return ltx_vae.normalize_latents(z, vae_stats)
 
 

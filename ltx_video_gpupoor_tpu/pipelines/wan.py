@@ -118,7 +118,7 @@ class WanPipeline:
                 self.vae_params, self.vae_cfg, latents,
                 tile_size=self.vae_tile_size,
             )
-        return wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+        return wan_vae._tile_decode(self.vae_params, self.vae_cfg, latents)
 
     def _solve_schedule(self, solver, steps, shift):
         if solver == "unipc":
@@ -441,7 +441,7 @@ class WanPipeline:
         if last_frame is not None:
             frames.append(last_frame[None])
         video = jnp.concatenate(frames, axis=0)[None]
-        lat = wan_vae.encode(self.vae_params, self.vae_cfg, video)
+        lat = wan_vae._tile_encode(self.vae_params, self.vae_cfg, video)
         return jnp.concatenate([jnp.asarray(msk)[None], lat], axis=-1)
 
     def generate_i2v(

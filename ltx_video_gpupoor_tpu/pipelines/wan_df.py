@@ -137,7 +137,7 @@ class WanDFPipeline:
         prefix_len = 0
         prefix_latents = None
         if prefix_video is not None:
-            prefix_latents = wan_vae.encode(
+            prefix_latents = wan_vae._tile_encode(
                 self.vae_params, self.vae_cfg, prefix_video
             )
             prefix_len = prefix_latents.shape[1]
@@ -265,4 +265,4 @@ class WanDFPipeline:
 
         if output_type == "latent":
             return latents
-        return wan_vae.decode(self.vae_params, self.vae_cfg, latents)
+        return wan_vae._tile_decode(self.vae_params, self.vae_cfg, latents)

@@ -204,7 +204,9 @@ class LTXVideoGenerator:
                 video = np.stack([
                     media_utils.resize_image(f, th, tw) for f in video
                 ])
-            enc = ltx_vae_mod.encode(
+            from ..pipelines.ltx_pipeline import _jit_vae_encode
+
+            enc = _jit_vae_encode(
                 self.pipeline.vae_params, self.pipeline.vae_cfg,
                 jnp.asarray(video, jnp.float32)[None],
             )

@@ -92,20 +92,20 @@ def vace_encode_frames(
     (masked) and inactive regions separately, concat channels, prepend ref
     image latents on the frame axis."""
     if masks is None:
-        latents = wan_vae.encode(vae_params, vae_cfg, frames)
+        latents = wan_vae._tile_encode(vae_params, vae_cfg, frames)
         latents = jnp.concatenate(
             [latents, jnp.zeros_like(latents)], axis=-1
         )
     else:
         inactive = frames * (1 - masks)
         reactive = frames * masks
-        z_inactive = wan_vae.encode(vae_params, vae_cfg, inactive)
-        z_reactive = wan_vae.encode(vae_params, vae_cfg, reactive)
+        z_inactive = wan_vae._tile_encode(vae_params, vae_cfg, inactive)
+        z_reactive = wan_vae._tile_encode(vae_params, vae_cfg, reactive)
         latents = jnp.concatenate([z_inactive, z_reactive], axis=-1)
     if ref_images:
         refs = []
         for ref in ref_images:
-            z = wan_vae.encode(vae_params, vae_cfg, ref[:, None])
+            z = wan_vae._tile_encode(vae_params, vae_cfg, ref[:, None])
             z = jnp.concatenate([z, jnp.zeros_like(z)], axis=-1)
             refs.append(z)
         latents = jnp.concatenate(refs + [latents], axis=1)
