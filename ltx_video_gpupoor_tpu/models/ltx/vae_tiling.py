@@ -32,6 +32,28 @@ _tile_decode = jax.jit(ltx_vae.decode, static_argnums=(1,))
 _tile_encode = jax.jit(ltx_vae.encode, static_argnums=(1,))
 
 
+def _spatial_tile_sizes(extent: int, tile: int, overlap_factor: float):
+    overlap = int(tile * (1 - overlap_factor))
+    return sorted({min(tile, extent - i) for i in range(0, extent, overlap)})
+
+
+def _warm_concurrently(call, shapes, dtype=jnp.float32):
+    """Trigger the XLA compile of every distinct tile shape from a thread
+    pool: each compile is independent and takes ~a minute through the
+    remote-relay compiler, so the tile loop's cold start is bounded by
+    the slowest shape instead of the sum."""
+    shapes = list(shapes)
+    if len(shapes) <= 1:
+        return
+    import concurrent.futures as cf
+
+    def one(shape):
+        call(jnp.zeros(shape, dtype)).block_until_ready()
+
+    with cf.ThreadPoolExecutor(max_workers=min(8, len(shapes))) as ex:
+        list(ex.map(one, shapes))
+
+
 def get_vae_tile_size(
     vae_config: int = 0,
     device_mem_mb: float = 16 * 1024,
@@ -211,6 +233,25 @@ def tiled_decode(
     overlap = int(z_tile * (1 - overlap_factor))
     blend_extent = int(tile_sample_t * overlap_factor)
     t_limit = tile_sample_t - blend_extent
+
+    # compile the distinct leaf tile shapes concurrently up front
+    b, _, h_lat, w_lat, c = latents.shape
+    t_sizes = {min(z_tile + 1, t - i) for i in range(0, t, overlap)}
+    if hw_tile_latent and h_lat > hw_tile_latent:
+        hw_pairs = [
+            (th, tw)
+            for th in _spatial_tile_sizes(h_lat, hw_tile_latent,
+                                          overlap_factor)
+            for tw in _spatial_tile_sizes(w_lat, hw_tile_latent,
+                                          overlap_factor)
+        ]
+    else:
+        hw_pairs = [(h_lat, w_lat)]
+    _warm_concurrently(
+        decode_fn,
+        [(b, ft, th, tw, c) for ft in t_sizes for th, tw in hw_pairs],
+        latents.dtype,
+    )
 
     row = []
     for i in range(0, t, overlap):

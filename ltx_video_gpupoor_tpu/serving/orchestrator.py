@@ -285,14 +285,22 @@ class LTXVideoGenerator:
 
         if output_type == "latent":
             return result
-        frames = np.asarray(result[0], np.float32)  # [F, H, W, 3]
+        frames = result[0]  # [F, H, W, 3] on device, [-1, 1]
         if frames.shape[1] != hp or frames.shape[2] != wp:
             # multi-scale pass 2 decodes at 2x the downscaled dims (can
             # exceed the request); bilinear-resize back to the padded
             # target (``pipeline_ltx_video.py:1891-1903``)
-            frames = np.asarray(jax.image.resize(
+            frames = jax.image.resize(
                 jnp.asarray(frames),
                 (frames.shape[0], hp, wp, frames.shape[3]),
                 method="bilinear",
-            ))
-        return media_utils.crop_padding(frames, padding, frame_num)
+            )
+        # quantize to uint8 ON DEVICE before the host fetch: the video
+        # writer wants uint8 anyway, and fetching float32 frames moves 4x
+        # the bytes (~40 s extra at full res through this relay)
+        frames = jnp.clip(
+            (jnp.asarray(frames, jnp.float32) + 1.0) * 127.5, 0, 255
+        ).astype(jnp.uint8)
+        return media_utils.crop_padding(
+            np.asarray(frames), padding, frame_num
+        )
