@@ -95,3 +95,27 @@ def test_metrics():
     snap = Metrics.snapshot()
     assert snap["counters"]["requests"] == 2
     assert snap["gauges"]["last_latency_s"] == 1.5
+
+
+def test_stepwise_loop_matches_scan_with_teacache(pipe):
+    """The host-loop (progress/interrupt) path carries the TeaCache
+    residual tuple; it must equal the scanned run step for step."""
+    import unittest.mock as um
+
+    from ltx_video_gpupoor_tpu.pipelines import ltx_pipeline as lp
+
+    emb, mask = _prompts()
+    kw = dict(height=32, width=32, num_frames=9, num_inference_steps=4,
+              guidance_scale=2.0, output_type="latent",
+              teacache_multiplier=2.0)
+    skip_mask = np.array([1, 1, 0, 1], bool)
+    with um.patch.object(lp, "ltx_teacache_schedule",
+                         lambda *a, **k: skip_mask):
+        scan_out = pipe.generate(emb, mask, key=jax.random.key(0), **kw)
+        loop_out = pipe.generate(
+            emb, mask, key=jax.random.key(0),
+            progress_callback=lambda i, n: None, **kw,
+        )
+    np.testing.assert_allclose(
+        np.asarray(scan_out), np.asarray(loop_out), atol=1e-4, rtol=1e-4
+    )
