@@ -50,33 +50,51 @@ NUM_CONDS = 1 if os.environ.get("BENCH_13B") else 2
 
 
 def _quantized_init_13b(cfg, key):
-    """Leafwise init + immediate int8 quantization: full-precision 13B
-    weights (26 GB bf16) never coexist in the 16 GB HBM — each dense
-    kernel is generated, quantized to ``w_int8_dyn`` + scale, and the
-    bf16 original dropped before the next leaf."""
+    """Leafwise init + immediate quantization: full-precision 13B weights
+    (26 GB bf16) never coexist in the 16 GB HBM — each dense kernel is
+    generated, quantized, and the bf16 original dropped before the next
+    leaf. Default tier int4 weight-only (~6 GiB — fits the shared relay
+    chip even under pool contention; the 12 GiB int8 tier OOMs there,
+    select it with BENCH_13B_INT8=1)."""
     from ltx_video_gpupoor_tpu.core.params import flatten, unflatten
     from ltx_video_gpupoor_tpu.models.ltx.transformer3d import init_params
-    from ltx_video_gpupoor_tpu.ops.quant import quantize_weights
+    from ltx_video_gpupoor_tpu.ops.quant import (
+        quantize_weights,
+        quantize_weights_int4,
+    )
 
+    use_int8 = bool(os.environ.get("BENCH_13B_INT8"))
+    qfn = quantize_weights if use_int8 else quantize_weights_int4
+    w_key = ".w_int8_dyn" if use_int8 else ".w_int4"
     shape_tree = jax.eval_shape(lambda k: init_params(k, cfg), key)
     gen = jax.jit(
         lambda k, s=None: jax.random.normal(k, s, jnp.bfloat16) * 0.02,
         static_argnums=(1,),
     )
-    quant = jax.jit(quantize_weights)
-    quant3 = jax.jit(jax.vmap(quantize_weights))
+    # fuse generate+quantize in one jit so the transient bf16 kernel never
+    # persists; stacked [L, in, out] leaves go LAYER BY LAYER (a single
+    # stacked bf16 FFN leaf is 6.4 GiB at 13B dims — generating it whole
+    # OOMs a contended chip before quantization even starts)
+    genq = jax.jit(
+        lambda k, s=None: qfn(jax.random.normal(k, s, jnp.bfloat16) * 0.02),
+        static_argnums=(1,),
+    )
     out = {}
     for name, sds in flatten(shape_tree).items():
         key, sub = jax.random.split(key)
-        w = gen(sub, tuple(sds.shape))
-        if name.endswith(".kernel") and w.ndim in (2, 3):
-            ql = (quant3 if w.ndim == 3 else quant)(w)
-            base = name.removesuffix(".kernel")
-            out[base + ".w_int8_dyn"] = ql.w_int8
+        shape = tuple(sds.shape)
+        base = name.removesuffix(".kernel")
+        if name.endswith(".kernel") and len(shape) == 2:
+            ql = genq(sub, shape)
+            out[base + w_key] = ql[0]
             out[base + ".scale"] = ql.scale
+        elif name.endswith(".kernel") and len(shape) == 3:
+            subs = jax.random.split(sub, shape[0])
+            qls = [genq(subs[i], shape[1:]) for i in range(shape[0])]
+            out[base + w_key] = jnp.stack([q[0] for q in qls])
+            out[base + ".scale"] = jnp.stack([q.scale for q in qls])
         else:
-            out[name] = w
-        del w
+            out[name] = gen(sub, shape)
     return unflatten(out)
 
 
@@ -243,7 +261,7 @@ def main():
     steps_per_sec = STEPS / denoise_s
     result = {
         "metric": (
-            "e2e_sec_per_video_ltx13b_704x480x121f_30steps"
+            "e2e_sec_per_video_ltx13b_int4wo_1stream_704x480x121f_30steps"
             if os.environ.get("BENCH_13B")
             else "e2e_sec_per_video_ltx2b_704x480x121f_30steps"
         ),

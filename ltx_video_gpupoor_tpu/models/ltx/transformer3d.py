@@ -182,6 +182,14 @@ def _apply_linear(p, x, accum=jnp.float32):
         return int8_wo_matmul(
             x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
         )
+    if "w_int4" in p:
+        # int4 weight-only: halves weight HBM again (fits 13B-class
+        # models on a contended 16 GiB chip)
+        from ...ops.quant import QuantizedLinear4, int4_wo_matmul
+
+        return int4_wo_matmul(
+            x, QuantizedLinear4(p["w_int4"], p["scale"]), p.get("bias")
+        )
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),

@@ -44,6 +44,58 @@ def dequantize_weights(q: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     return (q.w_int8.astype(jnp.float32) * q.scale).astype(dtype)
 
 
+class QuantizedLinear4(NamedTuple):
+    """Nibble-packed int4 weight [in/2, out] (int8 storage, two values
+    per byte) + per-output-channel fp32 scale [out].
+
+    Halves weight HBM again vs int8, so a 13B-class transformer drops to
+    ~6 GiB and fits a contended 16 GiB chip. Packed manually rather than
+    as ``jnp.int4`` (which this container's device relay cannot
+    transfer). Weight-only: unpacked + dequantized into the bf16 MXU at
+    run time (memory/bandwidth tier; accuracy cost larger than int8 —
+    the usual int4 WO trade).
+    """
+
+    w_int4: jax.Array
+    scale: jax.Array
+
+
+def quantize_weights_int4(w: jax.Array) -> QuantizedLinear4:
+    """Symmetric per-output-channel int4 ([-7, 7]) quantization, packed
+    two-per-byte along the input dim (must be even)."""
+    din = w.shape[0]
+    assert din % 2 == 0, "int4 packing needs an even input dim"
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)  # [out]
+    scale = jnp.maximum(absmax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7)
+    q = q.astype(jnp.int8).reshape(din // 2, 2, -1)
+    packed = (q[:, 0] & 0x0F) | (q[:, 1] << 4)
+    return QuantizedLinear4(packed.astype(jnp.int8), scale.astype(jnp.float32))
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[in/2, out] packed int8 -> [in, out] int8 in [-7, 7]."""
+    lo = (packed << 4) >> 4            # arithmetic shifts sign-extend
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=1).reshape(
+        packed.shape[0] * 2, *packed.shape[1:]
+    )
+
+
+def int4_wo_matmul(
+    x: jax.Array, q: QuantizedLinear4, bias: jax.Array | None = None
+) -> jax.Array:
+    """Weight-only int4 path: bf16 MXU with on-the-fly unpack + dequant."""
+    w = unpack_int4(q.w_int4).astype(x.dtype) * q.scale.astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
 def int8_wo_matmul(
     x: jax.Array, q: QuantizedLinear, bias: jax.Array | None = None
 ) -> jax.Array:
@@ -94,9 +146,12 @@ def quantize_params(
     The storage format is identical — only the key name (and thus the
     runtime path) differs.
     """
-    if mode not in ("wo", "dynamic"):
+    if mode not in ("wo", "dynamic", "wo_int4"):
         raise ValueError(mode)
-    w_key = ".w_int8" if mode == "wo" else ".w_int8_dyn"
+    w_key = {
+        "wo": ".w_int8", "dynamic": ".w_int8_dyn", "wo_int4": ".w_int4",
+    }[mode]
+    qfn = quantize_weights_int4 if mode == "wo_int4" else quantize_weights
     flat = flatten(params)
     out = {}
     for key, value in flat.items():
@@ -107,10 +162,10 @@ def quantize_params(
             and value.ndim in (2, 3)
         ):
             if value.ndim == 3:  # [L, in, out]
-                ql = jax.vmap(quantize_weights)(value)
+                ql = jax.vmap(qfn)(value)
             else:
-                ql = quantize_weights(value)
-            out[key.removesuffix(".kernel") + w_key] = ql.w_int8
+                ql = qfn(value)
+            out[key.removesuffix(".kernel") + w_key] = ql[0]
             out[key.removesuffix(".kernel") + ".scale"] = ql.scale
         else:
             out[key] = value

@@ -177,3 +177,37 @@ def test_maybe_quantized_matmul_dynamic_key():
     )
     rel = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
     assert rel < 0.05, rel
+
+
+def test_int4_wo_tier_accuracy_and_routing():
+    """int4 weight-only: larger error than int8 but bounded; routes
+    through _apply_linear via the w_int4 key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import _apply_linear
+    from ltx_video_gpupoor_tpu.ops.quant import (
+        QuantizedLinear4,
+        int4_wo_matmul,
+        quantize_params,
+        quantize_weights_int4,
+    )
+
+    w = jax.random.normal(jax.random.key(0), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.key(1), (4, 64))
+    q = quantize_weights_int4(w)
+    assert q.w_int4.dtype == jnp.int8 and q.w_int4.shape == (32, 32)
+    ref = x @ w
+    out = int4_wo_matmul(x, q)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.12  # int4 WO accuracy class
+
+    params = {"lin": {"kernel": w, "bias": jnp.zeros((32,))}}
+    qp = quantize_params(params, lambda k: k.endswith(".kernel"),
+                         mode="wo_int4")
+    assert "w_int4" in qp["lin"]
+    routed = _apply_linear(qp["lin"], x)
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(out), atol=1e-5, rtol=1e-4
+    )
