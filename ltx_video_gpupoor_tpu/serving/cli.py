@@ -57,9 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--transformer-dtype-policy", type=str, default="")
     p.add_argument("--quantize-transformer", action="store_true")
     p.add_argument(
-        "--int8-mode", choices=("dynamic", "wo"), default="dynamic",
-        help="int8 runtime: dynamic-activation int8 MXU (faster) or "
-        "weight-only dequant (memory win only)",
+        "--int8-mode", choices=("dynamic", "wo", "wo_int4"),
+        default="dynamic",
+        help="quantized runtime: dynamic-activation int8 MXU (faster), "
+        "int8 weight-only dequant (memory win), or nibble-packed int4 "
+        "weight-only (half the int8 footprint; 13B-class on 16 GiB)",
     )
     p.add_argument("--mixed-precision-transformer", action="store_true")
     p.add_argument("--save-quantized", action="store_true")
