@@ -218,6 +218,24 @@ def init_params(key: jax.Array, cfg: WanConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _apply(p, x):
+    if "w_int8_dyn" in p:
+        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul
+
+        return int8_dynamic_matmul(
+            x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
+        )
+    if "w_int8" in p:
+        from ...ops.quant import QuantizedLinear, int8_wo_matmul
+
+        return int8_wo_matmul(
+            x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
+        )
+    if "w_int4" in p:
+        from ...ops.quant import QuantizedLinear4, int4_wo_matmul
+
+        return int4_wo_matmul(
+            x, QuantizedLinear4(p["w_int4"], p["scale"]), p.get("bias")
+        )
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),

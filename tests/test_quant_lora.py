@@ -211,3 +211,34 @@ def test_int4_wo_tier_accuracy_and_routing():
     np.testing.assert_allclose(
         np.asarray(routed), np.asarray(out), atol=1e-5, rtol=1e-4
     )
+
+
+def test_wan_model_quantized_forward():
+    """The Wan DiT runs with quantized linears (dynamic int8 and int4-WO)
+    via the same w_* param-key routing as LTX."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+    from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+
+    cfg = wan_model.WanConfig(
+        dim=128, ffn_dim=256, num_heads=2, num_layers=2, text_dim=64,
+    )
+    params = wan_model.init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 2, 4, 4, cfg.in_dim))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.key(2), (1, 16, cfg.text_dim))
+    cmask = jnp.ones((1, 16), jnp.int32)
+    freqs = wan_rope_freqs((2, 2, 2), cfg.head_dim)
+    ref, _ = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs)
+    ref = np.asarray(ref)
+    for mode, tol in (("dynamic", 0.08), ("wo_int4", 0.4)):
+        qp = quantize_params(params, mode=mode)
+        out, _ = wan_model.forward(qp, cfg, x, t, ctx, cmask, freqs)
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8)
+        assert rel < tol, (mode, rel)
