@@ -18,3 +18,10 @@ scanned pure function.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: amortizes the ~minutes-scale cold
+# compiles (denoise step, tiled VAE) across process restarts.  Opt out
+# with LTXV_TPU_COMPILE_CACHE=off.
+from .core import compile_cache as _compile_cache
+
+_compile_cache.enable()

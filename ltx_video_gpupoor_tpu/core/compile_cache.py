@@ -1,0 +1,58 @@
+"""Persistent XLA compilation cache.
+
+The reference pays its model-load cost once per process via mmgp's mmap
+safetensors loads (``/root/reference/inference.py:442-496``); on TPU the
+analogous per-process cost is XLA compilation (~285 s cold for the LTX
+denoise step through the relay).  A persistent on-disk compilation cache
+amortizes that across process restarts: the first process compiles and
+writes serialized executables; every later process deserializes in
+seconds.
+
+Enabled automatically at package import (see ``__init__``).  Controls:
+
+- ``LTXV_TPU_COMPILE_CACHE``: cache directory.  Set to ``0``/``off``/empty
+  to disable.  Default: ``~/.cache/ltx_video_gpupoor_tpu/xla``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_ENV = "LTXV_TPU_COMPILE_CACHE"
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "ltx_video_gpupoor_tpu", "xla"
+)
+
+_enabled_dir: str | None = None
+
+
+def enable(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    Idempotent; returns the active cache directory or ``None`` when
+    disabled.  Must run before the first ``jit`` compilation to benefit
+    that compilation, but is safe to call at any time.
+    """
+    global _enabled_dir
+    if cache_dir is None:
+        cache_dir = os.environ.get(_ENV, _DEFAULT_DIR)
+    if not cache_dir or cache_dir.lower() in ("0", "off", "false", "none"):
+        return None
+    if _enabled_dir == cache_dir:
+        return _enabled_dir
+
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything that took meaningful compile time; through the
+    # relay even small programs cost ~1 min, so keep the bar low.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled_dir = cache_dir
+    return _enabled_dir
+
+
+def cache_dir() -> str | None:
+    """The active persistent-cache directory, or None if disabled."""
+    return _enabled_dir
