@@ -280,6 +280,35 @@ def main():
             "tokens": n_tokens,
         })
     )
+    _emit_parity()
+
+
+def _emit_parity():
+    """CI gate for the Pallas kernel numerics (incl. the bounded-score
+    opt-in tier stressed with adversarially sharp logits): run
+    tools/check_tpu_parity.py on the same hardware as the bench and emit
+    its numbers as a driver-visible JSON detail line (VERDICT r1 #7).
+    Skip with BENCH_SKIP_PARITY=1."""
+    if os.environ.get("BENCH_SKIP_PARITY"):
+        return
+    import subprocess
+    import sys
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "PARITY_KERNEL.json")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/check_tpu_parity.py", "--stress",
+             "--json", out],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=540,
+        )
+        with open(out) as fh:
+            res = json.load(fh)
+        res["parity_rc"] = proc.returncode
+    except Exception as e:  # never let the gate break the bench line
+        res = {"ok": None, "error": str(e)[:200]}
+    print(json.dumps({"kernel_parity": res}))
 
 
 if __name__ == "__main__":

@@ -60,8 +60,11 @@ class LTXTransformerConfig:
     # FULL projection dim, so this is an empirical bound on trained
     # attention sharpness, not an algebraic one — logits beyond it clamp
     # (they tie where softmax is already saturated). Must stay <= ~45 for
-    # the fp32 exp2 underflow margin; None = exact online softmax.
-    attention_score_bound: Optional[float] = 40.0
+    # the fp32 exp2 underflow margin. Default None = exact online softmax;
+    # opt into the ~13%-faster bounded tier per checkpoint (env
+    # LTXV_TPU_SCORE_BOUND, see serving/model_zoo.py) after validating the
+    # real max |logit| with tools/check_tpu_parity.py --stress.
+    attention_score_bound: Optional[float] = None
     standardization_norm: str = "rms_norm"  # or "layer_norm"
     activation_fn: str = "gelu-approximate"  # or "geglu"
     adaptive_norm: str = "single_scale_shift"

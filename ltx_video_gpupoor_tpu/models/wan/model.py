@@ -55,8 +55,10 @@ class WanConfig:
     qk_norm: bool = True
     # |logit| bound for the kernel's max-free softmax when qk_norm is on;
     # empirical (RMS norm is over the full dim), clamp-saturating beyond
-    # it; <= ~45 for fp32 exp2 underflow margin; None = exact softmax
-    attention_score_bound: Optional[float] = 40.0
+    # it; <= ~45 for fp32 exp2 underflow margin. Default None = exact
+    # softmax; opt in per checkpoint (env LTXV_TPU_SCORE_BOUND via
+    # serving/model_zoo.py) after stressing with check_tpu_parity.py
+    attention_score_bound: Optional[float] = None
     cross_attn_norm: bool = True
     eps: float = 1e-6
     vace_layers: Optional[tuple] = None

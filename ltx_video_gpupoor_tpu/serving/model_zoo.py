@@ -33,6 +33,18 @@ from ..pipelines.ltx_pipeline import LTXPipeline
 from ..pipelines.multiscale import MultiScalePipeline
 from .orchestrator import LTXVideoGenerator
 
+def _score_bound_opt_in() -> Optional[float]:
+    """Per-deployment opt-in for the bounded-score (max-free softmax)
+    attention tier: env ``LTXV_TPU_SCORE_BOUND=<float>``.  Off by default —
+    the bound is an empirical clamp on trained attention sharpness; validate
+    it for a checkpoint with ``tools/check_tpu_parity.py --stress`` first
+    (ADVICE r1: sharp rows beyond the bound tie after clamping)."""
+    raw = os.environ.get("LTXV_TPU_SCORE_BOUND", "").strip()
+    if not raw or raw.lower() in ("0", "off", "none", "false"):
+        return None
+    return float(raw)
+
+
 TRANSFORMER_CHOICES = [
     "ckpts/ltxv_0.9.7_13B_dev_bf16.safetensors",
     "ckpts/ltxv_0.9.7_13B_dev_quanto_bf16_int8.safetensors",
@@ -151,6 +163,7 @@ def load_ltxv_model(
         num_layers=tcfg_dict.get("num_layers", 48),
         cross_attention_dim=tcfg_dict.get("cross_attention_dim", 4096),
         caption_channels=tcfg_dict.get("caption_channels", 4096),
+        attention_score_bound=_score_bound_opt_in(),
     )
     tf_params = ckpt.convert_ltx_transformer(tensors, tcfg.num_layers)
 
@@ -295,6 +308,7 @@ def load_wan_model(
         freq_dim=spec["freq_dim"], num_heads=spec["num_heads"],
         num_layers=spec["num_layers"],
         in_dim=spec.get("in_dim", 16),
+        attention_score_bound=_score_bound_opt_in(),
     )
 
     tf_path = _maybe(model_filename, ckpt_dir)
