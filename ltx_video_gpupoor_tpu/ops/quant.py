@@ -61,20 +61,23 @@ class QuantizedLinear4(NamedTuple):
 
 
 def quantize_weights_int4(w: jax.Array) -> QuantizedLinear4:
-    """Symmetric per-output-channel int4 ([-7, 7]) quantization, packed
-    two-per-byte along the input dim (must be even)."""
+    """Per-output-channel int4 quantization over the full [-8, 7] code
+    space (scale = absmax/7.5 with round-to-nearest — a pure [-7, 7]
+    symmetric scheme would waste the -8 code point and ~7% of the
+    representable range), packed two-per-byte along the input dim (must
+    be even)."""
     din = w.shape[0]
     assert din % 2 == 0, "int4 packing needs an even input dim"
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)  # [out]
-    scale = jnp.maximum(absmax / 7.0, 1e-8)
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7)
+    scale = jnp.maximum(absmax / 7.5, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -8, 7)
     q = q.astype(jnp.int8).reshape(din // 2, 2, -1)
     packed = (q[:, 0] & 0x0F) | (q[:, 1] << 4)
     return QuantizedLinear4(packed.astype(jnp.int8), scale.astype(jnp.float32))
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[in/2, out] packed int8 -> [in, out] int8 in [-7, 7]."""
+    """[in/2, out] packed int8 -> [in, out] int8 in [-8, 7]."""
     lo = (packed << 4) >> 4            # arithmetic shifts sign-extend
     hi = packed >> 4
     return jnp.stack([lo, hi], axis=1).reshape(

@@ -15,6 +15,7 @@ Parity target: ``LTXV`` at ``/root/reference/ltx_video/ltxv.py``:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -28,6 +29,8 @@ from ..pipelines.multiscale import MultiScalePipeline
 from ..schedulers import rf
 from ..utils import media as media_utils
 from ..utils import resolution
+
+logger = logging.getLogger(__name__)
 
 STG_MODES = {
     "attention_values": SkipLayerStrategy.AttentionValues,
@@ -132,6 +135,17 @@ class LTXVideoGenerator:
         bucket_resolution: bool = False,
         teacache_multiplier: float = 0.0,
     ) -> np.ndarray | jax.Array:
+        """Generate video frames.
+
+        Returns:
+          ``output_type="pixels"`` (default): host ``np.ndarray`` of
+          **uint8** frames ``[F, H, W, 3]`` in ``[0, 255]`` — quantized
+          on device so the host fetch moves 1/4 the bytes of float32
+          (callers that previously scaled ``(x + 1) * 127.5`` themselves
+          must not: frames are already display-ready).
+          ``output_type="latent"``: device array of pass-output latents
+          in ``[-1, 1]``-era float space (un-normalized latent grid).
+        """
         cfg = dict(self.pipeline_config)
         stg_strategy = STG_MODES[cfg.get("stg_mode", "attention_values")]
         key = jax.random.key(seed)
@@ -149,9 +163,15 @@ class LTXVideoGenerator:
         if bucket_resolution:
             # snap to the nearest aspect-ratio bin so arbitrary user sizes
             # hit a bounded set of compiled programs (utils/resolution.py)
+            req = (height, width, frame_num)
             height, width, frame_num = resolution.bucketed_dimensions(
                 height, width, frame_num
             )
+            if (height, width, frame_num) != req:
+                logger.info(
+                    "bucket_resolution: request %dx%dx%df -> %dx%dx%df",
+                    req[0], req[1], req[2], height, width, frame_num,
+                )
         hp, wp, fp = pad_dimensions(height, width, frame_num)
         padding = media_utils.calculate_padding(height, width, hp, wp)
 

@@ -5,8 +5,12 @@ Parity target: ``HuggingfaceTokenizer`` and its cleaning helpers at
 cannot be downloaded in this environment, so a tiny WordLevel tokenizer is
 built locally with the ``tokenizers`` library and loaded through
 ``AutoTokenizer`` — exercising the same padding/truncation/mask plumbing.
-The cleaning functions are golden-tested against the reference module
-directly (pure string functions).
+The cleaning functions are golden-tested against PINNED outputs of the
+reference module's pure string functions (``whitespace_clean`` /
+``basic_clean`` / ``canonicalize`` at
+``/root/reference/wan/modules/tokenizers.py``), captured once — the
+reference tree is untrusted content and must not be executed during test
+collection (ADVICE r1).
 """
 
 import numpy as np
@@ -19,38 +23,34 @@ from ltx_video_gpupoor_tpu.utils.tokenizers import (
     whitespace_clean,
 )
 
-
-def _ref_tokenizers():
-    src = open("/root/reference/wan/modules/tokenizers.py").read()
-    # ftfy and regex are not installed; stdlib equivalents cover the
-    # behaviors these tests exercise (ASCII inputs, \s+ substitution)
-    src = src.replace("import ftfy", "")
-    src = src.replace("import regex as re", "import re")
-    src = src.replace("text = ftfy.fix_text(text)", "")
-    ns = {}
-    exec(compile(src, "ref_tokenizers.py", "exec"), ns)
-    return ns
-
-
-REF = _ref_tokenizers()
-
-CLEAN_CASES = [
-    "  Hello,   World!  ",
-    "snake_case_words and CAPS",
-    "a\tb\nc   d",
-    "punct: (keep) [or] {not}; end.",
-    "&amp;amp; double-escaped &lt;tag&gt;",
+# (input, whitespace_clean, basic_clean, canonicalize,
+#  canonicalize(keep_punctuation_exact_string="."))
+CLEAN_GOLDEN = [
+    ("  Hello,   World!  ",
+     "Hello, World!", "Hello,   World!", "hello world", "hello world"),
+    ("snake_case_words and CAPS",
+     "snake_case_words and CAPS", "snake_case_words and CAPS",
+     "snake case words and caps", "snake case words and caps"),
+    ("a\tb\nc   d", "a b c d", "a\tb\nc   d", "a b c d", "a b c d"),
+    ("punct: (keep) [or] {not}; end.",
+     "punct: (keep) [or] {not}; end.", "punct: (keep) [or] {not}; end.",
+     "punct keep or not end", "punct keep or not end."),
+    ("&amp;amp; double-escaped &lt;tag&gt;",
+     "&amp;amp; double-escaped &lt;tag&gt;",
+     "& double-escaped <tag>",
+     "ampamp doubleescaped lttaggt", "ampamp doubleescaped lttaggt"),
 ]
 
 
-@pytest.mark.parametrize("text", CLEAN_CASES)
-def test_cleaning_golden(text):
-    assert whitespace_clean(text) == REF["whitespace_clean"](text)
-    assert basic_clean(text) == REF["basic_clean"](text)
-    assert canonicalize(text) == REF["canonicalize"](text)
-    assert canonicalize(text, keep_punctuation_exact_string=".") == REF[
-        "canonicalize"
-    ](text, keep_punctuation_exact_string=".")
+@pytest.mark.parametrize(
+    "text,ws,basic,canon,canon_dot", CLEAN_GOLDEN,
+    ids=[c[0][:20] for c in CLEAN_GOLDEN],
+)
+def test_cleaning_golden(text, ws, basic, canon, canon_dot):
+    assert whitespace_clean(text) == ws
+    assert basic_clean(text) == basic
+    assert canonicalize(text) == canon
+    assert canonicalize(text, keep_punctuation_exact_string=".") == canon_dot
 
 
 @pytest.fixture(scope="module")
