@@ -103,8 +103,18 @@ def crf_compress(image: np.ndarray, crf: int = 29) -> np.ndarray:
     matching the VAE's training-data compression artifacts
     (``crf_compressor.py:34-50``). Input/output [H, W, 3] float in [0, 1].
 
-    Falls back to identity when no ffmpeg binary is available.
+    Preferred path: the native libavcodec/libx264 shim
+    (``runtime/h264_codec.cpp``) — the exact artifact distribution the VAE
+    was trained on; then an ffmpeg binary if one exists; last resort a
+    JPEG round-trip approximation.
     """
+    from . import native_codec
+
+    if native_codec.available():
+        arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        out = native_codec.crf_roundtrip(arr, crf)
+        if out is not None:
+            return out.astype(np.float32) / 255.0
     ffmpeg = _ffmpeg()
     if ffmpeg is None:
         # no h264 encoder in this image: approximate the compression
@@ -179,7 +189,15 @@ def save_video(
     """
     if frames.dtype != np.uint8:
         frames = np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    # Native libx264 mp4 writer (h264, like the reference's libx264 output
+    # via imageio — ``inference.py:248``); retries cover transient fs races.
+    from . import native_codec
+
     err = None
+    if native_codec.available():
+        for _ in range(retries):
+            if native_codec.write_mp4(path, frames, fps=fps, crf=18):
+                return path
     for _ in range(retries):
         try:
             import imageio
@@ -213,6 +231,12 @@ def save_video(
 
 def load_video(path: str) -> np.ndarray:
     """Read a video into [F, H, W, 3] float32 in [-1, 1]."""
+    from . import native_codec
+
+    if native_codec.available():
+        arr = native_codec.read_video(path)
+        if arr is not None:
+            return arr.astype(np.float32) / 127.5 - 1.0
     try:
         import imageio
 

@@ -1,0 +1,273 @@
+// Native h264 codec shim over the system libavcodec/libavformat/libswscale.
+//
+// The reference conditions LTX i2v inputs through a libx264 CRF-29
+// round-trip to match the VAE's training-data compression artifacts
+// (/root/reference/ltx_video/pipelines/crf_compressor.py:34-50), and
+// writes outputs as h264 mp4 (/root/reference/inference.py:215-258).
+// This image ships no ffmpeg binary and no PyAV, but the system
+// libavcodec.so.59 carries the libx264 encoder + h264 decoder — this
+// shim exposes both through a minimal C ABI for ctypes
+// (ltx_video_gpupoor_tpu/utils/native_codec.py).
+//
+// Exported:
+//   h264_roundtrip(rgb, h, w, crf, out_rgb)  -> 0 on success
+//   h264_write_mp4(path, rgb_frames, n, h, w, fps, crf) -> 0 on success
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// libx264 prints encode statistics at AV_LOG_INFO; keep the host logs
+// clean (the Python layer reports failures via return codes).
+struct QuietLogs {
+    QuietLogs() { av_log_set_level(AV_LOG_ERROR); }
+} quiet_logs;
+
+struct Encoder {
+    const AVCodec* codec = nullptr;
+    AVCodecContext* ctx = nullptr;
+    SwsContext* sws = nullptr;  // RGB24 -> YUV420P
+    AVFrame* yuv = nullptr;
+
+    // global_header: mp4 wants extradata; the raw round-trip wants
+    // in-band annex-b headers so decoder needs no side channel.
+    int open(int w, int h, double fps, int crf, bool global_header) {
+        codec = avcodec_find_encoder_by_name("libx264");
+        if (!codec) return -1;
+        ctx = avcodec_alloc_context3(codec);
+        if (!ctx) return -2;
+        ctx->width = w;
+        ctx->height = h;
+        ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+        ctx->time_base = AVRational{1000, (int)(fps * 1000 + 0.5)};
+        ctx->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
+        if (global_header) ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+        char crfs[16];
+        snprintf(crfs, sizeof crfs, "%d", crf);
+        av_opt_set(ctx->priv_data, "crf", crfs, 0);
+        if (avcodec_open2(ctx, codec, nullptr) < 0) return -3;
+        sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                             AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                             nullptr, nullptr);
+        if (!sws) return -4;
+        yuv = av_frame_alloc();
+        yuv->format = AV_PIX_FMT_YUV420P;
+        yuv->width = w;
+        yuv->height = h;
+        if (av_frame_get_buffer(yuv, 0) < 0) return -5;
+        return 0;
+    }
+
+    int send_rgb(const uint8_t* rgb, int64_t pts) {
+        const uint8_t* src[1] = {rgb};
+        int stride[1] = {ctx->width * 3};
+        av_frame_make_writable(yuv);
+        sws_scale(sws, src, stride, 0, ctx->height, yuv->data,
+                  yuv->linesize);
+        yuv->pts = pts;
+        return avcodec_send_frame(ctx, yuv);
+    }
+
+    ~Encoder() {
+        if (yuv) av_frame_free(&yuv);
+        if (sws) sws_freeContext(sws);
+        if (ctx) avcodec_free_context(&ctx);
+    }
+};
+
+struct Decoder {
+    AVCodecContext* ctx = nullptr;
+    SwsContext* sws = nullptr;  // YUV -> RGB24
+    AVFrame* frame = nullptr;
+
+    int open() {
+        const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_H264);
+        if (!codec) return -1;
+        ctx = avcodec_alloc_context3(codec);
+        if (!ctx || avcodec_open2(ctx, codec, nullptr) < 0) return -2;
+        frame = av_frame_alloc();
+        return 0;
+    }
+
+    // Returns 0 when a frame was produced into out_rgb.
+    int receive_rgb(uint8_t* out_rgb, int w, int h) {
+        if (avcodec_receive_frame(ctx, frame) < 0) return -1;
+        if (!sws) {
+            sws = sws_getContext(frame->width, frame->height,
+                                 (AVPixelFormat)frame->format, w, h,
+                                 AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                                 nullptr, nullptr);
+            if (!sws) return -2;
+        }
+        uint8_t* dst[1] = {out_rgb};
+        int stride[1] = {w * 3};
+        sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
+                  dst, stride);
+        return 0;
+    }
+
+    ~Decoder() {
+        if (frame) av_frame_free(&frame);
+        if (sws) sws_freeContext(sws);
+        if (ctx) avcodec_free_context(&ctx);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode one RGB24 frame at the given CRF and decode it back — the
+// conditioning-image artifact round-trip. Annex-b in-band headers, so
+// encoder packets feed the decoder directly (no container).
+int h264_roundtrip(const uint8_t* rgb, int h, int w, int crf,
+                   uint8_t* out_rgb) {
+    Encoder enc;
+    int rc = enc.open(w, h, 30.0, crf, /*global_header=*/false);
+    if (rc) return rc;
+    Decoder dec;
+    if ((rc = dec.open())) return rc - 10;
+
+    if (enc.send_rgb(rgb, 0) < 0) return -20;
+    avcodec_send_frame(enc.ctx, nullptr);  // flush
+
+    AVPacket* pkt = av_packet_alloc();
+    bool got = false;
+    while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
+        avcodec_send_packet(dec.ctx, pkt);
+        av_packet_unref(pkt);
+        if (dec.receive_rgb(out_rgb, w, h) == 0) got = true;
+    }
+    avcodec_send_packet(dec.ctx, nullptr);  // flush decoder
+    while (!got && dec.receive_rgb(out_rgb, w, h) == 0) got = true;
+    av_packet_free(&pkt);
+    return got ? 0 : -21;
+}
+
+// Write [n, h, w, 3] RGB24 frames as an h264 mp4.
+int h264_write_mp4(const char* path, const uint8_t* rgb_frames, int n,
+                   int h, int w, double fps, int crf) {
+    AVFormatContext* fmt = nullptr;
+    if (avformat_alloc_output_context2(&fmt, nullptr, "mp4", path) < 0 ||
+        !fmt)
+        return -1;
+
+    Encoder enc;
+    int rc = enc.open(w, h, fps, crf, /*global_header=*/true);
+    if (rc) {
+        avformat_free_context(fmt);
+        return rc - 30;
+    }
+
+    AVStream* st = avformat_new_stream(fmt, nullptr);
+    if (!st) return -2;
+    st->time_base = enc.ctx->time_base;
+    avcodec_parameters_from_context(st->codecpar, enc.ctx);
+
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+        avformat_free_context(fmt);
+        return -3;
+    }
+    if (avformat_write_header(fmt, nullptr) < 0) return -4;
+
+    AVPacket* pkt = av_packet_alloc();
+    auto drain = [&](bool) {
+        while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
+            av_packet_rescale_ts(pkt, enc.ctx->time_base, st->time_base);
+            pkt->stream_index = st->index;
+            av_interleaved_write_frame(fmt, pkt);
+            av_packet_unref(pkt);
+        }
+    };
+    const size_t fsz = (size_t)h * w * 3;
+    for (int i = 0; i < n; ++i) {
+        if (enc.send_rgb(rgb_frames + fsz * i, i) < 0) return -5;
+        drain(false);
+    }
+    avcodec_send_frame(enc.ctx, nullptr);
+    drain(true);
+    av_write_trailer(fmt);
+    av_packet_free(&pkt);
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return 0;
+}
+
+// Decode an h264/mp4 (or anything libavformat can open) back to RGB24.
+// Two-phase: call with frames=null to count; then with a buffer of
+// capacity max_frames. Returns the frame count, or <0 on error.
+int h264_read_video(const char* path, uint8_t* frames, int max_frames,
+                    int* out_h, int* out_w) {
+    AVFormatContext* fmt = nullptr;
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) {
+        avformat_close_input(&fmt);
+        return -2;
+    }
+    int vi = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vi < 0) {
+        avformat_close_input(&fmt);
+        return -3;
+    }
+    const AVCodec* codec =
+        avcodec_find_decoder(fmt->streams[vi]->codecpar->codec_id);
+    AVCodecContext* ctx = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(ctx, fmt->streams[vi]->codecpar);
+    if (avcodec_open2(ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&ctx);
+        avformat_close_input(&fmt);
+        return -4;
+    }
+    int w = ctx->width, h = ctx->height;
+    *out_h = h;
+    *out_w = w;
+    SwsContext* sws = nullptr;
+    AVFrame* fr = av_frame_alloc();
+    AVPacket* pkt = av_packet_alloc();
+    int count = 0;
+    const size_t fsz = (size_t)h * w * 3;
+    auto take = [&]() {
+        while (avcodec_receive_frame(ctx, fr) == 0) {
+            if (frames && count < max_frames) {
+                if (!sws)
+                    sws = sws_getContext(fr->width, fr->height,
+                                         (AVPixelFormat)fr->format, w, h,
+                                         AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                                         nullptr, nullptr, nullptr);
+                uint8_t* dst[1] = {frames + fsz * count};
+                int stride[1] = {w * 3};
+                sws_scale(sws, fr->data, fr->linesize, 0, fr->height, dst,
+                          stride);
+            }
+            ++count;
+        }
+    };
+    while (av_read_frame(fmt, pkt) >= 0) {
+        if (pkt->stream_index == vi) {
+            avcodec_send_packet(ctx, pkt);
+            take();
+        }
+        av_packet_unref(pkt);
+    }
+    avcodec_send_packet(ctx, nullptr);
+    take();
+    av_packet_free(&pkt);
+    av_frame_free(&fr);
+    if (sws) sws_freeContext(sws);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return count;
+}
+
+}  // extern "C"
