@@ -43,6 +43,13 @@ def enable(cache_dir: str | None = None) -> str | None:
 
     import jax
 
+    # CPU-only processes (tests, virtual-mesh dryruns): skip the persistent
+    # cache. CPU compiles are cheap, and XLA:CPU AOT entries embed host
+    # machine features — loading one compiled on a different host risks
+    # SIGILL. The minutes-scale wins are all on the TPU backend.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None
+
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything that took meaningful compile time; through the

@@ -51,6 +51,11 @@ struct Encoder {
         ctx->pix_fmt = AV_PIX_FMT_YUV420P;
         ctx->time_base = AVRational{1000, (int)(fps * 1000 + 0.5)};
         ctx->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
+        // b-frames delay dts behind pts; the mp4 muxer then emits an edit
+        // list that clips the final sample (demuxers mark it
+        // AV_PKT_FLAG_DISCARD and the last frame is silently dropped on
+        // decode). dts==pts sidesteps all of it.
+        ctx->max_b_frames = 0;
         if (global_header) ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
         char crfs[16];
         snprintf(crfs, sizeof crfs, "%d", crf);
@@ -184,6 +189,7 @@ int h264_write_mp4(const char* path, const uint8_t* rgb_frames, int n,
     AVPacket* pkt = av_packet_alloc();
     auto drain = [&](bool) {
         while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
+            if (pkt->duration == 0) pkt->duration = 1;  // one tick per frame
             av_packet_rescale_ts(pkt, enc.ctx->time_base, st->time_base);
             pkt->stream_index = st->index;
             av_interleaved_write_frame(fmt, pkt);

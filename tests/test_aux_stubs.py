@@ -1,0 +1,153 @@
+"""Stub-model tests for the gated aux paths (VERDICT r1 item 10).
+
+The prompt enhancer/extender and rembg paths gate on heavy host-side
+models that cannot be downloaded offline — these tests inject fakes so
+the PLUMBING (threshold gating, system-prompt assembly, caption
+hand-off, session reuse) executes end-to-end.
+
+Parity targets: ``/root/reference/ltx_video/utils/prompt_enhance_utils.py:64``,
+``/root/reference/wan/utils/prompt_extend.py:112,300-365``,
+``/root/reference/wan/utils/utils.py:94-121``.
+"""
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+from ltx_video_gpupoor_tpu.utils.prompt_enhance import (
+    I2V_CINEMATIC_PROMPT,
+    PromptEnhancer,
+    QwenPromptExpander,
+    T2V_CINEMATIC_PROMPT,
+    should_enhance,
+)
+from ltx_video_gpupoor_tpu.utils import video_ops
+
+
+class FakeTokenizer:
+    def __init__(self):
+        self.messages = None
+
+    def apply_chat_template(self, messages, add_generation_prompt=False,
+                            return_tensors="pt"):
+        self.messages = messages
+        return torch.ones((1, 5), dtype=torch.long)
+
+    def decode(self, ids, skip_special_tokens=False):
+        return "  ENHANCED CINEMATIC PROMPT  "
+
+
+class FakeLLM:
+    def __init__(self):
+        self.calls = 0
+
+    def generate(self, ids=None, input_ids=None, pixel_values=None,
+                 max_new_tokens=None, do_sample=None, temperature=None):
+        self.calls += 1
+        return torch.ones((1, 12), dtype=torch.long)
+
+
+class FakeCaptionProcessor:
+    TASK = "<DETAILED_CAPTION>"
+
+    def __call__(self, text=None, images=None, return_tensors="pt"):
+        assert text == self.TASK
+        assert images is not None  # image handed off as PIL
+        return {
+            "input_ids": torch.ones((1, 3), dtype=torch.long),
+            "pixel_values": torch.zeros((1, 3, 8, 8)),
+        }
+
+    def batch_decode(self, ids, skip_special_tokens=False):
+        return [self.TASK + "a red fox in snow"]
+
+    def post_process_generation(self, text, task=None, image_size=None):
+        return {task: " a red fox in snow "}
+
+
+def _stubbed_enhancer():
+    e = PromptEnhancer()
+    e._llm = FakeLLM()
+    e._llm_tokenizer = FakeTokenizer()
+    e._caption_model = FakeLLM()
+    e._caption_processor = FakeCaptionProcessor()
+    return e
+
+
+def test_threshold_gate_skips_long_prompts():
+    e = _stubbed_enhancer()
+    long_prompt = " ".join(["word"] * 200)
+    assert e.enhance(long_prompt) == long_prompt
+    assert e._llm.calls == 0  # gated before any model touch
+    assert not should_enhance(long_prompt)
+    assert should_enhance("short prompt")
+
+
+def test_t2v_enhancement_uses_cinematic_system_prompt():
+    e = _stubbed_enhancer()
+    out = e.enhance("a cat")
+    assert out == "ENHANCED CINEMATIC PROMPT"  # stripped rewrite
+    msgs = e._llm_tokenizer.messages
+    assert msgs[0] == {"role": "system", "content": T2V_CINEMATIC_PROMPT}
+    assert msgs[1]["content"] == "user_prompt: a cat"
+
+
+def test_i2v_enhancement_hands_caption_to_rewrite():
+    e = _stubbed_enhancer()
+    frame = np.zeros((16, 16, 3), np.uint8)
+    out = e.enhance("a cat", first_frames=[frame])
+    assert out == "ENHANCED CINEMATIC PROMPT"
+    msgs = e._llm_tokenizer.messages
+    assert msgs[0]["content"] == I2V_CINEMATIC_PROMPT
+    # caption flowed from the captioner into the rewrite user prompt
+    assert "image_caption: a red fox in snow" in msgs[1]["content"]
+    assert "user_prompt: a cat" in msgs[1]["content"]
+
+
+def test_qwen_expander_with_stub_model():
+    q = QwenPromptExpander()
+    q._model = FakeLLM()
+    q._tokenizer = FakeTokenizer()
+    out = q.extend("a dog")
+    assert out == "ENHANCED CINEMATIC PROMPT"
+    msgs = q._tokenizer.messages
+    assert msgs[0] == {"role": "system", "content": q.SYSTEM_EN}
+    assert msgs[1] == {"role": "user", "content": "a dog"}
+
+
+def test_remove_background_with_stub_rembg(monkeypatch):
+    calls = {"sessions": 0, "removes": 0}
+
+    def new_session():
+        calls["sessions"] += 1
+        return object()
+
+    def remove(pil, session=None, alpha_matting=None, bgcolor=None):
+        calls["removes"] += 1
+        assert session is not None
+        assert bgcolor == [255, 255, 255, 0]
+        from PIL import Image
+
+        return Image.new("RGBA", pil.size, (255, 0, 0, 255))
+
+    fake = types.ModuleType("rembg")
+    fake.new_session = new_session
+    fake.remove = remove
+    monkeypatch.setitem(sys.modules, "rembg", fake)
+
+    imgs = [np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8, 3), np.uint8)]
+    out = video_ops.remove_background(imgs)
+    assert len(out) == 2
+    assert all(o.shape == (8, 8, 3) for o in out)  # RGBA -> RGB conversion
+    assert (out[0][..., 0] == 255).all()
+    assert calls["sessions"] == 1  # one session reused for all frames
+    assert calls["removes"] == 2
+
+
+def test_remove_background_identity_without_rembg(monkeypatch):
+    monkeypatch.setitem(sys.modules, "rembg", None)  # forces ImportError
+    imgs = [np.full((4, 4, 3), 7, np.uint8)]
+    out = video_ops.remove_background(imgs)
+    assert out is imgs or (out[0] == imgs[0]).all()
