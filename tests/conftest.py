@@ -35,6 +35,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# smoke / slow tiers (VERDICT r1 item 9)
+#
+# `pytest -m smoke` = fast correctness sweep, < 2 min on one CPU.
+# `pytest -m slow` (or no -m) = full suite incl. torch-golden oracles,
+# virtual-mesh parallelism, tiled VAEs, training (~15 min on one CPU).
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    # virtual-mesh / multi-device
+    "test_parallel", "test_ring_rdma", "test_training",
+    # heavy model / pipeline sweeps
+    "test_wan_vae", "test_ltx_pipeline", "test_quant_lora",
+    "test_wan_model", "test_wan_pipeline", "test_wan_df",
+    "test_ltx_vae", "test_legacy_vae", "test_vae_tiling",
+    "test_xlm_roberta", "test_clip", "test_t5", "test_ltx_transformer",
+    # checkpoint / serving e2e
+    "test_checkpoint", "test_model_zoo_integration", "test_serving",
+    "test_interrupt_observability", "test_golden_e2e_tool",
+}
+_SLOW_TESTS = {"test_vace_encoders"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if (
+            mod in _SLOW_MODULES
+            or mod.endswith("_golden")
+            or item.name.split("[")[0] in _SLOW_TESTS
+        ):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
