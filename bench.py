@@ -123,6 +123,14 @@ def main():
             cross_attention_dim=2048,
             caption_channels=4096,
         )
+    # Opt-in bounded-score attention tier (BENCH_SCORE_BOUND=<b>): the
+    # max-free-softmax kernel path, hardware-gated by the parity stress
+    # check this bench emits (kernel_parity detail line).
+    sb = os.environ.get("BENCH_SCORE_BOUND")
+    if sb:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
     vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 
     f_lat = (FRAMES - 1) // vae_cfg.temporal_downscale_factor + 1

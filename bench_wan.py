@@ -3,15 +3,24 @@
 Config mirrors the reference's Wan 1.3B text-to-video serving path
 (``/root/reference/wan/text2video.py``): 832x480, 81 frames (latent
 21x60x104, patchified to 32 760 tokens), CFG with two guidance streams,
-UMT5 text length 512, bf16 weights. TeaCache off (worst case). Times a
-4-step chained denoise and reports steps/sec plus the extrapolated
-sec/video at the reference's 30 sampling steps (denoise only; the Wan
-VAE decode is timed separately on the detail line).
+UMT5 text length 512. Times a 4-step chained denoise and reports
+steps/sec, tokens/sec, achieved MFU, plus the extrapolated sec/video at
+the reference's 30 sampling steps (denoise only; the Wan VAE decode is
+timed separately on the detail line).
+
+Tiers (env, mirroring bench.py):
+- default: dynamic-activation int8 linears (the counterpart of the
+  reference's quanto-int8 serving mode); BENCH_BF16=1 for pure bf16.
+- BENCH_TEACACHE=<mult>: TeaCache static skip schedule (the serving
+  speed knob, ``model.py:854-899``).
+- BENCH_SCORE_BOUND=<b>: opt-in bounded-score attention tier (validated
+  by tools/check_tpu_parity.py --stress).
 
 Prints ONE JSON line like bench.py; run directly: ``python bench_wan.py``.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -29,17 +38,47 @@ from ltx_video_gpupoor_tpu.schedulers import unipc
 
 HEIGHT, WIDTH, FRAMES = 480, 832, 81
 TIMED_STEPS, FULL_STEPS = 4, 30
+PEAK_BF16 = 197e12  # v5e per-chip
+
+
+def step_flops(cfg, n_tokens, streams=2):
+    """MXU FLOPs of one denoise evaluation (both guidance streams)."""
+    d, f = cfg.dim, cfg.ffn_dim
+    # MACs/token/layer: self qkvo (4d^2) + cross q,o (2d^2) + ffn (2df)
+    per_tok = 4 * d * d + 2 * d * d + 2 * d * f
+    lin = 2 * streams * n_tokens * per_tok * cfg.num_layers
+    lin += 2 * streams * cfg.text_len * 2 * d * d * cfg.num_layers  # cross kv
+    attn = (4 * streams * cfg.num_heads * n_tokens * n_tokens
+            * cfg.head_dim * cfg.num_layers)
+    attn += (4 * streams * cfg.num_heads * n_tokens * cfg.text_len
+             * cfg.head_dim * cfg.num_layers)
+    return lin + attn
 
 
 def main():
+    import dataclasses
+
     cfg = WAN_T2V_1_3B
+    sb = os.environ.get("BENCH_SCORE_BOUND")
+    if sb:
+        cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
     f_lat = (FRAMES - 1) // 4 + 1
     h_lat, w_lat = HEIGHT // 8, WIDTH // 8
+    n_tokens = f_lat * (h_lat // 2) * (w_lat // 2)
 
     key = jax.random.key(0)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)
     )
+    tier = "bf16"
+    if not os.environ.get("BENCH_BF16"):
+        from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params, mode="dynamic")
+        tier = "int8_dyn"
+    if sb:
+        tier += f"+bound{sb}"
+
     x = jax.random.normal(
         key, (1, f_lat, h_lat, w_lat, cfg.in_dim), jnp.bfloat16
     )
@@ -52,13 +91,33 @@ def main():
     )
     sigmas = unipc.unipc_sigmas(TIMED_STEPS, shift=8.0)
 
+    # TeaCache: static skip schedule over the timed window. For the bench
+    # we apply the canonical pattern (compute steps spread to hit the
+    # multiplier) rather than running threshold calibration — identical
+    # compute cost per executed step.
+    tc_mult = float(os.environ.get("BENCH_TEACACHE", "0") or 0)
+    if tc_mult > 1.0:
+        n_exec = max(2, int(round(TIMED_STEPS / tc_mult)))
+        idx = np.linspace(0, TIMED_STEPS - 1, n_exec).round().astype(int)
+        tc_mask = np.zeros(TIMED_STEPS, bool)
+        tc_mask[idx] = True
+        tier += f"+teacache{tc_mult}"
+    else:
+        tc_mask = np.ones(TIMED_STEPS, bool)
+    tc_mask_j = jnp.asarray(tc_mask)
+    exec_frac = float(tc_mask.mean())
+
     @jax.jit
     def denoise(params, lat):
-        def body(lat, i):
+        res0 = jnp.zeros((2, n_tokens, cfg.dim), jnp.bfloat16)
+
+        def body(carry, i):
+            lat, res = carry
             t = sigmas[i] * 1000.0
             xs = jnp.concatenate([lat, lat], axis=0)
-            v, _ = forward(
-                params, cfg, xs, jnp.full((2,), t), ctx, cmask, freqs
+            v, res = forward(
+                params, cfg, xs, jnp.full((2,), t), ctx, cmask, freqs,
+                previous_residual=res, compute=tc_mask_j[i],
             )
             un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
             pred = un + 5.0 * (co - un)
@@ -67,9 +126,10 @@ def main():
                 lat.astype(jnp.float32)
                 + (sigmas[i + 1] - sigmas[i]) * pred
             ).astype(lat.dtype)
-            return lat, None
+            return (lat, res), None
 
-        lat, _ = jax.lax.scan(body, lat, jnp.arange(TIMED_STEPS))
+        (lat, _), _ = jax.lax.scan(body, (lat, res0),
+                                   jnp.arange(TIMED_STEPS))
         return lat[0, 0, 0, 0, 0].astype(jnp.float32)
 
     t0 = time.time()
@@ -80,6 +140,9 @@ def main():
     timed = time.time() - t0
     steps_per_sec = TIMED_STEPS / timed
     denoise_30 = FULL_STEPS / steps_per_sec
+
+    fl = step_flops(cfg, n_tokens) * exec_frac
+    mfu = fl * steps_per_sec / PEAK_BF16
 
     # Wan VAE decode at full res
     vcfg = wvae.WanVAEConfig()
@@ -107,17 +170,20 @@ def main():
     decode_s = time.time() - t0
 
     print(json.dumps({
-        "metric": "e2e_sec_per_video_wan1.3b_832x480x81f_30steps",
+        "metric": f"e2e_sec_per_video_wan1.3b_{tier}_832x480x81f_30steps",
         "value": round(denoise_30 + decode_s, 2),
         "unit": "s",
         "vs_baseline": None,
     }))
     print(json.dumps({
+        "tier": tier,
         "denoise_steps_per_sec": round(steps_per_sec, 3),
         "denoise_30steps_s": round(denoise_30, 2),
+        "tokens_per_sec": round(n_tokens * 2 * steps_per_sec, 0),
+        "mfu_bf16_pct": round(mfu * 100, 1),
         "vae_decode_s": round(decode_s, 3),
         "compile_s": round(compile_s + decode_compile_s, 1),
-        "tokens": f_lat * (h_lat // 2) * (w_lat // 2),
+        "tokens": n_tokens,
     }))
 
 

@@ -171,11 +171,11 @@ def init_params(key: jax.Array, cfg: LTXTransformerConfig) -> dict:
 
 def _apply_linear(p, x, accum=jnp.float32):
     if "w_int8_dyn" in p:
-        # dynamic-activation int8: int8xint8 MXU (ops/quant.py; the fast
-        # quantized tier — ~11% over bf16 at LTX-2B shape on v5e)
-        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul
+        # dynamic-activation int8: fused Pallas act-quant + s8xs8 MXU
+        # kernel on TPU, XLA path elsewhere (ops/quant.py dispatch)
+        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul_dispatch
 
-        return int8_dynamic_matmul(
+        return int8_dynamic_matmul_dispatch(
             x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
         )
     if "w_int8" in p:
@@ -438,6 +438,9 @@ def forward(
         d,
         theta=cfg.positional_embedding_theta,
         max_pos=cfg.positional_embedding_max_pos,
+        # one entry per rotation pair: halves the fp32 table bytes the
+        # per-step graph materializes and reads (x2 applies x layers)
+        half_layout=(d % 6) % 2 == 0,
     )
 
     if skip_layer_mask is None:

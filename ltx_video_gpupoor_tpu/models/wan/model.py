@@ -221,9 +221,9 @@ def init_params(key: jax.Array, cfg: WanConfig) -> dict:
 
 def _apply(p, x):
     if "w_int8_dyn" in p:
-        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul
+        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul_dispatch
 
-        return int8_dynamic_matmul(
+        return int8_dynamic_matmul_dispatch(
             x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
         )
     if "w_int8" in p:

@@ -114,6 +114,32 @@ def int8_wo_matmul(
     return y
 
 
+def int8_dynamic_matmul_dispatch(
+    x: jax.Array, q: QuantizedLinear, bias: jax.Array | None = None
+) -> jax.Array:
+    """Dynamic-int8 linear: opt-in fused Pallas kernel on TPU (act-quant +
+    s8xs8 MXU dot + dequant epilogue in one program — see
+    ops/int8_matmul.py; numerics pinned by tests/test_int8_matmul.py),
+    XLA path otherwise. Opt-in (LTXV_TPU_FUSED_INT8=1) because measured
+    v5e rates so far do NOT beat XLA's in-graph overlap of the unfused
+    chain (~70 vs ~72 TF/s standalone; XLA reaches ~190 effective when
+    several dots share a graph)."""
+    import os
+
+    if (
+        os.environ.get("LTXV_TPU_FUSED_INT8")
+        and jax.default_backend() == "tpu"
+        and q.w_int8.shape[1] % 256 == 0
+    ):
+        from .int8_matmul import int8_dynamic_matmul_fused
+
+        return int8_dynamic_matmul_fused(
+            x, q.w_int8, q.scale,
+            None if bias is None else bias,
+        )
+    return int8_dynamic_matmul(x, q, bias)
+
+
 def int8_dynamic_matmul(
     x: jax.Array, q: QuantizedLinear, bias: jax.Array | None = None
 ) -> jax.Array:

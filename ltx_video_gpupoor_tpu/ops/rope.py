@@ -42,9 +42,22 @@ def rotate_pairs(x: jax.Array) -> jax.Array:
 
 
 def apply_rotary_emb(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Apply interleaved-pair RoPE. ``cos``/``sin`` broadcast against ``x``
-    and are already pair-duplicated to the last dim of ``x``."""
+    """Apply interleaved-pair RoPE.
+
+    ``cos``/``sin`` broadcast against ``x`` in either layout:
+    - pair-duplicated to the last dim of ``x`` (the reference's layout), or
+    - HALF width (one entry per rotation pair): same math with half the
+      fp32 table traffic — the hot path when tables are built in-graph
+      per step (see :func:`ltx_freqs_cis` ``half_layout``).
+    """
     dtype = x.dtype
+    if cos.shape[-1] * 2 == x.shape[-1]:
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        a, b = xf[..., 0], xf[..., 1]
+        out = jnp.stack(
+            [a * cos - b * sin, b * cos + a * sin], axis=-1
+        ).reshape(x.shape)
+        return out.astype(dtype)
     xf = x.astype(jnp.float32)
     out = xf * cos + rotate_pairs(xf) * sin
     return out.astype(dtype)
@@ -65,6 +78,7 @@ def ltx_freqs_cis(
     theta: float = 10000.0,
     max_pos: Sequence[int] = (20, 2048, 2048),
     spacing: str = "exp",
+    half_layout: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fractional 3D RoPE tables.
 
@@ -72,8 +86,13 @@ def ltx_freqs_cis(
       indices_grid: ``[B, 3, S]`` per-token (frame, y, x) latent coordinates
         (possibly fractional — conditioning tokens may sit off-grid).
       dim: model inner dim (frequencies span ``dim // 6`` per axis-pair).
+      half_layout: return ``[B, S, dim/2]`` tables (one entry per rotation
+        pair, consumed by :func:`apply_rotary_emb`'s half path) instead of
+        the reference's pair-duplicated ``[B, S, dim]`` — identical math,
+        half the fp32 table bytes per step.
     Returns:
-      ``(cos, sin)`` each ``[B, S, dim]`` fp32.
+      ``(cos, sin)`` each ``[B, S, dim]`` fp32 (``dim/2`` when
+      ``half_layout``).
     """
     fractional = jnp.stack(
         [indices_grid[:, i].astype(jnp.float32) / max_pos[i] for i in range(3)],
@@ -110,9 +129,21 @@ def ltx_freqs_cis(
             * (fractional[:, :, None, :] * 2 - 1)
         ).reshape(*fractional.shape[:2], -1)
 
+    pad = dim % 6
+    if half_layout:
+        assert pad % 2 == 0, "half layout needs a pair-aligned pad"
+        cos = jnp.cos(freqs)
+        sin = jnp.sin(freqs)
+        if pad:
+            cos = jnp.concatenate(
+                [jnp.ones_like(cos[..., :pad // 2]), cos], axis=-1
+            )
+            sin = jnp.concatenate(
+                [jnp.zeros_like(sin[..., :pad // 2]), sin], axis=-1
+            )
+        return cos, sin
     cos = _interleave2(jnp.cos(freqs))
     sin = _interleave2(jnp.sin(freqs))
-    pad = dim % 6
     if pad:
         cos = jnp.concatenate([jnp.ones_like(cos[..., :pad]), cos], axis=-1)
         sin = jnp.concatenate([jnp.zeros_like(sin[..., :pad]), sin], axis=-1)

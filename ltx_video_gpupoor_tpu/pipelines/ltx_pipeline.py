@@ -614,6 +614,8 @@ class LTXPipeline:
         interrupt_flag=None,
         progress_callback=None,
     ):
+        from ..utils.observability import stage as _stage
+
         key = key if key is not None else jax.random.key(0)
         f_lat, h_lat, w_lat = self.latent_shape(height, width, num_frames)
         c = self.transformer_cfg.in_channels
@@ -644,10 +646,11 @@ class LTXPipeline:
         cond_mask_grid = jnp.zeros((1, f_lat, h_lat, w_lat), jnp.float32)
         extras = []
         if conditioning_items:
-            cond_latents, cond_mask_grid, extras = prepare_conditioning(
-                jnp.zeros((1, f_lat, h_lat, w_lat, c), jnp.float32),
-                conditioning_items, self.vae_params, self.vae_cfg,
-            )
+            with _stage("cond_encode", sync=lambda: cond_latents):
+                cond_latents, cond_mask_grid, extras = prepare_conditioning(
+                    jnp.zeros((1, f_lat, h_lat, w_lat, c), jnp.float32),
+                    conditioning_items, self.vae_params, self.vae_cfg,
+                )
             # lerp(noised init, clean conditioning latents, strength) at the
             # conditioned positions (``pipeline_ltx_video.py:1443-1452``)
             strength = cond_mask_grid[..., None]
@@ -715,20 +718,21 @@ class LTXPipeline:
                 teacache_multiplier,
             )
 
-        latents = denoise(
-            self.transformer_params, self.transformer_cfg,
-            tokens, init_tokens, cond_mask_tokens, pixel_coords,
-            sched.timesteps, schedule, prompt_embeds, prompt_mask,
-            k_denoise, num_frame_groups=f_lat + extra_frame_groups,
-            image_cond_noise_scale=image_cond_noise_scale,
-            stochastic_sampling=stochastic_sampling,
-            attn_mode=attn_mode,
-            teacache_mask=tc_mask,
-            sp_mesh=self.sp_mesh,
-            sp_axis=self.sp_axis,
-            interrupt_flag=interrupt_flag,
-            progress_callback=progress_callback,
-        )
+        with _stage("denoise", sync=lambda: latents):
+            latents = denoise(
+                self.transformer_params, self.transformer_cfg,
+                tokens, init_tokens, cond_mask_tokens, pixel_coords,
+                sched.timesteps, schedule, prompt_embeds, prompt_mask,
+                k_denoise, num_frame_groups=f_lat + extra_frame_groups,
+                image_cond_noise_scale=image_cond_noise_scale,
+                stochastic_sampling=stochastic_sampling,
+                attn_mode=attn_mode,
+                teacache_mask=tc_mask,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
+                interrupt_flag=interrupt_flag,
+                progress_callback=progress_callback,
+            )
         if num_extra_tokens:
             # drop the extra conditioning tokens before decoding
             # (``pipeline_ltx_video.py:1240-1243`` semantics)
@@ -737,9 +741,11 @@ class LTXPipeline:
         latent_grid = patchifier.unpatchify(latents, h_lat, w_lat, c)
         if output_type == "latent":
             return latent_grid
-        return self.decode(
-            latent_grid, decode_timestep, decode_noise_scale, k_decode
-        )
+        with _stage("vae_decode", sync=lambda: px):
+            px = self.decode(
+                latent_grid, decode_timestep, decode_noise_scale, k_decode
+            )
+        return px
 
     def _decode_tiles(self, z: jax.Array) -> tuple[int, int]:
         """(z_tile, hw_tile) for this latent shape."""

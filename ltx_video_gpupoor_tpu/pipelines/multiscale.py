@@ -84,32 +84,37 @@ class MultiScalePipeline:
         x_height = int(height * self.downscale_factor)
         downscaled_height = x_height - (x_height % sf)
 
-        latents = self.pipeline.generate(
-            prompt_embeds, prompt_mask,
-            height=downscaled_height, width=downscaled_width,
-            num_frames=num_frames, key=k1, output_type="latent",
-            **first_pass, **kwargs,
-        )
+        from ..utils.observability import stage as _stage
 
-        up = upsample_latents(
-            self.upsampler_params, self.upsampler_cfg,
-            self.pipeline.vae_params["per_channel_statistics"],
-            latents,
-        )
-        up = adain_filter_latent(up, latents, factor=1.0)
+        with _stage("pass1"):
+            latents = self.pipeline.generate(
+                prompt_embeds, prompt_mask,
+                height=downscaled_height, width=downscaled_width,
+                num_frames=num_frames, key=k1, output_type="latent",
+                **first_pass, **kwargs,
+            )
+
+        with _stage("upsample_adain", sync=lambda: up):
+            up = upsample_latents(
+                self.upsampler_params, self.upsampler_cfg,
+                self.pipeline.vae_params["per_channel_statistics"],
+                latents,
+            )
+            up = adain_filter_latent(up, latents, factor=1.0)
 
         second = dict(second_pass)
         # pass 2 re-noises the upsampled latents to its first timestep
         ts2 = second.get("timesteps")
         t0 = float(ts2[0]) if ts2 is not None else None
-        result = self.pipeline.generate(
-            prompt_embeds, prompt_mask,
-            height=downscaled_height * 2, width=downscaled_width * 2,
-            num_frames=num_frames, key=k2,
-            media_latents=up, initial_timestep=t0,
-            output_type=output_type,
-            decode_timestep=decode_timestep,
-            decode_noise_scale=decode_noise_scale,
-            **second, **kwargs,
-        )
+        with _stage("pass2"):
+            result = self.pipeline.generate(
+                prompt_embeds, prompt_mask,
+                height=downscaled_height * 2, width=downscaled_width * 2,
+                num_frames=num_frames, key=k2,
+                media_latents=up, initial_timestep=t0,
+                output_type=output_type,
+                decode_timestep=decode_timestep,
+                decode_noise_scale=decode_noise_scale,
+                **second, **kwargs,
+            )
         return result

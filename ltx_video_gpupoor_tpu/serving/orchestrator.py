@@ -175,32 +175,38 @@ class LTXVideoGenerator:
         hp, wp, fp = pad_dimensions(height, width, frame_num)
         padding = media_utils.calculate_padding(height, width, hp, wp)
 
+        from ..utils.observability import stage as _stage
+
         conditioning = []
         media_video = None
-        if input_video is not None and strength < 1.0:
-            # v2v: encode the whole video, noise to `strength`, denoise from
-            # there (``prepare_latents`` media path, ``:632-710``); the
-            # encode happens per-branch at the branch's working resolution
-            media_video = media_utils.pad_media(input_video, padding)
-        elif input_video is not None:
-            item = media_utils.pad_media(input_video, padding)
-            conditioning.append(ConditioningItem(item, 0, 1.0))
-        if image_start is not None:
-            img = media_utils.prepare_conditioning_image(
-                image_start, height, width
-            )
-            conditioning.append(
-                ConditioningItem(media_utils.pad_media(img, padding), 0, 1.0)
-            )
-        if image_end is not None:
-            img = media_utils.prepare_conditioning_image(
-                image_end, height, width
-            )
-            conditioning.append(
-                ConditioningItem(
-                    media_utils.pad_media(img, padding), fp - 1, 1.0
+        with _stage("media_prep"):
+            if input_video is not None and strength < 1.0:
+                # v2v: encode the whole video, noise to `strength`, denoise
+                # from there (``prepare_latents`` media path, ``:632-710``);
+                # the encode happens per-branch at the branch's working
+                # resolution
+                media_video = media_utils.pad_media(input_video, padding)
+            elif input_video is not None:
+                item = media_utils.pad_media(input_video, padding)
+                conditioning.append(ConditioningItem(item, 0, 1.0))
+            if image_start is not None:
+                img = media_utils.prepare_conditioning_image(
+                    image_start, height, width
                 )
-            )
+                conditioning.append(
+                    ConditioningItem(
+                        media_utils.pad_media(img, padding), 0, 1.0
+                    )
+                )
+            if image_end is not None:
+                img = media_utils.prepare_conditioning_image(
+                    image_end, height, width
+                )
+                conditioning.append(
+                    ConditioningItem(
+                        media_utils.pad_media(img, padding), fp - 1, 1.0
+                    )
+                )
 
         common = dict(
             teacache_multiplier=teacache_multiplier,
@@ -305,22 +311,24 @@ class LTXVideoGenerator:
 
         if output_type == "latent":
             return result
-        frames = result[0]  # [F, H, W, 3] on device, [-1, 1]
-        if frames.shape[1] != hp or frames.shape[2] != wp:
-            # multi-scale pass 2 decodes at 2x the downscaled dims (can
-            # exceed the request); bilinear-resize back to the padded
-            # target (``pipeline_ltx_video.py:1891-1903``)
-            frames = jax.image.resize(
-                jnp.asarray(frames),
-                (frames.shape[0], hp, wp, frames.shape[3]),
-                method="bilinear",
+        with _stage("resize_quant_fetch"):
+            frames = result[0]  # [F, H, W, 3] on device, [-1, 1]
+            if frames.shape[1] != hp or frames.shape[2] != wp:
+                # multi-scale pass 2 decodes at 2x the downscaled dims (can
+                # exceed the request); bilinear-resize back to the padded
+                # target (``pipeline_ltx_video.py:1891-1903``)
+                frames = jax.image.resize(
+                    jnp.asarray(frames),
+                    (frames.shape[0], hp, wp, frames.shape[3]),
+                    method="bilinear",
+                )
+            # quantize to uint8 ON DEVICE before the host fetch: the video
+            # writer wants uint8 anyway, and fetching float32 frames moves
+            # 4x the bytes (~40 s extra at full res through this relay)
+            frames = jnp.clip(
+                (jnp.asarray(frames, jnp.float32) + 1.0) * 127.5, 0, 255
+            ).astype(jnp.uint8)
+            out = media_utils.crop_padding(
+                np.asarray(frames), padding, frame_num
             )
-        # quantize to uint8 ON DEVICE before the host fetch: the video
-        # writer wants uint8 anyway, and fetching float32 frames moves 4x
-        # the bytes (~40 s extra at full res through this relay)
-        frames = jnp.clip(
-            (jnp.asarray(frames, jnp.float32) + 1.0) * 127.5, 0, 255
-        ).astype(jnp.uint8)
-        return media_utils.crop_padding(
-            np.asarray(frames), padding, frame_num
-        )
+        return out

@@ -30,6 +30,67 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+# ---------------------------------------------------------------------------
+# Ambient stage collection
+#
+# Pipelines mark their phases with ``stage("denoise")``; the marks are
+# no-ops unless a caller wraps the request in ``collect_stages(timer)``
+# (the serving stage-breakdown tool does). Nested stages record
+# slash-joined names ("pass1/denoise").
+# ---------------------------------------------------------------------------
+
+_collect_lock = threading.Lock()
+_active_timer: "StageTimer | None" = None
+_prefix: list[str] = []
+
+
+@contextlib.contextmanager
+def collect_stages(timer: "StageTimer") -> Iterator[None]:
+    global _active_timer
+    with _collect_lock:  # one collector at a time (tooling, not serving)
+        _active_timer = timer
+        _prefix.clear()
+        try:
+            yield
+        finally:
+            _active_timer = None
+
+
+@contextlib.contextmanager
+def stage(name: str, sync=None) -> Iterator[None]:
+    """Time a pipeline phase when a collector is active (no-op otherwise).
+
+    ``sync``: optional zero-arg callable returning a device array; called
+    on exit and synced with a one-element host fetch so the stage's async
+    dispatches are actually attributed to it (``block_until_ready`` is
+    unreliable through the relay).
+    """
+    if _active_timer is None:
+        yield
+        return
+    _prefix.append(name)
+    full = "/".join(_prefix)
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync is not None:
+            import numpy as np
+
+            arr = sync()
+            if arr is not None:
+                np.asarray(arr).reshape(-1)[:1]  # host fetch = device sync
+        dt = time.perf_counter() - t0
+        _prefix.pop()
+        tm = _active_timer
+        if tm is not None:
+            # rows are inclusive; nested names ("pass1/denoise") let the
+            # reader/tooling attribute parent time to children
+            if full not in tm.stages:
+                tm._order.append(full)
+            tm.stages[full] = tm.stages.get(full, 0.0) + dt
+
+
 class StageTimer:
     """Wall-clock stage timing; blocks on device results per stage so the
     numbers mean what they say."""
