@@ -44,6 +44,11 @@ class InferenceService:
         if model is None:
             model = self._load_from_env()
         self.model = model
+        # pre-compile serving shapes (persistent compile cache makes this
+        # a disk load on every process after the first) — LTXV_TPU_WARMUP
+        from .warmup import start_background_warmup
+
+        self._warmup_thread = start_background_warmup(model.generator)
 
     @staticmethod
     def _load_from_env():

@@ -1,0 +1,86 @@
+"""Serving warmup: pre-compile the hot programs for known shapes.
+
+Cold serving previously paid minutes of XLA compilation on the first
+request (denoise scan, upsampler, tiled VAE decode, uint8 quantize).
+Together with the persistent compilation cache
+(``core/compile_cache.py``) this module amortizes that: at startup the
+server runs one tiny-step generation per configured resolution bucket in
+a background thread, so every program is compiled (first process) or
+deserialized from the on-disk cache (every later process) before the
+first real request lands.
+
+Env:
+- ``LTXV_TPU_WARMUP``: comma-separated ``WxHxF`` buckets, ``default`` for
+  the standard serving shape, or ``off`` (default: ``default``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BUCKET = (704, 480, 121)
+
+
+def warmup_shapes(generator, buckets=None, i2v: bool = True) -> float:
+    """Compile the serving programs for each ``(W, H, F)`` bucket by
+    running a 1-step generation (compile time dominates; the single step
+    is negligible). Returns elapsed seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    buckets = list(buckets or [DEFAULT_BUCKET])
+    t0 = time.time()
+    cap = generator.pipeline.transformer_cfg.caption_channels
+    emb = jnp.zeros((2, 128, cap), jnp.bfloat16)
+    mask = jnp.ones((2, 128), jnp.int32)
+    for w, h, f in buckets:
+        img = None
+        if i2v:
+            img = np.zeros((h, w, 3), np.uint8)
+        try:
+            generator.generate(
+                emb, mask, height=h, width=w, frame_num=f,
+                image_start=img, sampling_steps=1, seed=0,
+            )
+            logger.info("warmup %dx%dx%df done (%.1f s elapsed)",
+                        w, h, f, time.time() - t0)
+        except Exception as e:  # warmup must never take the server down
+            logger.warning("warmup %dx%dx%df failed: %s", w, h, f, e)
+    return time.time() - t0
+
+
+def parse_buckets(spec: str):
+    """``"704x480x121,512x512x57"`` -> [(704, 480, 121), (512, 512, 57)];
+    ``"default"`` -> [DEFAULT_BUCKET]; ``"off"``/empty -> []."""
+    spec = (spec or "").strip().lower()
+    if not spec or spec in ("off", "0", "false", "none"):
+        return []
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if part == "default":
+            out.append(DEFAULT_BUCKET)
+            continue
+        w, h, f = (int(x) for x in part.split("x"))
+        out.append((w, h, f))
+    return out
+
+
+def start_background_warmup(generator) -> threading.Thread | None:
+    """Kick off warmup per ``LTXV_TPU_WARMUP`` without blocking startup."""
+    buckets = parse_buckets(os.environ.get("LTXV_TPU_WARMUP", "default"))
+    if not buckets:
+        return None
+    th = threading.Thread(
+        target=warmup_shapes, args=(generator, buckets),
+        name="ltxv-warmup", daemon=True,
+    )
+    th.start()
+    return th

@@ -1,0 +1,41 @@
+"""Serving warmup plumbing (serving/warmup.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_video_gpupoor_tpu.serving import model_zoo
+from ltx_video_gpupoor_tpu.serving.warmup import (
+    parse_buckets,
+    warmup_shapes,
+)
+
+
+def test_parse_buckets():
+    assert parse_buckets("default") == [(704, 480, 121)]
+    assert parse_buckets("704x480x121,512x512x57") == [
+        (704, 480, 121), (512, 512, 57),
+    ]
+    assert parse_buckets("off") == []
+    assert parse_buckets("") == []
+    assert parse_buckets("0") == []
+
+
+def test_warmup_runs_generation_for_bucket():
+    model = model_zoo.build_demo_model()
+    elapsed = warmup_shapes(model.generator, [(64, 64, 9)])
+    assert elapsed > 0
+    # after warmup a real request at the same shape reuses the programs
+    emb = jnp.zeros((2, 16, 32), jnp.bfloat16)
+    mask = jnp.ones((2, 16), jnp.int32)
+    frames = model.generator.generate(
+        emb, mask, height=64, width=64, frame_num=9, sampling_steps=2,
+        seed=1,
+    )
+    assert isinstance(frames, np.ndarray) and frames.shape[0] == 9
+
+
+def test_warmup_survives_bad_bucket():
+    model = model_zoo.build_demo_model()
+    # 0 frames is invalid; warmup logs and continues instead of raising
+    elapsed = warmup_shapes(model.generator, [(64, 63, 0)])
+    assert elapsed >= 0
