@@ -15,6 +15,9 @@ Tiers (env, mirroring bench.py):
   speed knob, ``model.py:854-899``).
 - BENCH_SCORE_BOUND=<b>: opt-in bounded-score attention tier (validated
   by tools/check_tpu_parity.py --stress).
+- BENCH_ATTENTION=<mode>: force the attention kernel tier (e.g.
+  ``pallas_int8pv`` — the sage2-equivalent int8 QKxPV path, a measured
+  win at d=128).
 
 Prints ONE JSON line like bench.py; run directly: ``python bench_wan.py``.
 """
@@ -62,6 +65,11 @@ def main():
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
+    am = os.environ.get("BENCH_ATTENTION")
+    if am:
+        from ltx_video_gpupoor_tpu.ops.attention import set_attention_mode
+
+        set_attention_mode(am)
     f_lat = (FRAMES - 1) // 4 + 1
     h_lat, w_lat = HEIGHT // 8, WIDTH // 8
     n_tokens = f_lat * (h_lat // 2) * (w_lat // 2)
@@ -78,6 +86,8 @@ def main():
         tier = "int8_dyn"
     if sb:
         tier += f"+bound{sb}"
+    if am:
+        tier += f"+{am}"
 
     x = jax.random.normal(
         key, (1, f_lat, h_lat, w_lat, cfg.in_dim), jnp.bfloat16

@@ -18,7 +18,8 @@ import jax
 from .flash_attention import flash_attention, reference_attention
 from .padding import pad_axis, round_up, unpad_axis
 
-AttentionMode = Literal["auto", "pallas", "pallas_int8", "xla"]
+AttentionMode = Literal["auto", "pallas", "pallas_int8", "pallas_int8pv",
+                        "xla"]
 
 _FORCED_MODE: AttentionMode = "auto"
 
@@ -44,7 +45,7 @@ def set_attention_mode(mode: AttentionMode) -> None:
     CLI flag / sage tiers, ``/root/reference/inference.py:87-93, 592``).
     ``pallas_int8`` is the SageAttention-equivalent int8-QK tier."""
     global _FORCED_MODE
-    if mode not in ("auto", "pallas", "pallas_int8", "xla"):
+    if mode not in ("auto", "pallas", "pallas_int8", "pallas_int8pv", "xla"):
         raise ValueError(f"unknown attention mode {mode!r}")
     _FORCED_MODE = mode
 
@@ -113,9 +114,16 @@ def attention(
         k = pad_axis(k, 2, 128)
         v = pad_axis(v, 2, 128)
         kv_valid = skv if skv_p != skv else None
+    pv_int8 = mode == "pallas_int8pv" and d % 128 == 0
+    if pv_int8:
+        # int8 P needs the online running max (a fixed exponent offset
+        # would zero low-max rows); the tier subsumes the bounded path.
+        score_bound = None
     out = flash_attention(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
-        kv_valid=kv_valid, qk_int8=(mode == "pallas_int8"),
+        kv_valid=kv_valid,
+        qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
+        pv_int8=pv_int8,
         score_bound=score_bound,
     )
     return unpad_axis(out, 2, sq)

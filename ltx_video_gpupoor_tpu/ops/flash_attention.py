@@ -39,14 +39,18 @@ NEG_INF = -1e30
 # fully-masked rows need no special-casing in the inner loop.
 M_FLOOR = -1e20
 LOG2E = 1.4426950408889634
+LOG2_127 = 6.9886846867721655  # log2(127) — the int8-PV exponent fold
 
 
 def _flash_kernel(
-    q_ref,       # [1, 1, Bq, D]
-    k_ref,       # [1, 1, Bkv, D]
-    v_ref,       # [1, 1, Bkv, D] — or [1, 1, Bkv, Dp] when sum_col (see below)
+    q_ref,       # [1, 1, Bq, D]   bf16 — or int8 when qk_int8
+    k_ref,       # [1, 1, Bkv, D]  bf16 — or int8 when qk_int8
+    v_ref,       # [1, 1, Bkv, D(p)] bf16 — int8 when pv_int8; Dp when sum_col
     qseg_ref,    # [1, 1, Bq]  (int32) or None
     kseg_ref,    # [1, 1, Bkv] (int32) or None
+    qs_ref,      # [1, 1, 1, Bq]  (fp32, per-row q scales x softmax scale)
+    ks_ref,      # [1, 1, 1, Bkv] (fp32, per-row k scales) or None
+    vs_ref,      # [1, 1, 1, D]   (fp32, per-channel v scales / 127) or None
     o_ref,       # [1, 1, Bq, D]
     m_scratch,   # [Bq, 128] fp32
     l_scratch,   # [Bq, 128] fp32 (unused when sum_col — l lives in acc)
@@ -60,6 +64,7 @@ def _flash_kernel(
     use_segments: bool,
     kv_valid: int | None = None,
     qk_int8: bool = False,
+    pv_int8: bool = False,
     sum_col: int | None = None,
     score_bound: float | None = None,
 ):
@@ -85,25 +90,26 @@ def _flash_kernel(
         # of touching the [Bq, Bkv] scores tile per element.
         c = scale * LOG2E
         if qk_int8:
-            # SageAttention-style tier: per-row symmetric int8 quantization
-            # of Q/K inside the kernel, int8 MXU matmul (2x bf16 rate),
-            # fp32 rescale (scale folded into the q-row scales — per-row
-            # quantization is scale-invariant). Accuracy ~1e-2 on scores.
-            qf = q_ref[0, 0].astype(jnp.float32)
-            kf = k_ref[0, 0].astype(jnp.float32)
-            q_s = jnp.maximum(
-                jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-6
-            ) / 127.0
-            k_s = jnp.maximum(
-                jnp.max(jnp.abs(kf), axis=1, keepdims=True), 1e-6
-            ) / 127.0
-            q_i8 = jnp.round(qf / q_s).astype(jnp.int8)
-            k_i8 = jnp.round(kf / k_s).astype(jnp.int8)
+            # SageAttention2-style tier (sage2_core.py:71-145 equivalent):
+            # Q/K arrive PRE-quantized to symmetric int8 (done once outside
+            # the kernel, not per kv block), int8 MXU matmul (2x bf16 rate),
+            # fp32 rescale. The softmax scale (x log2e) is folded into the q
+            # row scales — per-row quantization is scale-invariant.
             s32 = jax.lax.dot_general(
-                q_i8, k_i8, (((1,), (1,)), ((), ())),
+                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            s = s32.astype(jnp.float32) * ((q_s * c) * k_s[:, 0][None, :])
+            if pv_int8:
+                # fast tier: K carries ONE scale per kv block (sage2's
+                # per-block granularity, sage2_core.py:148+) read off SMEM,
+                # so the rescale is a single column-broadcast FMA instead
+                # of two row x column passes over the score tile.
+                s = s32.astype(jnp.float32) * (
+                    qs_ref[0, 0, 0][:, None] * ks_ref[0, 0, 0, kv_idx]
+                )
+            else:
+                s = (s32.astype(jnp.float32)
+                     * qs_ref[0, 0, 0][:, None]) * ks_ref[0, 0, 0][None, :]
         else:
             qs = (q_ref[0, 0].astype(jnp.float32) * c).astype(q_ref.dtype)
             s = jax.lax.dot_general(
@@ -134,6 +140,28 @@ def _flash_kernel(
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
 
+        def _pv(p):
+            if pv_int8:
+                # int8-PV tier (the TPU analogue of sage2's fp8-PV): p
+                # arrives already in x127 units (the x127 was folded into
+                # the exp2 exponent — zero extra VPU passes), so the int8
+                # cast is a plain round. v is pre-quantized per-channel
+                # outside the kernel; vs carries v_scale/127, and the x127
+                # here restores plain v_scale so acc stays in the same x127
+                # units as l (the ratio o = acc/l cancels it exactly).
+                p8 = jnp.round(p).astype(jnp.int8)
+                pv32 = jax.lax.dot_general(
+                    p8, v_ref[0, 0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return pv32.astype(jnp.float32) * (
+                    vs_ref[0, 0, 0][None, :] * 127.0
+                )
+            return jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
         if score_bound is not None:
             # Bounded-score fast path (qk-normed attention): softmax with a
             # FIXED exponent offset instead of the online running max — the
@@ -150,12 +178,7 @@ def _flash_kernel(
                 l_scratch[:, 0:1] = (
                     l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
                 )
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                   # [Bq, D(p)]
-            acc_scratch[...] = acc_scratch[...] + pv
+            acc_scratch[...] = acc_scratch[...] + _pv(p)        # [Bq, D(p)]
             return
 
         # Online softmax in scaled-score space (scale pre-folded into q):
@@ -164,26 +187,24 @@ def _flash_kernel(
         m_prev = m_scratch[:, 0:1]                              # [Bq, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)               # [Bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)                      # >= M_FLOOR
-        p = jnp.exp2(s - m_new)                                 # [Bq, Bkv]
+        if pv_int8:
+            # x127 fold: p (and hence l and acc) live in x127 units, putting
+            # block-local p on the full int8 grid for free — the shift rides
+            # the [Bq, 1] exponent offset, not the [Bq, Bkv] tile.
+            p = jnp.exp2(s - (m_new - LOG2_127))                # [Bq, Bkv]
+        else:
+            p = jnp.exp2(s - m_new)                             # [Bq, Bkv]
         alpha = jnp.exp2(m_prev - m_new)                        # [Bq, 1]
         if sum_col is not None:
             # v carries a ones column at index `sum_col` (head_dim not a
             # lane-tile multiple -> the wider PV matmul is free on the MXU):
             # column sum_col of acc accumulates exactly the softmax
             # denominator l, replacing the VPU cross-lane row-sum.
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                   # [Bq, Dp]
-            acc_scratch[...] = acc_scratch[...] * alpha + pv
+            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p)  # [Bq, Dp]
         else:
             l_new = (alpha * l_scratch[:, 0:1]
                      + jnp.sum(p, axis=1, keepdims=True))
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                   # [Bq, D]
-            acc_scratch[...] = acc_scratch[...] * alpha + pv
+            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p)  # [Bq, D]
             l_scratch[:, 0:1] = l_new
         m_scratch[:, 0:1] = m_new
 
@@ -223,7 +244,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
-        "qk_int8", "score_bound",
+        "qk_int8", "pv_int8", "score_bound",
     ),
 )
 def flash_attention(
@@ -240,6 +261,7 @@ def flash_attention(
     interpret: bool = False,
     kv_valid: int | None = None,
     qk_int8: bool = False,
+    pv_int8: bool = False,
     score_bound: float | None = None,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
@@ -274,6 +296,48 @@ def flash_attention(
     use_segments = q_segment_ids is not None
     if use_segments and kv_segment_ids is None:
         raise ValueError("q_segment_ids given without kv_segment_ids")
+
+    # int8 tiers: quantize ONCE here (XLA fuses this O(S*D) pass into the
+    # producing ops) rather than per kv-block inside the kernel — the
+    # sage2 layout (quant wrappers around the kernel, sage2_core.py:148+).
+    orig_dtype = q.dtype
+    q_scale = k_scale = v_scale = None
+    if pv_int8 and score_bound is not None:
+        # A fixed exponent offset is incompatible with int8 P: every row
+        # whose max score sits well below the bound (the normal case on
+        # trained weights) would quantize its whole p row to zero. The
+        # online running max keeps block-local p on the full int8 grid.
+        raise ValueError("pv_int8 requires the online-softmax path; "
+                         "drop score_bound")
+    if qk_int8:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1), 1e-6) / 127.0
+        q = jnp.round(qf / q_s[..., None]).astype(jnp.int8)
+        q_scale = q_s * (scale * LOG2E)        # fold softmax scale (exp2)
+        if pv_int8:
+            # fast tier: per-kv-block k scales — the in-kernel rescale
+            # collapses to a single column-broadcast FMA (sage2's per-block
+            # granularity)
+            nkv = skv // block_kv
+            kb = kf.reshape(b, h, nkv, block_kv, d)
+            k_s = jnp.maximum(
+                jnp.max(jnp.abs(kb), axis=(3, 4)), 1e-6
+            ) / 127.0                                          # [B,H,nkv]
+            k = jnp.round(
+                kb / k_s[:, :, :, None, None]
+            ).astype(jnp.int8).reshape(b, h, skv, d)
+        else:
+            k_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-6) / 127.0
+            k = jnp.round(kf / k_s[..., None]).astype(jnp.int8)
+        k_scale = k_s
+    if pv_int8:
+        if d % 128:
+            raise ValueError("pv_int8 requires head_dim % 128 == 0")
+        vf = v.astype(jnp.float32)
+        v_s = jnp.maximum(jnp.max(jnp.abs(vf), axis=2), 1e-6) / 127.0
+        v = jnp.round(vf / v_s[:, :, None, :]).astype(jnp.int8)
+        v_scale = v_s / 127.0                  # also folds the p8 scale
 
     num_q_blocks = sq // block_q
     num_kv_blocks = skv // block_kv
@@ -326,6 +390,41 @@ def flash_attention(
             q_segment_ids.astype(jnp.int32)[:, None, :],
             kv_segment_ids.astype(jnp.int32)[:, None, :],
         ]
+    # Per-head scale vectors ride as [B, H, 1, S] / [B, H, 1, D] — the
+    # dummy second-minor axis keeps the block tile-legal on TPU.
+    if qk_int8:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, block_q), lambda b_, h_, i, j: (b_, h_, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        if pv_int8:
+            # per-block scales: the whole [nkv] vector rides in SMEM; the
+            # kernel reads the kv_idx'th scalar on the scalar core
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, skv // block_kv),
+                    lambda b_, h_, i, j: (b_, h_, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, block_kv), lambda b_, h_, i, j: (b_, h_, 0, j),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        args += [q_scale[:, :, None, :], k_scale[:, :, None, :]]
+    if pv_int8:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, dv), lambda b_, h_, i, j: (b_, h_, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(v_scale[:, :, None, :])
     base = functools.partial(
         _flash_kernel,
         scale=float(scale),
@@ -336,14 +435,20 @@ def flash_attention(
         use_segments=use_segments,
         kv_valid=kv_valid,
         qk_int8=qk_int8,
+        pv_int8=pv_int8,
         sum_col=sum_col,
         score_bound=score_bound,
     )
-    if use_segments:
-        kernel = base
-    else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
-            return base(q_ref, k_ref, v_ref, None, None, o_ref, m_s, l_s, acc_s)
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        qseg = next(it) if use_segments else None
+        kseg = next(it) if use_segments else None
+        qs = next(it) if qk_int8 else None
+        ks = next(it) if qk_int8 else None
+        vs = next(it) if pv_int8 else None
+        return base(q_r, k_r, v_r, qseg, kseg, qs, ks, vs, *it)
 
     return pl.pallas_call(
         kernel,
@@ -353,7 +458,7 @@ def flash_attention(
             (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, orig_dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),

@@ -155,6 +155,76 @@ def test_int8_qk_tier_close_to_fp():
     assert err < 0.02, err
 
 
+def test_int8_pv_tier_close_to_fp():
+    """int8-PV tier (TPU analogue of sage2's fp8-PV,
+    /root/reference/wan/modules/sage2_core.py:71-145): p quantized at the
+    fixed [0,1] scale, v per-channel — small accuracy cost only."""
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    b, h, s, d = 1, 2, 256, 128
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, qk_int8=True, pv_int8=True,
+                          interpret=True)
+    ref = reference_attention(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.03, err
+
+
+def test_int8_pv_requires_lane_multiple_head_dim():
+    q = jnp.zeros((1, 1, 128, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="pv_int8"):
+        flash_attention(q, q, q, pv_int8=True, interpret=True)
+
+
+def test_int8_qk_with_segments_matches_reference():
+    """Pre-kernel quantization composes with varlen segment masking."""
+    k1, k2, k3 = jax.random.split(jax.random.key(9), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    seg = jnp.asarray(
+        np.where(np.arange(s) < 200, 1, 0)[None, :], jnp.int32
+    )
+    out = flash_attention(q, k, v, seg, seg, qk_int8=True, interpret=True)
+    ref = reference_attention(q, k, v, seg, seg)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.02, err
+
+
+def test_int8pv_with_kv_tail_close_to_fp():
+    """The full int8 tier (int8 QK with per-block K scales + int8 PV with
+    the x127 scale folded into the online-softmax exponent) stays close to
+    the exact oracle, including a kv tail mask."""
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    b, h, s, d = 1, 2, 384, 128
+    valid = 300
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(
+        q, k, v, qk_int8=True, pv_int8=True,
+        kv_valid=valid, interpret=True,
+    )
+    kv_seg = jnp.asarray(
+        np.where(np.arange(s) < valid, 1, 0)[None, :], jnp.int32
+    )
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ref = reference_attention(q, k, v, q_seg, kv_seg)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.03, err
+
+
+def test_int8pv_rejects_score_bound():
+    """A fixed exponent offset would zero whole p rows under int8 — the
+    combination must be rejected, not silently wrong."""
+    q = jnp.zeros((1, 1, 128, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="pv_int8"):
+        flash_attention(q, q, q, score_bound=20.0, qk_int8=True,
+                        pv_int8=True, interpret=True)
+
+
 def test_parse_sp_modes():
     from ltx_video_gpupoor_tpu.ops.attention import parse_sp
 
