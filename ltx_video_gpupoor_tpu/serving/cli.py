@@ -170,6 +170,11 @@ def infer(args) -> str:
     if args.video_source:
         input_video = media_utils.load_video(args.video_source)
 
+    from ..utils import native_codec
+
+    # planar-YUV420 fetch halves the host-transfer bytes when the native
+    # writer can consume the planes directly
+    out_type = "yuv420" if native_codec.available() else "pixels"
     frames = gen.generate(
         embeds, mask,
         height=args.height, width=args.width,
@@ -183,13 +188,17 @@ def infer(args) -> str:
         teacache_multiplier=args.teacache,
         sampling_steps=args.num_inference_steps,
         strength=args.strength,
+        output_type=out_type,
     )
 
     out_path = args.output_path
     if out_path is None:
         os.makedirs("outputs", exist_ok=True)
         out_path = os.path.join("outputs", f"video_{int(time.time())}.mp4")
-    media_utils.save_video(np.asarray(frames), out_path, fps=args.frame_rate)
+    media_utils.save_video(
+        frames if isinstance(frames, tuple) else np.asarray(frames),
+        out_path, fps=args.frame_rate,
+    )
     print(out_path)
     return out_path
 

@@ -32,6 +32,25 @@ from ..utils import resolution
 
 logger = logging.getLogger(__name__)
 
+@jax.jit
+def _rgb_to_yuv420(frames: jax.Array):
+    """[F, H, W, 3] float in [-1, 1] -> planar YUV420 uint8 (BT.601
+    limited range, swscale's default for RGB24->YUV420P). Runs on device
+    so the host fetch moves 1.5 bytes/px instead of 3."""
+    rgb = (frames.astype(jnp.float32) + 1.0) * 0.5
+    m = jnp.array(
+        [[65.481, -37.797, 112.0],
+         [128.553, -74.203, -93.786],
+         [24.966, 112.0, -18.214]], jnp.float32,
+    )
+    yuv = rgb @ m + jnp.array([16.0, 128.0, 128.0], jnp.float32)
+    y = jnp.clip(jnp.round(yuv[..., 0]), 0, 255).astype(jnp.uint8)
+    f, h, w = y.shape
+    c = yuv[..., 1:].reshape(f, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4))
+    c = jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint8)
+    return y, c[..., 0], c[..., 1]
+
+
 STG_MODES = {
     "attention_values": SkipLayerStrategy.AttentionValues,
     "stg_av": SkipLayerStrategy.AttentionValues,
@@ -143,6 +162,11 @@ class LTXVideoGenerator:
           on device so the host fetch moves 1/4 the bytes of float32
           (callers that previously scaled ``(x + 1) * 127.5`` themselves
           must not: frames are already display-ready).
+          ``output_type="yuv420"``: tuple of host uint8 planes
+          ``(y [F,H,W], u [F,H/2,W/2], v [F,H/2,W/2])`` (BT.601), fetched
+          at 1.5 bytes/px for the native mp4 writer
+          (``media.save_video`` accepts the tuple directly); falls back
+          to uint8 RGB when the target dims are odd.
           ``output_type="latent"``: device array of pass-output latents
           in ``[-1, 1]``-era float space (un-normalized latent grid).
         """
@@ -322,13 +346,25 @@ class LTXVideoGenerator:
                     (frames.shape[0], hp, wp, frames.shape[3]),
                     method="bilinear",
                 )
+            # crop padding ON DEVICE (a free slice) so the fetch moves
+            # only requested pixels
+            left, right, top, bottom = padding
+            frames = jnp.asarray(frames)[
+                :frame_num,
+                top: hp - bottom if bottom else hp,
+                left: wp - right if right else wp,
+            ]
+            if output_type == "yuv420" and height % 2 == 0 and width % 2 == 0:
+                # planar YUV420 fetch: half the bytes of uint8 RGB; the
+                # native mp4 writer takes the planes directly
+                # (media.save_video / native_codec.write_mp4_yuv)
+                y, u, v = _rgb_to_yuv420(frames)
+                return (np.asarray(y), np.asarray(u), np.asarray(v))
             # quantize to uint8 ON DEVICE before the host fetch: the video
             # writer wants uint8 anyway, and fetching float32 frames moves
             # 4x the bytes (~40 s extra at full res through this relay)
             frames = jnp.clip(
-                (jnp.asarray(frames, jnp.float32) + 1.0) * 127.5, 0, 255
+                (frames.astype(jnp.float32) + 1.0) * 127.5, 0, 255
             ).astype(jnp.uint8)
-            out = media_utils.crop_padding(
-                np.asarray(frames), padding, frame_num
-            )
+            out = np.asarray(frames)
         return out

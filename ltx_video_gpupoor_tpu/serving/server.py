@@ -96,6 +96,12 @@ class InferenceService:
                     data["prompt"], data["negative_prompt"], 128,
                     pipe.transformer_cfg.caption_channels,
                 )
+            from ..utils import media as media_utils
+            from ..utils import native_codec
+
+            # planar-YUV420 fetch when the native writer can take it:
+            # half the host-fetch bytes of uint8 RGB
+            out_type = "yuv420" if native_codec.available() else "pixels"
             frames = gen.generate(
                 embeds, mask,
                 height=int(data["height"]), width=int(data["width"]),
@@ -103,13 +109,13 @@ class InferenceService:
                 frame_rate=int(data["frame_rate"]),
                 sampling_steps=int(data["num_inference_steps"]),
                 image_start=image_start,
+                output_type=out_type,
             )
-            from ..utils import media as media_utils
-
             name = f"video_{uuid.uuid4().hex[:12]}.mp4"
             out_path = os.path.join(self.outputs_dir, name)
             media_utils.save_video(
-                np.asarray(frames), out_path, fps=int(data["frame_rate"])
+                frames if isinstance(frames, tuple) else np.asarray(frames),
+                out_path, fps=int(data["frame_rate"]),
             )
             url = url_root.rstrip("/") + "/download/" + name
             if os.environ.get("HTTPS", "false").lower() == "true":

@@ -177,16 +177,44 @@ def prepare_conditioning_image(
     return (img * 2.0 - 1.0)[None].astype(np.float32)
 
 
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Host inverse of the device BT.601 RGB->YUV420 (nearest chroma
+    upsample). Fallback for writers that need RGB frames."""
+    yf = (y.astype(np.float32) - 16.0) / 219.0
+    cu = (u.astype(np.float32) - 128.0) / 224.0
+    cv = (v.astype(np.float32) - 128.0) / 224.0
+    cu = cu.repeat(2, axis=1).repeat(2, axis=2)[:, : y.shape[1], : y.shape[2]]
+    cv = cv.repeat(2, axis=1).repeat(2, axis=2)[:, : y.shape[1], : y.shape[2]]
+    r = yf + 1.402 * cv
+    g = yf - 0.344136 * cu - 0.714136 * cv
+    b = yf + 1.772 * cu
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
 def save_video(
-    frames: np.ndarray,
+    frames,
     path: str,
     fps: float = 30.0,
     retries: int = 5,
 ) -> str:
     """mp4 writer with retry loop (``inference.py:215-258``).
 
-    frames: [F, H, W, 3] float in [-1, 1] or uint8.
+    frames: [F, H, W, 3] float in [-1, 1] or uint8 — or a planar-YUV420
+    tuple ``(y, u, v)`` from the orchestrator's ``output_type="yuv420"``
+    (written zero-copy by the native shim; converted back to RGB for the
+    fallback writers).
     """
+    if isinstance(frames, tuple):
+        from . import native_codec
+
+        y, u, v = frames
+        err = None
+        if native_codec.available():
+            for _ in range(retries):
+                if native_codec.write_mp4_yuv(path, y, u, v, fps=fps, crf=18):
+                    return path
+        frames = yuv420_to_rgb(y, u, v)
     if frames.dtype != np.uint8:
         frames = np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
     # Native libx264 mp4 writer (h264, like the reference's libx264 output

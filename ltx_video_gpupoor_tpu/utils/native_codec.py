@@ -71,6 +71,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_int,
     ]
     lib.h264_write_mp4.restype = ctypes.c_int
+    lib.h264_write_mp4_yuv.argtypes = [
+        ctypes.c_char_p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.h264_write_mp4_yuv.restype = ctypes.c_int
     lib.h264_read_video.argtypes = [
         ctypes.c_char_p, u8p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -112,6 +117,34 @@ def write_mp4(
     n, h, w = frames.shape[:3]
     rc = lib.h264_write_mp4(
         path.encode(), _u8p(frames), n, h, w, float(fps), int(crf)
+    )
+    return rc == 0
+
+
+def write_mp4_yuv(
+    path: str,
+    y: np.ndarray,              # [F, H, W] uint8
+    u: np.ndarray,              # [F, H/2, W/2] uint8
+    v: np.ndarray,              # [F, H/2, W/2] uint8
+    fps: float = 30.0,
+    crf: int = 18,
+) -> bool:
+    """Write planar-YUV420 frames as h264 mp4 — no host colorspace pass.
+
+    The serving path converts RGB->YUV420 on device so the host fetch
+    moves 1.5 bytes/px instead of 3 (the relay runs ~13 MB/s)."""
+    lib = _load()
+    if lib is None:
+        return False
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    u = np.ascontiguousarray(u, dtype=np.uint8)
+    v = np.ascontiguousarray(v, dtype=np.uint8)
+    n, h, w = y.shape
+    if h % 2 or w % 2 or u.shape != (n, h // 2, w // 2) or u.shape != v.shape:
+        return False
+    rc = lib.h264_write_mp4_yuv(
+        path.encode(), _u8p(y), _u8p(u), _u8p(v), n, h, w, float(fps),
+        int(crf),
     )
     return rc == 0
 

@@ -12,6 +12,10 @@
 // Exported:
 //   h264_roundtrip(rgb, h, w, crf, out_rgb)  -> 0 on success
 //   h264_write_mp4(path, rgb_frames, n, h, w, fps, crf) -> 0 on success
+//   h264_write_mp4_yuv(path, y, u, v, n, h, w, fps, crf) -> 0 on success
+//     (planar YUV420 input — skips the RGB->YUV swscale pass; used by the
+//      serving path, which converts RGB->YUV420 ON DEVICE so the
+//      host fetch moves 1.5 bytes/px instead of 3)
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -83,6 +87,26 @@ struct Encoder {
         return avcodec_send_frame(ctx, yuv);
     }
 
+    // Planar YUV420 input: tight planes (stride == width), copied
+    // row-wise into the (possibly padded) AVFrame linesizes.
+    int send_yuv(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                 int64_t pts) {
+        av_frame_make_writable(yuv);
+        const int w = ctx->width, h = ctx->height;
+        for (int r = 0; r < h; ++r)
+            memcpy(yuv->data[0] + (size_t)r * yuv->linesize[0],
+                   y + (size_t)r * w, w);
+        const int cw = w / 2, ch = h / 2;
+        for (int r = 0; r < ch; ++r) {
+            memcpy(yuv->data[1] + (size_t)r * yuv->linesize[1],
+                   u + (size_t)r * cw, cw);
+            memcpy(yuv->data[2] + (size_t)r * yuv->linesize[2],
+                   v + (size_t)r * cw, cw);
+        }
+        yuv->pts = pts;
+        return avcodec_send_frame(ctx, yuv);
+    }
+
     ~Encoder() {
         if (yuv) av_frame_free(&yuv);
         if (sws) sws_freeContext(sws);
@@ -128,6 +152,57 @@ struct Decoder {
     }
 };
 
+// Shared mp4 muxing loop; `send` submits frame i to the encoder.
+template <typename SendFrame>
+int write_mp4_impl(const char* path, int n, int h, int w, double fps,
+                   int crf, SendFrame send) {
+    AVFormatContext* fmt = nullptr;
+    if (avformat_alloc_output_context2(&fmt, nullptr, "mp4", path) < 0 ||
+        !fmt)
+        return -1;
+
+    Encoder enc;
+    int rc = enc.open(w, h, fps, crf, /*global_header=*/true);
+    if (rc) {
+        avformat_free_context(fmt);
+        return rc - 30;
+    }
+
+    AVStream* st = avformat_new_stream(fmt, nullptr);
+    if (!st) return -2;
+    st->time_base = enc.ctx->time_base;
+    avcodec_parameters_from_context(st->codecpar, enc.ctx);
+
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+        avformat_free_context(fmt);
+        return -3;
+    }
+    if (avformat_write_header(fmt, nullptr) < 0) return -4;
+
+    AVPacket* pkt = av_packet_alloc();
+    auto drain = [&]() {
+        while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
+            if (pkt->duration == 0) pkt->duration = 1;  // one tick per frame
+            av_packet_rescale_ts(pkt, enc.ctx->time_base, st->time_base);
+            pkt->stream_index = st->index;
+            av_interleaved_write_frame(fmt, pkt);
+            av_packet_unref(pkt);
+        }
+    };
+    for (int i = 0; i < n; ++i) {
+        if (send(enc, i) < 0) return -5;
+        drain();
+    }
+    avcodec_send_frame(enc.ctx, nullptr);
+    drain();
+    av_write_trailer(fmt);
+    av_packet_free(&pkt);
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -162,52 +237,25 @@ int h264_roundtrip(const uint8_t* rgb, int h, int w, int crf,
 // Write [n, h, w, 3] RGB24 frames as an h264 mp4.
 int h264_write_mp4(const char* path, const uint8_t* rgb_frames, int n,
                    int h, int w, double fps, int crf) {
-    AVFormatContext* fmt = nullptr;
-    if (avformat_alloc_output_context2(&fmt, nullptr, "mp4", path) < 0 ||
-        !fmt)
-        return -1;
-
-    Encoder enc;
-    int rc = enc.open(w, h, fps, crf, /*global_header=*/true);
-    if (rc) {
-        avformat_free_context(fmt);
-        return rc - 30;
-    }
-
-    AVStream* st = avformat_new_stream(fmt, nullptr);
-    if (!st) return -2;
-    st->time_base = enc.ctx->time_base;
-    avcodec_parameters_from_context(st->codecpar, enc.ctx);
-
-    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
-        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
-        avformat_free_context(fmt);
-        return -3;
-    }
-    if (avformat_write_header(fmt, nullptr) < 0) return -4;
-
-    AVPacket* pkt = av_packet_alloc();
-    auto drain = [&](bool) {
-        while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
-            if (pkt->duration == 0) pkt->duration = 1;  // one tick per frame
-            av_packet_rescale_ts(pkt, enc.ctx->time_base, st->time_base);
-            pkt->stream_index = st->index;
-            av_interleaved_write_frame(fmt, pkt);
-            av_packet_unref(pkt);
-        }
-    };
     const size_t fsz = (size_t)h * w * 3;
-    for (int i = 0; i < n; ++i) {
-        if (enc.send_rgb(rgb_frames + fsz * i, i) < 0) return -5;
-        drain(false);
-    }
-    avcodec_send_frame(enc.ctx, nullptr);
-    drain(true);
-    av_write_trailer(fmt);
-    av_packet_free(&pkt);
-    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
-    avformat_free_context(fmt);
-    return 0;
+    return write_mp4_impl(path, n, h, w, fps, crf,
+                          [&](Encoder& enc, int i) {
+                              return enc.send_rgb(rgb_frames + fsz * i, i);
+                          });
+}
+
+// Write planar YUV420 frames (y: [n, h, w], u/v: [n, h/2, w/2], tight
+// strides) as an h264 mp4 — no host-side colorspace conversion.
+int h264_write_mp4_yuv(const char* path, const uint8_t* y,
+                       const uint8_t* u, const uint8_t* v, int n, int h,
+                       int w, double fps, int crf) {
+    if (h % 2 || w % 2) return -40;
+    const size_t ysz = (size_t)h * w, csz = ysz / 4;
+    return write_mp4_impl(path, n, h, w, fps, crf,
+                          [&](Encoder& enc, int i) {
+                              return enc.send_yuv(y + ysz * i, u + csz * i,
+                                                  v + csz * i, i);
+                          });
 }
 
 // Decode an h264/mp4 (or anything libavformat can open) back to RGB24.

@@ -60,6 +60,73 @@ def test_write_read_mp4_h264(tmp_path):
     assert diff < 6.0
 
 
+def _to_yuv_planes(frames_rgb_u8):
+    """Reference BT.601 limited-range RGB->YUV420 on host (mirrors the
+    orchestrator's device conversion)."""
+    rgb = frames_rgb_u8.astype(np.float32) / 255.0
+    m = np.array(
+        [[65.481, -37.797, 112.0],
+         [128.553, -74.203, -93.786],
+         [24.966, 112.0, -18.214]], np.float32,
+    )
+    yuv = rgb @ m + np.array([16.0, 128.0, 128.0], np.float32)
+    y = np.clip(np.round(yuv[..., 0]), 0, 255).astype(np.uint8)
+    f, h, w = y.shape
+    c = yuv[..., 1:].reshape(f, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4))
+    c = np.clip(np.round(c), 0, 255).astype(np.uint8)
+    return y, c[..., 0], c[..., 1]
+
+
+def test_write_mp4_yuv_matches_rgb_path(tmp_path):
+    # The planar-YUV420 writer (the serving path's half-bandwidth fetch)
+    # must produce a clip that decodes close to the RGB-input path.
+    img = _smooth_image(96, 112)
+    frames = np.stack([np.roll(img, 3 * i, axis=1) for i in range(9)])
+    y, u, v = _to_yuv_planes(frames)
+    path = str(tmp_path / "clip_yuv.mp4")
+    assert native_codec.write_mp4_yuv(path, y, u, v, fps=30.0, crf=18)
+    back = native_codec.read_video(path)
+    assert back is not None and back.shape == frames.shape
+    diff = np.abs(back.astype(int) - frames.astype(int)).mean()
+    assert diff < 6.0
+
+
+def test_device_rgb_to_yuv420_matches_host_reference():
+    from ltx_video_gpupoor_tpu.serving.orchestrator import _rgb_to_yuv420
+
+    img = _smooth_image(64, 96)
+    frames = np.stack([img] * 3)
+    y_ref, u_ref, v_ref = _to_yuv_planes(frames)
+    fdev = frames.astype(np.float32) / 127.5 - 1.0
+    y, u, v = (np.asarray(a) for a in _rgb_to_yuv420(fdev))
+    assert y.shape == y_ref.shape and u.shape == u_ref.shape
+    # round-to-nearest ties may differ by 1 code
+    assert np.abs(y.astype(int) - y_ref.astype(int)).max() <= 1
+    assert np.abs(u.astype(int) - u_ref.astype(int)).max() <= 1
+    assert np.abs(v.astype(int) - v_ref.astype(int)).max() <= 1
+
+
+def test_save_video_accepts_yuv_tuple(tmp_path):
+    img = _smooth_image(64, 64)
+    frames = np.stack([img] * 5)
+    planes = _to_yuv_planes(frames)
+    path = str(tmp_path / "out_yuv.mp4")
+    assert media.save_video(planes, path) == path
+    raw = open(path, "rb").read()
+    assert b"avc1" in raw[:4096]
+    back = native_codec.read_video(path)
+    assert back.shape == frames.shape
+    assert np.abs(back.astype(int) - frames.astype(int)).mean() < 6.0
+
+
+def test_yuv420_to_rgb_inverse():
+    img = _smooth_image(64, 64)
+    frames = np.stack([img] * 2)
+    back = media.yuv420_to_rgb(*_to_yuv_planes(frames))
+    assert back.shape == frames.shape
+    assert np.abs(back.astype(int) - frames.astype(int)).mean() < 4.0
+
+
 def test_save_video_and_load_video_roundtrip(tmp_path):
     img = _smooth_image(64, 64)
     frames = np.stack([img] * 5).astype(np.float32) / 127.5 - 1.0
