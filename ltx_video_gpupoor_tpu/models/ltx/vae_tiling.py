@@ -41,7 +41,8 @@ def _warm_concurrently(call, shapes, dtype=jnp.float32):
     """Trigger the XLA compile of every distinct tile shape from a thread
     pool: each compile is independent and takes ~a minute through the
     remote-relay compiler, so the tile loop's cold start is bounded by
-    the slowest shape instead of the sum."""
+    the slowest shape instead of the sum. No-op under tracing (the
+    whole-tiled-call jit compiles one fused program instead)."""
     shapes = list(shapes)
     if len(shapes) <= 1:
         return
@@ -235,23 +236,25 @@ def tiled_decode(
     t_limit = tile_sample_t - blend_extent
 
     # compile the distinct leaf tile shapes concurrently up front
-    b, _, h_lat, w_lat, c = latents.shape
-    t_sizes = {min(z_tile + 1, t - i) for i in range(0, t, overlap)}
-    if hw_tile_latent and h_lat > hw_tile_latent:
-        hw_pairs = [
-            (th, tw)
-            for th in _spatial_tile_sizes(h_lat, hw_tile_latent,
-                                          overlap_factor)
-            for tw in _spatial_tile_sizes(w_lat, hw_tile_latent,
-                                          overlap_factor)
-        ]
-    else:
-        hw_pairs = [(h_lat, w_lat)]
-    _warm_concurrently(
-        decode_fn,
-        [(b, ft, th, tw, c) for ft in t_sizes for th, tw in hw_pairs],
-        latents.dtype,
-    )
+    # (skipped under an outer trace — the fused jit is one program)
+    if not isinstance(latents, jax.core.Tracer):
+        b, _, h_lat, w_lat, c = latents.shape
+        t_sizes = {min(z_tile + 1, t - i) for i in range(0, t, overlap)}
+        if hw_tile_latent and h_lat > hw_tile_latent:
+            hw_pairs = [
+                (th, tw)
+                for th in _spatial_tile_sizes(h_lat, hw_tile_latent,
+                                              overlap_factor)
+                for tw in _spatial_tile_sizes(w_lat, hw_tile_latent,
+                                              overlap_factor)
+            ]
+        else:
+            hw_pairs = [(h_lat, w_lat)]
+        _warm_concurrently(
+            decode_fn,
+            [(b, ft, th, tw, c) for ft in t_sizes for th, tw in hw_pairs],
+            latents.dtype,
+        )
 
     row = []
     for i in range(0, t, overlap):
@@ -268,3 +271,20 @@ def tiled_decode(
         else:
             result.append(tile[:, : t_limit + 1])
     return jnp.concatenate(result, axis=1)
+
+
+# Fused whole-call jits: the host tile loops unroll at TRACE time, so the
+# entire tiled encode/decode — every per-tile model call, slice, and
+# blend — compiles into ONE XLA program. Through a remote-device relay
+# this matters enormously: the eager tile loop dispatches hundreds of
+# small host->device calls (measured ~90 s for a 36-tile decode that is
+# ~2 s of compute), while the fused program is a single dispatch and lets
+# XLA sequence tile buffers so peak memory stays at one-tile scale.
+tiled_encode_fused = jax.jit(
+    tiled_encode,
+    static_argnames=("cfg", "z_tile", "hw_tile", "overlap_factor"),
+)
+tiled_decode_fused = jax.jit(
+    tiled_decode,
+    static_argnames=("cfg", "z_tile", "hw_tile", "overlap_factor"),
+)

@@ -101,6 +101,44 @@ _jit_vae_encode = jax.jit(vae_encode, static_argnums=(1,))
 _jit_vae_decode = jax.jit(vae_decode, static_argnums=(1, 5))
 
 
+def _decode_full(vae_params: dict, vae_cfg, latent_grid: jax.Array,
+                 decode_timestep: jax.Array, decode_noise_scale: jax.Array,
+                 key: jax.Array, z_tile: int, hw_tile: int) -> jax.Array:
+    """Full decode path as one traceable program: latent un-normalize,
+    decode-timestep noising (``pipeline_ltx_video.py:1269-1298``), then
+    the (tiled) causal VAE decode. Tiling loops unroll at trace time, so
+    a 36-tile decode is one XLA dispatch instead of hundreds of eager
+    relay round-trips."""
+    stats = vae_params.get("per_channel_statistics")
+    z = latent_grid if stats is None else \
+        ltx_vae.un_normalize_latents(latent_grid, stats)
+    if not isinstance(vae_cfg, ltx_vae.VAEConfig):
+        from ..models.ltx import video_autoencoder as legacy_vae
+
+        return legacy_vae.decode(vae_params, vae_cfg, z)
+    t = None
+    kd = None
+    if vae_cfg.timestep_conditioning:
+        kn, kd = jax.random.split(key)
+        noise = jax.random.normal(kn, z.shape, z.dtype)
+        s = decode_noise_scale.astype(z.dtype)
+        z = z * (1 - s) + noise * s
+        t = decode_timestep
+    if z_tile or hw_tile:
+        from ..models.ltx.vae_tiling import tiled_decode
+
+        return tiled_decode(
+            vae_params, vae_cfg, z, z_tile=z_tile, hw_tile=hw_tile,
+            timestep=t, noise_key=kd,
+        )
+    return ltx_vae.decode(vae_params, vae_cfg, z, t, kd)
+
+
+_jit_decode_full = jax.jit(
+    _decode_full, static_argnums=(1,), static_argnames=("z_tile", "hw_tile")
+)
+
+
 def prepare_conditioning(
     init_latents: jax.Array,       # [B, F', H', W', C] noise-free latents
     items: Sequence[ConditioningItem],
@@ -758,32 +796,28 @@ class LTXPipeline:
         h, w = z.shape[2] * sf, z.shape[3] * sf
         frames = (z.shape[1] - 1) * tf + 1
         # voxel budget: the measured 16 GiB untiled envelope
-        if h * w * frames <= 704 * 480 * 121:
+        envelope = 704 * 480 * 121
+        if h * w * frames <= envelope:
             return (0, 0)
+        # z-only tiling when one temporal chunk fits the envelope —
+        # spatial tiles add 7.6x the dispatch/blend surface for nothing
+        if h * w * (4 * tf + 1) <= envelope:
+            return (4, 0)
         return (4, 512)
 
     def decode(self, latent_grid, decode_timestep=0.0,
                decode_noise_scale=None, key=None):
-        stats = self.vae_params.get("per_channel_statistics")
-        z = latent_grid if stats is None else \
-            ltx_vae.un_normalize_latents(latent_grid, stats)
-        t = None
-        kd = None
-        if self.vae_cfg.timestep_conditioning:
-            key = key if key is not None else jax.random.key(0)
-            kn, kd = jax.random.split(key)
-            if decode_noise_scale is None:
-                decode_noise_scale = decode_timestep
-            noise = jax.random.normal(kn, z.shape, z.dtype)
-            z = z * (1 - decode_noise_scale) + noise * decode_noise_scale
-            t = jnp.asarray(decode_timestep)
-        z_tile, hw_tile = self._decode_tiles(z)
-        if z_tile or hw_tile:
-            from ..models.ltx.vae_tiling import tiled_decode
-
-            return tiled_decode(
-                self.vae_params, self.vae_cfg, z,
-                z_tile=z_tile, hw_tile=hw_tile,
-                timestep=t, noise_key=kd,
-            )
-        return _jit_vae_decode(self.vae_params, self.vae_cfg, z, t, kd)
+        if decode_noise_scale is None:
+            decode_noise_scale = decode_timestep
+        if key is None:
+            key = jax.random.key(0)
+        z_tile, hw_tile = self._decode_tiles(latent_grid)
+        # un-normalize + decode-noise + (tiled) decode compile as ONE
+        # program: the former eager noise prep + host tile loop paid a
+        # relay dispatch per op (~90 s for the pass-2 36-tile decode)
+        return _jit_decode_full(
+            self.vae_params, self.vae_cfg, latent_grid,
+            jnp.asarray(decode_timestep, jnp.float32),
+            jnp.asarray(decode_noise_scale, jnp.float32),
+            key, z_tile=z_tile, hw_tile=hw_tile,
+        )

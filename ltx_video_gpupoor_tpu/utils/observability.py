@@ -79,7 +79,14 @@ def stage(name: str, sync=None) -> Iterator[None]:
 
             arr = sync()
             if arr is not None:
-                np.asarray(arr).reshape(-1)[:1]  # host fetch = device sync
+                # one-element host fetch = device sync. Index ON DEVICE
+                # first — np.asarray(arr) would fetch the whole array
+                # (~90 s for full-res pixels through a 13 MB/s relay) and
+                # bill the transfer to the stage being measured; a device
+                # reshape(-1) is no better (XLA materializes a padded
+                # tiled-layout copy — 40x the bytes for a channels-last
+                # pixel array).
+                np.asarray(arr[(0,) * getattr(arr, "ndim", 0)])
         dt = time.perf_counter() - t0
         _prefix.pop()
         tm = _active_timer

@@ -35,6 +35,7 @@ def main(argv=None):
     import jax
 
     from ltx_video_gpupoor_tpu.serving import model_zoo
+    from ltx_video_gpupoor_tpu.utils import native_codec
     from ltx_video_gpupoor_tpu.utils.observability import (
         StageTimer,
         collect_stages,
@@ -47,17 +48,26 @@ def main(argv=None):
     image = (rng.rand(args.height, args.width, 3) * 255).astype(np.uint8)
     emb = jax.numpy.asarray(rng.randn(2, 128, 32).astype(np.float32))
     mask = jax.numpy.ones((2, 128), jax.numpy.int32)
+    # the server fetches planar YUV420 when the native writer exists
+    out_type = "yuv420" if native_codec.available() else "pixels"
 
     def serve():
         return gen.generate(
             emb, mask, height=args.height, width=args.width,
             frame_num=args.frames, image_start=image, seed=7,
+            output_type=out_type,
         )
 
     t0 = time.time()
     frames = serve()
     cold_s = time.time() - t0
-    assert frames.dtype == np.uint8 and frames.shape[0] == args.frames
+    f0 = frames[0] if isinstance(frames, tuple) else frames
+    assert f0.dtype == np.uint8 and f0.shape[0] == args.frames
+
+    # honest warm number first (no instrumentation at all)
+    t0 = time.time()
+    frames = serve()
+    warm_plain_s = time.time() - t0
 
     timer = StageTimer()
     t0 = time.time()
@@ -70,11 +80,13 @@ def main(argv=None):
     for name in timer._order:
         v = timer.stages[name]
         print(f"  {name:28s} {v:7.2f} s  {v/warm_s*100:5.1f}%")
-    print(f"  {'TOTAL warm':28s} {warm_s:7.2f} s")
+    print(f"  {'TOTAL warm (instrumented)':28s} {warm_s:7.2f} s")
+    print(f"  warm (uninstrumented): {warm_plain_s:.2f} s")
     print(f"  cold (first call): {cold_s:.1f} s")
 
     res = {
-        "warm_s": round(warm_s, 2),
+        "warm_s": round(warm_plain_s, 2),
+        "warm_instrumented_s": round(warm_s, 2),
         "cold_s": round(cold_s, 1),
         "stages_s": {k: round(v, 3) for k, v in timer.stages.items()},
     }

@@ -1,8 +1,11 @@
-"""Probe: where does the 86 s warm pass2/vae_decode go?
+"""Probe: where does the ~90 s warm pass2/vae_decode go?
 
-Times the 896x640x121f tiled decode standalone: (a) timestep=None,
-(b) with timestep conditioning + noise key (the serving config), and
-(c) the pipeline.decode wrapper end-to-end. Real TPU.
+Times the 896x640x121f tiled decode standalone (the pass-2 serving
+shape): case `plain` = timestep=None, case `cond` = timestep
+conditioning + noise key (the serving config). One case per process so
+the shared relay chip doesn't accumulate both cases' buffers. Real TPU:
+
+    python tools/mb_tiled_decode.py plain|cond [z_tile hw_tile]
 """
 import sys, time
 
@@ -11,6 +14,10 @@ import jax, jax.numpy as jnp, numpy as np
 
 from ltx_video_gpupoor_tpu.models.ltx import vae as ltx_vae
 from ltx_video_gpupoor_tpu.models.ltx.vae_tiling import tiled_decode
+
+case = sys.argv[1] if len(sys.argv) > 1 else "cond"
+z_tile = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+hw_tile = int(sys.argv[3]) if len(sys.argv) > 3 else 512
 
 cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 params = jax.tree.map(
@@ -21,16 +28,17 @@ params = jax.tree.map(
 z = jax.random.normal(jax.random.key(1), (1, 16, 80, 112, 128),
                       jnp.bfloat16)
 
-
-def timeit(name, fn):
-    t0 = time.time(); np.asarray(fn()[0, 0, 0, 0, 0]); cold = time.time() - t0
-    t0 = time.time(); np.asarray(fn()[0, 0, 0, 0, 0]); warm = time.time() - t0
-    print(f"{name:34s} warm {warm:7.2f} s   (first {cold:.1f} s)", flush=True)
+kw = {}
+if case == "cond":
+    kw = dict(timestep=jnp.asarray(0.05), noise_key=jax.random.key(3))
 
 
-timeit("tiled_decode t=None",
-       lambda: tiled_decode(params, cfg, z, z_tile=4, hw_tile=512))
-timeit("tiled_decode t=0.05 + key",
-       lambda: tiled_decode(params, cfg, z, z_tile=4, hw_tile=512,
-                            timestep=jnp.asarray(0.05),
-                            noise_key=jax.random.key(3)))
+def run():
+    out = tiled_decode(params, cfg, z, z_tile=z_tile, hw_tile=hw_tile, **kw)
+    np.asarray(out[0, 0, 0, 0, 0])  # force
+
+
+t0 = time.time(); run(); cold = time.time() - t0
+t0 = time.time(); run(); warm = time.time() - t0
+print(f"tiled_decode[{case}] z_tile={z_tile} hw_tile={hw_tile}: "
+      f"warm {warm:.2f} s (first {cold:.1f} s)", flush=True)
