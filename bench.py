@@ -193,6 +193,12 @@ def main():
     @jax.jit
     def denoise(params, latents, coords, caption, cmask, sched_ts):
         inner_sched = rf.RectifiedFlowSchedule(timesteps=sched_ts)
+        # step-invariant RoPE tables built once, reused by every scan step
+        from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+            compute_freqs,
+        )
+
+        rope_freqs = compute_freqs(cfg, coords)
 
         def body(carry, step):
             if tc_mask is None:
@@ -207,13 +213,14 @@ def main():
                 v = forward(
                     params, cfg, x, coords,
                     jnp.full((NUM_CONDS,), t), caption, cmask,
+                    freqs=rope_freqs,
                 )
             else:
                 v, res = forward(
                     params, cfg, x, coords,
                     jnp.full((NUM_CONDS,), t), caption, cmask,
                     previous_residual=res, compute=comp,
-                    return_residual=True,
+                    return_residual=True, freqs=rope_freqs,
                 )
             if NUM_CONDS == 2:
                 un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)

@@ -378,6 +378,23 @@ def _block_forward(
     return x
 
 
+def compute_freqs(cfg: LTXTransformerConfig,
+                  indices_grid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fractional-coordinate RoPE (cos, sin) tables for ``forward``
+    (``transformer3d.py:202-255``). Step-invariant — precompute once per
+    denoise and reuse across all steps/layers."""
+    d = cfg.inner_dim
+    return ltx_freqs_cis(
+        indices_grid,
+        d,
+        theta=cfg.positional_embedding_theta,
+        max_pos=cfg.positional_embedding_max_pos,
+        # one entry per rotation pair: halves the fp32 table bytes the
+        # per-step graph materializes and reads (x2 applies x layers)
+        half_layout=(d % 6) % 2 == 0,
+    )
+
+
 def forward(
     params: dict,
     cfg: LTXTransformerConfig,
@@ -393,6 +410,7 @@ def forward(
     previous_residual: Optional[jax.Array] = None,  # [B, S, D] block delta
     compute: bool | jax.Array = True,
     return_residual: bool = False,
+    freqs: Optional[tuple] = None,  # precomputed (cos, sin) RoPE tables
 ) -> jax.Array:
     """Denoiser forward: returns velocity prediction ``[B, S, C_out]``
     (or ``(velocity, residual)`` with ``return_residual``).
@@ -433,14 +451,12 @@ def forward(
     ctx = jax.nn.gelu(ctx, approximate=True)
     ctx = _apply_linear(params["caption_projection"]["linear_2"], ctx)
 
-    cos, sin = ltx_freqs_cis(
-        indices_grid,
-        d,
-        theta=cfg.positional_embedding_theta,
-        max_pos=cfg.positional_embedding_max_pos,
-        # one entry per rotation pair: halves the fp32 table bytes the
-        # per-step graph materializes and reads (x2 applies x layers)
-        half_layout=(d % 6) % 2 == 0,
+    # RoPE tables depend only on coords — callers that loop over steps
+    # (denoise scan) precompute them ONCE via compute_freqs and pass them
+    # in; XLA's loop-invariant motion won't hoist multi-MB intermediates
+    # out of the scan body on its own
+    cos, sin = freqs if freqs is not None else compute_freqs(
+        cfg, indices_grid
     )
 
     if skip_layer_mask is None:

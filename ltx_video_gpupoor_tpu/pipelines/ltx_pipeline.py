@@ -437,6 +437,16 @@ def denoise(
     if use_tc:
         per_step["compute"] = jnp.asarray(np.asarray(teacache_mask, bool))
 
+    # RoPE tables are step-invariant: build once outside the scan (XLA's
+    # loop-invariant motion won't hoist the multi-MB cos/sin tables out
+    # of the scan body itself). The USP path computes per-shard tables
+    # from global coords inside shard_map instead.
+    from ..models.ltx.transformer3d import compute_freqs
+
+    rope_freqs = None if sp_mesh is not None else jax.jit(
+        compute_freqs, static_argnums=(0,)
+    )(transformer_cfg, coords)
+
     def body(carry, step):
         if use_tc:
             latents, residual = carry
@@ -489,6 +499,7 @@ def denoise(
                 previous_residual=residual,
                 compute=step["compute"],
                 return_residual=True,
+                freqs=rope_freqs,
             )
             pred = pred.astype(jnp.float32)
         else:
@@ -498,6 +509,7 @@ def denoise(
                 skip_layer_mask=skip,
                 skip_layer_strategy=schedule.skip_layer_strategy,
                 attn_mode=attn_mode,
+                freqs=rope_freqs,
             ).astype(jnp.float32)
 
         streams = jnp.split(pred, num_conds, axis=0)
