@@ -456,12 +456,23 @@ def spatial_tiled_decode(params, cfg: WanVAEConfig, z: jax.Array,
         z = z * std + mean
 
     rows = []
+    prev = None
     for i in range(0, h_lat, overlap):
         row = []
         for j in range(0, w_lat, overlap):
             tile = z[:, :, i: i + lat_tile, j: j + lat_tile]
-            row.append(_tile_decode(params, cfg, tile, False,
-                                    any_end_frame, False))
+            if prev is not None:
+                # zero-valued data dependency on the previous tile's
+                # output: when the whole loop is traced into one jit
+                # (spatial_tiled_decode_fused) this forces XLA to
+                # SEQUENCE the tile decodes, so peak memory stays at
+                # one tile's intermediates (an unordered fused graph
+                # OOMs 16 GB HBM at 832x480x81f)
+                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tile = tile + tok
+            prev = _tile_decode(params, cfg, tile, False,
+                                any_end_frame, False)
+            row.append(prev)
         rows.append(row)
     result_rows = []
     for i, row in enumerate(rows):
@@ -498,12 +509,17 @@ def spatial_tiled_encode(params, cfg: WanVAEConfig, video: jax.Array,
         return encode(params, cfg, video, normalize, any_end_frame)
 
     rows = []
+    prev = None
     for i in range(0, h, overlap):
         row = []
         for j in range(0, w, overlap):
             tile = video[:, :, i: i + tile_size, j: j + tile_size]
-            row.append(_tile_encode(params, cfg, tile, False,
-                                    any_end_frame))
+            if prev is not None:
+                # sequencing dependency — see spatial_tiled_decode
+                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tile = tile + tok
+            prev = _tile_encode(params, cfg, tile, False, any_end_frame)
+            row.append(prev)
         rows.append(row)
     result_rows = []
     for i, row in enumerate(rows):
@@ -522,3 +538,19 @@ def spatial_tiled_encode(params, cfg: WanVAEConfig, video: jax.Array,
         std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim])
         mu = (mu - mean) / std
     return mu
+
+
+# Fused whole-call jits: the tile loops above unroll at trace time, so a
+# full spatial-tiled encode/decode — every tile model call and crossfade
+# blend — compiles into ONE XLA dispatch instead of dozens of eager
+# relay round-trips. The zero-valued inter-tile data dependency in the
+# loops forces XLA to sequence tile decodes, keeping peak HBM at
+# one-tile scale (an unordered fused graph OOMs 16 GB at 832x480x81f).
+spatial_tiled_decode_fused = jax.jit(
+    spatial_tiled_decode,
+    static_argnames=("cfg", "tile_size", "normalized", "any_end_frame"),
+)
+spatial_tiled_encode_fused = jax.jit(
+    spatial_tiled_encode,
+    static_argnames=("cfg", "tile_size", "normalize", "any_end_frame"),
+)

@@ -114,6 +114,11 @@ class WanPipeline:
 
     def _vae_decode(self, latents):
         if self.vae_tile_size:
+            # host tile loop, NOT the fused jit: the Wan decode is
+            # compute-bound (measured 8.04 s eager vs 7.96 s fused at
+            # 832x480x81f) and the fused graph costs a 264 s cold
+            # compile — unlike the LTX decode, where tile dispatch
+            # overhead dominated and fusing was a 200x win
             return wan_vae.spatial_tiled_decode(
                 self.vae_params, self.vae_cfg, latents,
                 tile_size=self.vae_tile_size,
