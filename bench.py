@@ -131,6 +131,10 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
+    # BENCH_ATTN=pallas|pallas_int8|pallas_int8pv|xla: attention tier
+    # (pallas_int8pv is the sage2-equivalent int8 QK+PV tier — a win at
+    # the 13B/Wan d=128 shapes, not at d=64)
+    attn_mode = os.environ.get("BENCH_ATTN", "auto")
     vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 
     f_lat = (FRAMES - 1) // vae_cfg.temporal_downscale_factor + 1
@@ -213,7 +217,7 @@ def main():
                 v = forward(
                     params, cfg, x, coords,
                     jnp.full((NUM_CONDS,), t), caption, cmask,
-                    freqs=rope_freqs,
+                    freqs=rope_freqs, attn_mode=attn_mode,
                 )
             else:
                 v, res = forward(
@@ -221,6 +225,7 @@ def main():
                     jnp.full((NUM_CONDS,), t), caption, cmask,
                     previous_residual=res, compute=comp,
                     return_residual=True, freqs=rope_freqs,
+                    attn_mode=attn_mode,
                 )
             if NUM_CONDS == 2:
                 un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
