@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.dtypes import DtypePolicy, DEFAULT_POLICY
-from ...ops.attention import attention, parse_sp
+from ...ops.attention import attention, attention_packed, parse_sp
 from ...ops.norms import layer_norm, rms_norm
 from ...ops.rope import apply_rotary_emb, ltx_freqs_cis
 
@@ -327,10 +327,12 @@ def _block_forward(
             attn_mode=base_mode, score_bound=sb,
         ))
     else:
-        attn_raw = from_heads(
-            attention(to_heads(q), to_heads(k), to_heads(v), mode=base_mode,
-                      score_bound=sb)
-        )
+        # head-packed fast path: consumes [B, S, H*D] directly (the hp
+        # Pallas kernel), so the to_heads/from_heads transposes never
+        # exist; falls back to split-heads dispatch off-TPU / for the
+        # int8 and bounded tiers
+        attn_raw = attention_packed(q, k, v, heads, mode=base_mode,
+                                    score_bound=sb)
     # STG perturbation mixes BEFORE the output projection
     # (``attention.py:1128-1144``): AttentionSkip swaps in the pre-attention
     # (modulated, normed) input; AttentionValues swaps in the raw values.

@@ -15,11 +15,15 @@ from typing import Literal
 
 import jax
 
-from .flash_attention import flash_attention, reference_attention
+from .flash_attention import (
+    flash_attention,
+    flash_attention_hp,
+    reference_attention,
+)
 from .padding import pad_axis, round_up, unpad_axis
 
-AttentionMode = Literal["auto", "pallas", "pallas_int8", "pallas_int8pv",
-                        "xla"]
+AttentionMode = Literal["auto", "pallas", "pallas_hp", "pallas_int8",
+                        "pallas_int8pv", "xla"]
 
 _FORCED_MODE: AttentionMode = "auto"
 
@@ -45,7 +49,8 @@ def set_attention_mode(mode: AttentionMode) -> None:
     CLI flag / sage tiers, ``/root/reference/inference.py:87-93, 592``).
     ``pallas_int8`` is the SageAttention-equivalent int8-QK tier."""
     global _FORCED_MODE
-    if mode not in ("auto", "pallas", "pallas_int8", "pallas_int8pv", "xla"):
+    if mode not in ("auto", "pallas", "pallas_hp", "pallas_int8",
+                    "pallas_int8pv", "xla"):
         raise ValueError(f"unknown attention mode {mode!r}")
     _FORCED_MODE = mode
 
@@ -88,6 +93,10 @@ def attention(
         mode = _FORCED_MODE
     if mode == "auto":
         mode = "pallas" if _default_backend_is_tpu() else "xla"
+    if mode == "pallas_hp":
+        # hp applies only to head-packed callers (attention_packed);
+        # head-split callers get the classic kernel
+        mode = "pallas"
 
     if mode == "xla":
         return reference_attention(
@@ -114,7 +123,7 @@ def attention(
         k = pad_axis(k, 2, 128)
         v = pad_axis(v, 2, 128)
         kv_valid = skv if skv_p != skv else None
-    pv_int8 = mode == "pallas_int8pv" and d % 128 == 0
+    pv_int8 = mode == "pallas_int8pv"
     if pv_int8:
         # int8 P needs the online running max (a fixed exponent offset
         # would zero low-max rows); the tier subsumes the bounded path.
@@ -127,3 +136,54 @@ def attention(
         score_bound=score_bound,
     )
     return unpad_axis(out, 2, sq)
+
+
+def attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    *,
+    scale: float | None = None,
+    mode: AttentionMode = "auto",
+    score_bound: float | None = None,
+) -> jax.Array:
+    """Self-attention over head-PACKED ``[B, S, H*D]`` tensors.
+
+    With ``mode="pallas_hp"`` (opt-in) the hp Pallas kernel consumes the
+    projection outputs directly, so the ``[B,H,S,D]`` transposes
+    (measured ~57 ms/step on the LTX-2B v5e config) never exist.
+    NOT the default: at d=64 the paired kernel measured 15.2 vs the
+    classic chain's 9.65 ms/layer on v5e — the mix/diff full-contraction
+    QK doubles MXU row-pushes (a K=64 dot already takes half the cycles
+    of K=128, so there was no half-fill wall-time penalty to reclaim),
+    which outweighs the transpose savings. Kept for the d=128 families
+    (one head per lane block — classic math, no pairing overhead) and as
+    the substrate for future in-kernel RoPE fusion.
+    """
+    b, s, hd_total = q.shape
+    d = hd_total // heads
+    if mode == "auto":
+        mode = _FORCED_MODE
+    if mode == "auto":
+        mode = "pallas" if _default_backend_is_tpu() else "xla"
+    if (mode == "pallas_hp" and _default_backend_is_tpu()
+            and d in (64, 128) and score_bound is None
+            and (d == 128 or heads % 2 == 0)):
+        sp = round_up(s, 128)
+        if sp != s:
+            q = pad_axis(q, 1, 128)
+            k = pad_axis(k, 1, 128)
+            v = pad_axis(v, 1, 128)
+        out = flash_attention_hp(
+            q, k, v, heads=heads, scale=scale,
+            kv_valid=s if sp != s else None,
+        )
+        return out[:, :s] if sp != s else out
+
+    def split(t):
+        return t.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+
+    o = attention(split(q), split(k), split(v), scale=scale, mode=mode,
+                  score_bound=score_bound)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, hd_total)

@@ -82,13 +82,24 @@ def _flash_kernel(
 
     q_idx = pl.program_id(2)
 
-    def _compute(mask_kv_tail: bool):
-        # Matmul in the input dtype (bf16 on the fast path) with fp32
-        # accumulation — casting inputs to fp32 here would force the MXU
-        # onto its fp32 path (~8x slower). The softmax scale (×log2e, for
-        # exp2) is folded into q at tile load — a [Bq, D] multiply instead
-        # of touching the [Bq, Bkv] scores tile per element.
-        c = scale * LOG2E
+    # Sub-block software pipelining (exact-softmax bf16 path only): split
+    # the kv block in two and issue the NEXT sub-block's QK^T (MXU) before
+    # the current sub-block's softmax (VPU), giving Mosaic's scheduler
+    # independent matrix work to interleave with the exp pass. Measured
+    # −4.8% kernel time at the LTX-2B shape on v5e. Row (sublane) slices
+    # only need 8-alignment, so any 128-multiple block halves cleanly.
+    nsub = (
+        2
+        if (not qk_int8 and not pv_int8 and score_bound is None
+            and block_kv % 256 == 0)
+        else 1
+    )
+    bsub = block_kv // nsub
+
+    def _scores(qs, t, mask_kv_tail):
+        """Scores for kv sub-block t: [Bq, bsub], masked."""
+        lo = t * bsub
+        kt = k_ref[0, 0, lo:lo + bsub, :]
         if qk_int8:
             # SageAttention2-style tier (sage2_core.py:71-145 equivalent):
             # Q/K arrive PRE-quantized to symmetric int8 (done once outside
@@ -96,7 +107,7 @@ def _flash_kernel(
             # fp32 rescale. The softmax scale (x log2e) is folded into the q
             # row scales — per-row quantization is scale-invariant.
             s32 = jax.lax.dot_general(
-                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                q_ref[0, 0], kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             if pv_int8:
@@ -109,17 +120,17 @@ def _flash_kernel(
                 )
             else:
                 s = (s32.astype(jnp.float32)
-                     * qs_ref[0, 0, 0][:, None]) * ks_ref[0, 0, 0][None, :]
+                     * qs_ref[0, 0, 0][:, None]) * ks_ref[0, 0, 0,
+                                                          lo:lo + bsub][None]
         else:
-            qs = (q_ref[0, 0].astype(jnp.float32) * c).astype(q_ref.dtype)
             s = jax.lax.dot_general(
-                qs, k_ref[0, 0], (((1,), (1,)), ((), ())),
+                qs, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                                  # [Bq, Bkv]
+            )                                                  # [Bq, bsub]
 
         if use_segments:
             qseg = qseg_ref[0, 0]                               # [Bq]
-            kseg = kseg_ref[0, 0]                               # [Bkv]
+            kseg = kseg_ref[0, 0, lo:lo + bsub]                 # [bsub]
             mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] > 0)
             s = jnp.where(mask, s, NEG_INF)
         elif mask_kv_tail:
@@ -127,58 +138,63 @@ def _flash_kernel(
             # loads + equality masking. Only the one kv block straddling
             # kv_valid reaches here (pad < 128 <= block_kv, so it is the
             # last block) — interior blocks skip the 3 VPU ops/element.
-            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
+            cols = kv_idx * block_kv + lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bsub), 1
             )
             s = jnp.where(cols < kv_valid, s, NEG_INF)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
+                jnp.int32, (block_q, bsub), 0
             )
-            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
+            cols = kv_idx * block_kv + lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bsub), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
+        return s
 
-        def _pv(p):
-            if pv_int8:
-                # int8-PV tier (the TPU analogue of sage2's fp8-PV): p
-                # arrives already in x127 units (the x127 was folded into
-                # the exp2 exponent — zero extra VPU passes), so the int8
-                # cast is a plain round. v is pre-quantized per-channel
-                # outside the kernel; vs carries v_scale/127, and the x127
-                # here restores plain v_scale so acc stays in the same x127
-                # units as l (the ratio o = acc/l cancels it exactly).
-                p8 = jnp.round(p).astype(jnp.int8)
-                pv32 = jax.lax.dot_general(
-                    p8, v_ref[0, 0], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                return pv32.astype(jnp.float32) * (
-                    vs_ref[0, 0, 0][None, :] * 127.0
-                )
-            return jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    def _pv(p, t):
+        lo = t * bsub
+        vt = v_ref[0, 0, lo:lo + bsub, :]
+        if pv_int8:
+            # int8-PV tier (the TPU analogue of sage2's fp8-PV): p
+            # arrives already in x127 units (the x127 was folded into
+            # the exp2 exponent — zero extra VPU passes), so the int8
+            # cast is a plain round. v is pre-quantized per-channel
+            # outside the kernel; vs carries v_scale/127, and the x127
+            # here restores plain v_scale so acc stays in the same x127
+            # units as l (the ratio o = acc/l cancels it exactly).
+            p8 = jnp.round(p).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                p8, vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
             )
+            return pv32.astype(jnp.float32) * (
+                vs_ref[0, 0, 0][None, :] * 127.0
+            )
+        return jax.lax.dot_general(
+            p.astype(v_ref.dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
+    def _update(s, t):
+        """Fold sub-block scores into the online-softmax carry."""
         if score_bound is not None:
             # Bounded-score fast path (qk-normed attention): softmax with a
             # FIXED exponent offset instead of the online running max — the
-            # per-element max reduce, the rescale alpha, and the m bookkeeping
-            # all disappear, and accumulation is a plain `acc += p @ v`.
+            # per-element max reduce, the rescale alpha, and the m
+            # bookkeeping all disappear; accumulation is `acc += p @ v`.
             # Sound because softmax is invariant to a constant offset; the
             # min() guard keeps exp2 finite even if a score exceeds the
             # bound (scores then tie at the bound — by which point softmax
             # is saturated anyway). Underflow needs a row max below
             # -score_bound, symmetric to the overflow argument.
             sb = score_bound * LOG2E
-            p = jnp.exp2(jnp.minimum(s, sb) - sb)               # [Bq, Bkv]
+            p = jnp.exp2(jnp.minimum(s, sb) - sb)               # [Bq, bsub]
             if sum_col is None:
                 l_scratch[:, 0:1] = (
                     l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
                 )
-            acc_scratch[...] = acc_scratch[...] + _pv(p)        # [Bq, D(p)]
+            acc_scratch[...] = acc_scratch[...] + _pv(p, t)     # [Bq, D(p)]
             return
 
         # Online softmax in scaled-score space (scale pre-folded into q):
@@ -191,22 +207,41 @@ def _flash_kernel(
             # x127 fold: p (and hence l and acc) live in x127 units, putting
             # block-local p on the full int8 grid for free — the shift rides
             # the [Bq, 1] exponent offset, not the [Bq, Bkv] tile.
-            p = jnp.exp2(s - (m_new - LOG2_127))                # [Bq, Bkv]
+            p = jnp.exp2(s - (m_new - LOG2_127))                # [Bq, bsub]
         else:
-            p = jnp.exp2(s - m_new)                             # [Bq, Bkv]
+            p = jnp.exp2(s - m_new)                             # [Bq, bsub]
         alpha = jnp.exp2(m_prev - m_new)                        # [Bq, 1]
         if sum_col is not None:
             # v carries a ones column at index `sum_col` (head_dim not a
             # lane-tile multiple -> the wider PV matmul is free on the MXU):
             # column sum_col of acc accumulates exactly the softmax
             # denominator l, replacing the VPU cross-lane row-sum.
-            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p)  # [Bq, Dp]
+            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p, t)
         else:
             l_new = (alpha * l_scratch[:, 0:1]
                      + jnp.sum(p, axis=1, keepdims=True))
-            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p)  # [Bq, D]
+            acc_scratch[...] = acc_scratch[...] * alpha + _pv(p, t)
             l_scratch[:, 0:1] = l_new
         m_scratch[:, 0:1] = m_new
+
+    def _compute(mask_kv_tail: bool):
+        # Matmul in the input dtype (bf16 on the fast path) with fp32
+        # accumulation — casting inputs to fp32 here would force the MXU
+        # onto its fp32 path (~8x slower). The softmax scale (×log2e, for
+        # exp2) is folded into q at tile load — a [Bq, D] multiply instead
+        # of touching the [Bq, Bkv] scores tile per element.
+        if qk_int8:
+            qs = None
+        else:
+            c = scale * LOG2E
+            qs = (q_ref[0, 0].astype(jnp.float32) * c).astype(q_ref.dtype)
+        s_cur = _scores(qs, 0, mask_kv_tail)
+        for t in range(nsub):
+            s_next = (
+                _scores(qs, t + 1, mask_kv_tail) if t + 1 < nsub else None
+            )
+            _update(s_cur, t)
+            s_cur = s_next
 
     needs_tail = (
         not use_segments and kv_valid is not None
@@ -331,14 +366,6 @@ def flash_attention(
             k_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-6) / 127.0
             k = jnp.round(kf / k_s[..., None]).astype(jnp.int8)
         k_scale = k_s
-    if pv_int8:
-        if d % 128:
-            raise ValueError("pv_int8 requires head_dim % 128 == 0")
-        vf = v.astype(jnp.float32)
-        v_s = jnp.maximum(jnp.max(jnp.abs(vf), axis=2), 1e-6) / 127.0
-        v = jnp.round(vf / v_s[:, :, None, :]).astype(jnp.int8)
-        v_scale = v_s / 127.0                  # also folds the p8 scale
-
     num_q_blocks = sq // block_q
     num_kv_blocks = skv // block_kv
     grid = (b, h, num_q_blocks, num_kv_blocks)
@@ -356,6 +383,17 @@ def flash_attention(
         dv = -(-d // 128) * 128
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dv - d)))
         v = v.at[..., d].set(1.0)
+    if pv_int8:
+        # Quantize AFTER the sum-col padding so odd head dims work too:
+        # the ones column quantizes exactly (scale 1/127, code 127), so
+        # the denominator stays exact and the o = acc[:, :d] / l ratio
+        # cancels the x127 fold as in the tile-multiple case. PV is the
+        # deep-contraction matmul (kv block), so the int8 MXU rate pays
+        # off regardless of head dim.
+        vf = v.astype(jnp.float32)
+        v_s = jnp.maximum(jnp.max(jnp.abs(vf), axis=2), 1e-6) / 127.0
+        v = jnp.round(vf / v_s[:, :, None, :]).astype(jnp.int8)
+        v_scale = v_s / 127.0                  # also folds the p8 scale
 
     in_specs = [
         pl.BlockSpec(
@@ -480,6 +518,251 @@ def flash_attention(
         ),
         interpret=interpret,
     )(*args)
+
+
+def _hp_kernel(
+    q_ref,       # [1, Bq, 128]  bf16 — one head (d=128) or a head PAIR (d=64)
+    k_ref,       # [1, Bkv, 128] bf16
+    v_ref,       # [1, Bkv, 128] bf16
+    o_ref,       # [1, Bq, 128]
+    m_scr,       # [Bq, 128] fp32 — cols 0 (head a) and 1 (head b)
+    l_scr,       # [Bq, 256] fp32 — per-lane PARTIAL sums, a in [:128], b in [128:]
+    acc_scr,     # [Bq, 128] fp32
+    *,
+    scale: float,
+    paired: bool,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    kv_valid: int | None,
+):
+    """Head-packed flash attention body.
+
+    Inputs stay in the model's natural ``[B, S, H*D]`` layout; the grid's
+    head dimension indexes 128-lane blocks, so the ``[B,H,S,D]``
+    transposes (and their relayout cost — measured ~57 ms/step on the
+    LTX-2B config) never exist. For d=64 two heads share a lane block:
+    full-rate QK^T via the mix/diff identity
+    ``s_a = (q·k + q'·k) / 2,  s_b = (q·k − q'·k) / 2`` with
+    ``q' = [q_a | −q_b]`` (both dots contract over all 128 lanes), and PV
+    via two full dots + a lane select. Softmax denominators accumulate as
+    per-lane partials (1 add/element) with the cross-lane reduce deferred
+    to the finalize step.
+    """
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:, 0:2] = jnp.full((m_scr.shape[0], 2), M_FLOOR, m_scr.dtype)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, 128), 1)
+
+    def _compute(mask_kv_tail: bool):
+        kt = k_ref[0]
+        if paired:
+            # fold the mix/diff halving into the softmax scale
+            c = scale * LOG2E * 0.5
+            qs = (q_ref[0].astype(jnp.float32) * c).astype(q_ref.dtype)
+            qd = jnp.where(lane < 64, qs, -qs)
+            mix = jax.lax.dot_general(
+                qs, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [Bq, Bkv]
+            diff = jax.lax.dot_general(
+                qd, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            halves = (mix + diff, mix - diff)
+        else:
+            c = scale * LOG2E
+            qs = (q_ref[0].astype(jnp.float32) * c).astype(q_ref.dtype)
+            halves = (
+                jax.lax.dot_general(
+                    qs, kt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+            )
+
+        if mask_kv_tail:
+            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            colmask = cols < kv_valid
+            halves = tuple(jnp.where(colmask, s, NEG_INF) for s in halves)
+
+        ps = []
+        alphas = []
+        for hi, s in enumerate(halves):
+            m_prev = m_scr[:, hi:hi + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            # per-lane partial row-sum: 1 add/element; the cross-lane
+            # reduce happens once in finalize
+            part = p.reshape(block_q, block_kv // 128, 128).sum(axis=1)
+            l_scr[:, hi * 128:(hi + 1) * 128] = (
+                l_scr[:, hi * 128:(hi + 1) * 128] * alpha + part
+            )
+            m_scr[:, hi:hi + 1] = m_new
+            ps.append(p.astype(v_ref.dtype))
+            alphas.append(alpha)
+
+        vt = v_ref[0]
+        if paired:
+            o1 = jax.lax.dot_general(
+                ps[0], vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                   # lanes 0:64 = p_a · v_a
+            o2 = jax.lax.dot_general(
+                ps[1], vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                   # lanes 64:128 = p_b · v_b
+            pv = jnp.where(lane < 64, o1, o2)
+            alpha_b = jnp.where(lane < 64, alphas[0], alphas[1])
+        else:
+            pv = jax.lax.dot_general(
+                ps[0], vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            alpha_b = alphas[0]
+        acc_scr[...] = acc_scr[...] * alpha_b + pv
+
+    needs_tail = (
+        kv_valid is not None and kv_valid < num_kv_blocks * block_kv
+    )
+    if needs_tail:
+        @pl.when(kv_idx == num_kv_blocks - 1)
+        def _():
+            _compute(True)
+
+        @pl.when(kv_idx != num_kv_blocks - 1)
+        def _():
+            _compute(False)
+    else:
+        _compute(False)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        l_a = jnp.sum(l_scr[:, :128], axis=1, keepdims=True)
+        if paired:
+            l_b = jnp.sum(l_scr[:, 128:], axis=1, keepdims=True)
+            l = jnp.where(lane < 64, l_a, l_b)
+        else:
+            l = l_a
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "scale", "block_q", "block_kv", "interpret", "kv_valid",
+    ),
+)
+def flash_attention_hp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    heads: int,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+    interpret: bool = False,
+    kv_valid: int | None = None,
+) -> jax.Array:
+    """Flash attention over head-PACKED ``[B, S, H*D]`` tensors.
+
+    The TPU-native fast path for the DiT self-attention: consumes the
+    projection outputs directly — no ``[B,H,S,D]`` transposes, no
+    lane-padded d=64 layout. Supports d=64 (two heads per 128-lane block,
+    mix/diff full-rate QK) and d=128 (one head per block). Sequence
+    lengths must be 128-multiples; mask tail padding with ``kv_valid``.
+    """
+    b, s, hd_total = q.shape
+    d = hd_total // heads
+    if d not in (64, 128):
+        raise ValueError(f"flash_attention_hp supports d in (64, 128), "
+                         f"got {d}")
+    if s % 128 or k.shape[1] % 128:
+        raise ValueError("seq lens must be multiples of 128")
+    skv = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    paired = d == 64
+    nblk = heads // 2 if paired else heads
+    if paired and heads % 2:
+        raise ValueError("paired hp kernel needs an even head count")
+
+    def fit(cap, sz):
+        cap = min(cap, sz)
+        best = 128
+        bb = 128
+        while bb <= cap:
+            if sz % bb == 0:
+                best = bb
+            bb += 128
+        return best
+
+    block_q = fit(block_q, s)
+    # scores live twice per block pair at d=64 (mix+diff) — halve the
+    # per-half budget so peak VMEM matches the classic kernel
+    budget = SCORES_TILE_ELEMS // (2 if paired else 1)
+    block_kv = fit(min(block_kv, max(128, budget // block_q)), skv)
+    num_kv_blocks = skv // block_kv
+    grid = (b, nblk, s // block_q, num_kv_blocks)
+
+    kern = functools.partial(
+        _hp_kernel,
+        scale=float(scale),
+        paired=paired,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        kv_valid=kv_valid,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 128), lambda b_, h_, i, j: (b_, i, h_),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, 128), lambda b_, h_, i, j: (b_, j, h_),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, 128), lambda b_, h_, i, j: (b_, j, h_),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 128), lambda b_, h_, i, j: (b_, i, h_),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 256), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * skv * d * (2 if paired else 1),
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=b * heads * s * skv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
 
 
 def reference_attention(

@@ -73,7 +73,7 @@ def parse_args(argv=None):
     # TPU-native additions
     p.add_argument("--ckpt-dir", type=str, default="ckpts")
     p.add_argument("--attention", type=str, default="auto",
-                   choices=["auto", "pallas", "pallas_int8",
+                   choices=["auto", "pallas", "pallas_hp", "pallas_int8",
                             "pallas_int8pv", "xla"])
     p.add_argument("--demo", action="store_true",
                    help="Run with a tiny random-weight model (offline smoke)")

@@ -171,10 +171,20 @@ def test_int8_pv_tier_close_to_fp():
     assert err < 0.03, err
 
 
-def test_int8_pv_requires_lane_multiple_head_dim():
-    q = jnp.zeros((1, 1, 128, 64), jnp.bfloat16)
-    with pytest.raises(ValueError, match="pv_int8"):
-        flash_attention(q, q, q, pv_int8=True, interpret=True)
+def test_int8_pv_odd_head_dim_close_to_fp():
+    """int8-PV at d=64 (sum-col padding): the ones column quantizes
+    exactly (code 127 at scale 1/127), so the denominator — and hence
+    the acc/l ratio — stays consistent with the x127 exponent fold."""
+    k1, k2, k3 = jax.random.split(jax.random.key(17), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, qk_int8=True, pv_int8=True,
+                          interpret=True)
+    ref = reference_attention(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.03, err
 
 
 def test_int8_qk_with_segments_matches_reference():
@@ -232,3 +242,93 @@ def test_parse_sp_modes():
     assert parse_sp("pallas_int8") == ("pallas_int8", None)
     assert parse_sp("ulysses:sp") == ("auto", "sp")
     assert parse_sp("ulysses:sp:pallas_int8") == ("pallas_int8", "sp")
+
+
+def test_hp_kernel_paired_matches_reference():
+    """Head-packed kernel at d=64: mix/diff QK + lane-select PV +
+    partial-l must equal the head-split oracle, including a kv tail."""
+    from ltx_video_gpupoor_tpu.ops.flash_attention import flash_attention_hp
+
+    k1, k2, k3 = jax.random.split(jax.random.key(23), 3)
+    b, s, heads, d = 2, 384, 4, 64
+    valid = 300
+    q = _rand(k1, (b, s, heads * d))
+    k = _rand(k2, (b, s, heads * d))
+    v = _rand(k3, (b, s, heads * d))
+    out = flash_attention_hp(q, k, v, heads=heads, kv_valid=valid,
+                             block_q=128, block_kv=128, interpret=True)
+
+    def split(t):
+        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    kv_seg = jnp.asarray(
+        np.where(np.arange(s) < valid, 1, 0)[None, :], jnp.int32
+    ).repeat(b, 0)
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ref = reference_attention(split(q), split(k), split(v), q_seg, kv_seg)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.02, err.max()
+
+
+def test_hp_kernel_single_head_block_matches_reference():
+    """d=128: one head per 128-lane block, no pairing."""
+    from ltx_video_gpupoor_tpu.ops.flash_attention import flash_attention_hp
+
+    k1, k2, k3 = jax.random.split(jax.random.key(29), 3)
+    b, s, heads, d = 1, 256, 3, 128
+    q = _rand(k1, (b, s, heads * d))
+    k = _rand(k2, (b, s, heads * d))
+    v = _rand(k3, (b, s, heads * d))
+    out = flash_attention_hp(q, k, v, heads=heads,
+                             block_q=128, block_kv=128, interpret=True)
+
+    def split(t):
+        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    ref = reference_attention(split(q), split(k), split(v))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.02, err.max()
+
+
+def test_attention_packed_fallback_matches_split():
+    """attention_packed (head-packed entry) must match the split-heads
+    dispatch on the fallback path."""
+    from ltx_video_gpupoor_tpu.ops.attention import attention_packed
+
+    k1, k2, k3 = jax.random.split(jax.random.key(31), 3)
+    b, s, heads, d = 2, 200, 4, 64
+    q = _rand(k1, (b, s, heads * d))
+    k = _rand(k2, (b, s, heads * d))
+    v = _rand(k3, (b, s, heads * d))
+    out = attention_packed(q, k, v, heads, mode="xla")
+
+    def split(t):
+        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    ref = reference_attention(split(q), split(k), split(v))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_subblock_pipelined_path_matches_reference():
+    """block_kv % 256 == 0 engages the 2-way sub-block pipeline on the
+    exact path — numerics must be unchanged (incl. tail mask + causal)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(37), 3)
+    b, h, s, d = 1, 2, 512, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, block_q=256, block_kv=512,
+                          kv_valid=470, interpret=True)
+    seg = jnp.asarray(np.where(np.arange(s) < 470, 1, 0)[None], jnp.int32)
+    ref = reference_attention(q, k, v, jnp.ones((b, s), jnp.int32), seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    out = flash_attention(q, k, v, block_q=256, block_kv=512, causal=True,
+                          interpret=True)
+    ref = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
