@@ -38,7 +38,7 @@ def usp_wan_forward(
     params: dict,
     cfg: wan_model.WanConfig,
     x: jax.Array,                 # [B, F, H, W, C] latent video (global)
-    t: jax.Array,                 # [B]
+    t: jax.Array,                 # [B] — or [B, F] (diffusion forcing)
     context: jax.Array,           # [B, Sc, text_dim]
     context_mask: jax.Array,      # [B, Sc]
     freqs: tuple,                 # (cos, sin) [L, head_dim] global RoPE
@@ -48,6 +48,7 @@ def usp_wan_forward(
     slg_keep: Optional[jax.Array] = None,       # [L, B] (replicated)
     previous_residual: Optional[jax.Array] = None,  # [B, N, D] token-sharded
     compute: bool | jax.Array = True,
+    fps_idx: Optional[int] = None,     # static fps-embedding index (DF)
 ) -> tuple[jax.Array, jax.Array]:
     """Sequence-parallel denoiser evaluation; returns
     ``(velocity [B, F, H, W, C_out], residual [B, N, D])``, both sharded
@@ -101,13 +102,16 @@ def usp_wan_forward(
             kw["compute"] = compute
         return wan_model.forward(
             params, cfg, x, t, context, context_mask, (cos, sin),
-            attn_mode=inner_mode, **kw,
+            attn_mode=inner_mode, fps_idx=fps_idx, **kw,
         )
 
+    # per-frame timesteps (diffusion forcing, [B, F]) shard with the
+    # frames; scalar-per-stream timesteps ([B]) replicate
+    t_spec = frame_spec if t.ndim == 2 else repl
     fn = jax.shard_map(
         fwd,
         mesh=mesh,
-        in_specs=(repl, frame_spec, repl, repl, repl, tok_spec, tok_spec,
+        in_specs=(repl, frame_spec, t_spec, repl, repl, tok_spec, tok_spec,
                   *extra_specs),
         out_specs=(frame_spec, token_spec),
         check_vma=False,

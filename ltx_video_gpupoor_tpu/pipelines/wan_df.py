@@ -104,6 +104,12 @@ class WanDFPipeline:
     vae_cfg: wan_vae.WanVAEConfig
     vae_stride: tuple = (4, 8, 8)
     num_train_timesteps: int = 1000
+    # sequence parallelism over ICI (BASELINE "DF sharded over ICI"): every
+    # denoiser evaluation runs under shard_map with frames (and the [B, F]
+    # DF timestep rows) sharded over `sp_axis` — the autoregressive
+    # timestep-matrix scan stays host-level/global
+    sp_mesh: object = None
+    sp_axis: str = "sp"
 
     def generate(
         self,
@@ -221,24 +227,34 @@ class WanDFPipeline:
                     t_row,
                 )
 
+            fps_kw = fps_idx if cfg.inject_sample_info else None
+
+            def _fwd(xs, ts, ctx, ctx_mask):
+                if self.sp_mesh is not None:
+                    from ..parallel.usp import usp_wan_forward
+
+                    out, _ = usp_wan_forward(
+                        self.sp_mesh, self.model_params, cfg, xs, ts,
+                        ctx, ctx_mask, freqs, axis_name=self.sp_axis,
+                        attn_mode=attn_mode, fps_idx=fps_kw,
+                    )
+                    return out
+                out, _ = wan_model.forward(
+                    self.model_params, cfg, xs, ts, ctx, ctx_mask, freqs,
+                    fps_idx=fps_kw, attn_mode=attn_mode,
+                )
+                return out
+
             if do_cfg:
                 xs = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.stack([t_row, t_row], axis=0)  # [2, F]
-                out, _ = wan_model.forward(
-                    self.model_params, cfg, xs, t2, context, context_mask,
-                    freqs, fps_idx=fps_idx if cfg.inject_sample_info else None,
-                    attn_mode=attn_mode,
-                )
+                out = _fwd(xs, t2, context, context_mask)
                 cond, uncond = out[0:1], out[1:2]
                 noise_pred = uncond + guide_scale * (cond - uncond)
             else:
-                out, _ = wan_model.forward(
-                    self.model_params, cfg, x, t_row[None], context[0:1],
-                    context_mask[0:1], freqs,
-                    fps_idx=fps_idx if cfg.inject_sample_info else None,
-                    attn_mode=attn_mode,
+                noise_pred = _fwd(
+                    x, t_row[None], context[0:1], context_mask[0:1]
                 )
-                noise_pred = out
 
             # per-frame solver steps where update mask is set
             v_frames = jnp.moveaxis(noise_pred, 1, 0)       # [F, 1, H, W, C]

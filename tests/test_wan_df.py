@@ -114,3 +114,45 @@ def test_df_pipeline_with_prefix():
     )
     assert out.shape == (1, 9, 4, 4, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_df_pipeline_usp_matches_single_device():
+    """Diffusion forcing sharded over ICI (BASELINE config: 'Wan
+    diffusion-forcing long-video generation sharded over ICI'): the
+    per-frame [B, F] timestep rows shard with the frames; the
+    autoregressive timestep-matrix scan stays global. Must equal the
+    single-device run."""
+    import dataclasses as dc
+
+    from ltx_video_gpupoor_tpu.core.mesh import MeshConfig, make_mesh
+
+    vae_cfg = wv.WanVAEConfig(
+        dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,),
+    )
+    cfg = wm.WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=8, in_dim=4,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=16, out_dim=4,
+        num_heads=2, num_layers=2,
+    )
+    pipe = WanDFPipeline(
+        model_params=wm.init_params(jax.random.key(0), cfg),
+        model_cfg=cfg,
+        vae_params=wv.init_params(jax.random.key(1), vae_cfg),
+        vae_cfg=vae_cfg,
+        vae_stride=(4, 2, 2),
+    )
+    ctx = jax.random.normal(jax.random.key(2), (2, 8, 16))
+    mask = jnp.ones((2, 8), jnp.int32)
+    kwargs = dict(
+        height=8, width=8, frame_num=37, sampling_steps=3,
+        ar_step=1, causal_block_size=2, guide_scale=2.0,
+        key=jax.random.key(3),
+    )
+    ref = np.asarray(pipe.generate(ctx, mask, **kwargs))
+    # f_lat = (37-1)/4 + 1 = 10 frames and 2 heads both divide sp=2
+    mesh = make_mesh(MeshConfig(dp=1, sp=2, tp=1), devices=jax.devices()[:2])
+    pipe_sp = dc.replace(pipe, sp_mesh=mesh)
+    out = np.asarray(pipe_sp.generate(ctx, mask, **kwargs))
+    assert ref.shape == (1, 10, 4, 4, 4)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)

@@ -24,7 +24,12 @@ from ltx_video_gpupoor_tpu.ops.flash_attention import (
     reference_attention,
 )
 
-B, S, H, D = 2, 5280, 32, 64   # LTX-2B headline shape (S not 128-mult)
+import sys as _sys
+
+if "--wan" in _sys.argv:
+    B, S, H, D = 2, 32760, 12, 128   # Wan-1.3B 832x480x81f shape
+else:
+    B, S, H, D = 2, 5280, 32, 64     # LTX-2B headline shape
 
 
 def _sync(x):
@@ -36,7 +41,7 @@ def timeit_loop(fn, *args, n=20):
     def run(*a):
         def body(i, acc):
             o = fn(a[0] + (acc * 1e-6).astype(a[0].dtype), *a[1:])
-            return o[0, 0, 0].astype(jnp.float32)
+            return o[(0,) * o.ndim].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     _sync(run(*args))
