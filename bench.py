@@ -317,6 +317,11 @@ def _emit_parity():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "PARITY_KERNEL.json")
     try:
+        # remove any stale result first: check_tpu_parity writes its JSON
+        # only on completion, so a crash must not let a previous run's
+        # "ok": true masquerade as this run's verdict
+        if os.path.exists(out):
+            os.remove(out)
         proc = subprocess.run(
             [sys.executable, "tools/check_tpu_parity.py", "--stress",
              "--json", out],

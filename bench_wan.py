@@ -15,7 +15,8 @@ Tiers (env, mirroring bench.py):
   speed knob, ``model.py:854-899``).
 - BENCH_SCORE_BOUND=<b>: opt-in bounded-score attention tier (validated
   by tools/check_tpu_parity.py --stress).
-- BENCH_ATTENTION=<mode>: force the attention kernel tier (e.g.
+- BENCH_ATTN=<mode> (alias BENCH_ATTENTION): force the attention kernel
+  tier (e.g.
   ``pallas_int8pv`` — the sage2-equivalent int8 QKxPV path, a measured
   win at d=128).
 
@@ -65,7 +66,7 @@ def main():
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
-    am = os.environ.get("BENCH_ATTENTION")
+    am = os.environ.get("BENCH_ATTN") or os.environ.get("BENCH_ATTENTION")
     if am:
         from ltx_video_gpupoor_tpu.ops.attention import set_attention_mode
 
@@ -99,21 +100,23 @@ def main():
     freqs = wan_rope_freqs(
         (f_lat, h_lat // 2, w_lat // 2), head_dim=head_dim
     )
-    sigmas = unipc.unipc_sigmas(TIMED_STEPS, shift=8.0)
 
-    # TeaCache: static skip schedule over the timed window. For the bench
-    # we apply the canonical pattern (compute steps spread to hit the
-    # multiplier) rather than running threshold calibration — identical
-    # compute cost per executed step.
+    # TeaCache: static skip schedule (compute steps spread to hit the
+    # multiplier — identical compute cost per executed step to threshold
+    # calibration). A 4-step window can't represent e.g. 17/30, so with
+    # TeaCache on we time the FULL 30-step schedule directly — no
+    # extrapolation, the measured wall time IS the video's denoise time.
     tc_mult = float(os.environ.get("BENCH_TEACACHE", "0") or 0)
+    timed_steps = FULL_STEPS if tc_mult > 1.0 else TIMED_STEPS
+    sigmas = unipc.unipc_sigmas(timed_steps, shift=8.0)
     if tc_mult > 1.0:
-        n_exec = max(2, int(round(TIMED_STEPS / tc_mult)))
-        idx = np.linspace(0, TIMED_STEPS - 1, n_exec).round().astype(int)
-        tc_mask = np.zeros(TIMED_STEPS, bool)
+        n_exec = max(2, int(round(timed_steps / tc_mult)))
+        idx = np.linspace(0, timed_steps - 1, n_exec).round().astype(int)
+        tc_mask = np.zeros(timed_steps, bool)
         tc_mask[idx] = True
         tier += f"+teacache{tc_mult}"
     else:
-        tc_mask = np.ones(TIMED_STEPS, bool)
+        tc_mask = np.ones(timed_steps, bool)
     tc_mask_j = jnp.asarray(tc_mask)
     exec_frac = float(tc_mask.mean())
 
@@ -139,7 +142,7 @@ def main():
             return (lat, res), None
 
         (lat, _), _ = jax.lax.scan(body, (lat, res0),
-                                   jnp.arange(TIMED_STEPS))
+                                   jnp.arange(timed_steps))
         return lat[0, 0, 0, 0, 0].astype(jnp.float32)
 
     t0 = time.time()
@@ -148,8 +151,11 @@ def main():
     t0 = time.time()
     float(np.asarray(denoise(params, x)))
     timed = time.time() - t0
-    steps_per_sec = TIMED_STEPS / timed
-    denoise_30 = FULL_STEPS / steps_per_sec
+    steps_per_sec = timed_steps / timed
+    # TeaCache runs measure the full schedule directly; plain runs
+    # extrapolate the uniform per-step rate to the 30-step video
+    denoise_30 = timed if timed_steps == FULL_STEPS else (
+        FULL_STEPS / steps_per_sec)
 
     fl = step_flops(cfg, n_tokens) * exec_frac
     mfu = fl * steps_per_sec / PEAK_BF16

@@ -21,6 +21,7 @@ import io
 import json
 import logging
 import os
+import threading
 import time
 import uuid
 
@@ -38,17 +39,25 @@ REQUIRED_FIELDS = [
 class InferenceService:
     """Model preload + request handling, shared by both HTTP backends."""
 
-    def __init__(self, model=None, outputs_dir: str = "outputs"):
+    def __init__(self, model=None, outputs_dir: str = "outputs",
+                 warmup_spec: str | None = None):
         self.outputs_dir = os.path.abspath(outputs_dir)
         os.makedirs(self.outputs_dir, exist_ok=True)
         if model is None:
             model = self._load_from_env()
         self.model = model
+        # one generation at a time: the chip can't hold two full-res
+        # generations' HBM at once, and the background warmup must not
+        # race the first live request
+        self.gen_lock = threading.Lock()
         # pre-compile serving shapes (persistent compile cache makes this
-        # a disk load on every process after the first) — LTXV_TPU_WARMUP
+        # a disk load on every process after the first) — LTXV_TPU_WARMUP;
+        # ``warmup_spec`` overrides the env (tests pass "off")
         from .warmup import start_background_warmup
 
-        self._warmup_thread = start_background_warmup(model.generator)
+        self._warmup_thread = start_background_warmup(
+            model.generator, spec=warmup_spec, lock=self.gen_lock
+        )
 
     @staticmethod
     def _load_from_env():
@@ -102,15 +111,16 @@ class InferenceService:
             # planar-YUV420 fetch when the native writer can take it:
             # half the host-fetch bytes of uint8 RGB
             out_type = "yuv420" if native_codec.available() else "pixels"
-            frames = gen.generate(
-                embeds, mask,
-                height=int(data["height"]), width=int(data["width"]),
-                frame_num=int(data["num_frames"]),
-                frame_rate=int(data["frame_rate"]),
-                sampling_steps=int(data["num_inference_steps"]),
-                image_start=image_start,
-                output_type=out_type,
-            )
+            with self.gen_lock:  # serialize vs warmup + other requests
+                frames = gen.generate(
+                    embeds, mask,
+                    height=int(data["height"]), width=int(data["width"]),
+                    frame_num=int(data["num_frames"]),
+                    frame_rate=int(data["frame_rate"]),
+                    sampling_steps=int(data["num_inference_steps"]),
+                    image_start=image_start,
+                    output_type=out_type,
+                )
             name = f"video_{uuid.uuid4().hex[:12]}.mp4"
             out_path = os.path.join(self.outputs_dir, name)
             media_utils.save_video(

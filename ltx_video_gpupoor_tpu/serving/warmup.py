@@ -16,6 +16,7 @@ Env:
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import threading
@@ -28,10 +29,16 @@ logger = logging.getLogger(__name__)
 DEFAULT_BUCKET = (704, 480, 121)
 
 
-def warmup_shapes(generator, buckets=None, i2v: bool = True) -> float:
+def warmup_shapes(generator, buckets=None, i2v: bool = True,
+                  lock: threading.Lock | None = None) -> float:
     """Compile the serving programs for each ``(W, H, F)`` bucket by
     running a 1-step generation (compile time dominates; the single step
-    is negligible). Returns elapsed seconds."""
+    is negligible). Returns elapsed seconds.
+
+    ``lock``: the server's generation lock — held per bucket so warmup
+    never runs concurrently with a live request (two full-res
+    generations' HBM do not fit one chip); a request arriving mid-bucket
+    waits for that bucket, not the whole warmup."""
     import jax
     import jax.numpy as jnp
 
@@ -40,15 +47,17 @@ def warmup_shapes(generator, buckets=None, i2v: bool = True) -> float:
     cap = generator.pipeline.transformer_cfg.caption_channels
     emb = jnp.zeros((2, 128, cap), jnp.bfloat16)
     mask = jnp.ones((2, 128), jnp.int32)
+    ctx = lock if lock is not None else contextlib.nullcontext()
     for w, h, f in buckets:
         img = None
         if i2v:
             img = np.zeros((h, w, 3), np.uint8)
         try:
-            generator.generate(
-                emb, mask, height=h, width=w, frame_num=f,
-                image_start=img, sampling_steps=1, seed=0,
-            )
+            with ctx:
+                generator.generate(
+                    emb, mask, height=h, width=w, frame_num=f,
+                    image_start=img, sampling_steps=1, seed=0,
+                )
             logger.info("warmup %dx%dx%df done (%.1f s elapsed)",
                         w, h, f, time.time() - t0)
         except Exception as e:  # warmup must never take the server down
@@ -73,14 +82,20 @@ def parse_buckets(spec: str):
     return out
 
 
-def start_background_warmup(generator) -> threading.Thread | None:
-    """Kick off warmup per ``LTXV_TPU_WARMUP`` without blocking startup."""
-    buckets = parse_buckets(os.environ.get("LTXV_TPU_WARMUP", "default"))
+def start_background_warmup(
+    generator, spec: str | None = None,
+    lock: threading.Lock | None = None,
+) -> threading.Thread | None:
+    """Kick off warmup per ``spec`` (default: ``LTXV_TPU_WARMUP`` env)
+    without blocking startup."""
+    if spec is None:
+        spec = os.environ.get("LTXV_TPU_WARMUP", "default")
+    buckets = parse_buckets(spec)
     if not buckets:
         return None
     th = threading.Thread(
         target=warmup_shapes, args=(generator, buckets),
-        name="ltxv-warmup", daemon=True,
+        kwargs={"lock": lock}, name="ltxv-warmup", daemon=True,
     )
     th.start()
     return th

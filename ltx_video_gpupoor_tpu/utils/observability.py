@@ -71,10 +71,15 @@ def stage(name: str, sync=None) -> Iterator[None]:
     _prefix.append(name)
     full = "/".join(_prefix)
     t0 = time.perf_counter()
+    body_ok = False
     try:
         yield
+        body_ok = True
     finally:
-        if sync is not None:
+        # sync only when the body completed: the callable typically closes
+        # over variables assigned INSIDE the block, and running it after an
+        # exception would raise NameError over the real error
+        if body_ok and sync is not None:
             import numpy as np
 
             arr = sync()

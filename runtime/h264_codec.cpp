@@ -160,27 +160,33 @@ int write_mp4_impl(const char* path, int n, int h, int w, double fps,
     if (avformat_alloc_output_context2(&fmt, nullptr, "mp4", path) < 0 ||
         !fmt)
         return -1;
+    AVPacket* pkt = nullptr;
+    // single exit path: every return (error or success) releases the
+    // muxer, the open file handle, and the packet — a long-lived serving
+    // process retries failed writes and must not leak fds per attempt
+    auto finish = [&](int code) {
+        if (pkt) av_packet_free(&pkt);
+        if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+            avio_closep(&fmt->pb);
+        avformat_free_context(fmt);
+        return code;
+    };
 
     Encoder enc;
     int rc = enc.open(w, h, fps, crf, /*global_header=*/true);
-    if (rc) {
-        avformat_free_context(fmt);
-        return rc - 30;
-    }
+    if (rc) return finish(rc - 30);
 
     AVStream* st = avformat_new_stream(fmt, nullptr);
-    if (!st) return -2;
+    if (!st) return finish(-2);
     st->time_base = enc.ctx->time_base;
     avcodec_parameters_from_context(st->codecpar, enc.ctx);
 
     if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
-        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
-        avformat_free_context(fmt);
-        return -3;
-    }
-    if (avformat_write_header(fmt, nullptr) < 0) return -4;
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+        return finish(-3);
+    if (avformat_write_header(fmt, nullptr) < 0) return finish(-4);
 
-    AVPacket* pkt = av_packet_alloc();
+    pkt = av_packet_alloc();
     auto drain = [&]() {
         while (avcodec_receive_packet(enc.ctx, pkt) == 0) {
             if (pkt->duration == 0) pkt->duration = 1;  // one tick per frame
@@ -191,16 +197,13 @@ int write_mp4_impl(const char* path, int n, int h, int w, double fps,
         }
     };
     for (int i = 0; i < n; ++i) {
-        if (send(enc, i) < 0) return -5;
+        if (send(enc, i) < 0) return finish(-5);
         drain();
     }
     avcodec_send_frame(enc.ctx, nullptr);
     drain();
     av_write_trailer(fmt);
-    av_packet_free(&pkt);
-    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
-    avformat_free_context(fmt);
-    return 0;
+    return finish(0);
 }
 
 }  // namespace

@@ -84,7 +84,8 @@ def test_cli_demo_i2v(tmp_path):
 @pytest.fixture(scope="module")
 def server():
     service = InferenceService(
-        model=model_zoo.build_demo_model(), outputs_dir="outputs_test"
+        model=model_zoo.build_demo_model(), outputs_dir="outputs_test",
+        warmup_spec="off",  # no full-res background warmup in tests
     )
     srv = create_stdlib_server(service, host="127.0.0.1", port=0)
     port = srv.server_address[1]

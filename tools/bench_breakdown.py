@@ -31,18 +31,11 @@ PEAK_INT8 = 394e12
 B, S, SC, STEPS = 2, 5280, 256, 30
 
 
-def _sync(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[0])
-
-
-def timeit(fn, *args, n=20):
-    o = fn(*args)
-    _sync(o)
-    t0 = time.time()
-    for _ in range(n):
-        o = fn(*args)
-    _sync(o)
-    return (time.time() - t0) / n
+# shared relay-safe helpers; the local timeit_rep below is the distinct
+# per-stage fori-loop harness (pytree carry + perturbation), not the
+# eager-rep variant
+from _bench_util import sync_scalar as _sync  # noqa: E402
+from _bench_util import timeit_rep as timeit  # noqa: E402
 
 
 def timeit_rep(stage_fn, x, n=16, reps=2):

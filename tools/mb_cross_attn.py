@@ -22,19 +22,7 @@ from ltx_video_gpupoor_tpu.ops.flash_attention import flash_attention
 B, H, S, SKV, D = 2, 32, 5376, 256, 64
 
 
-def _sync(x):
-    # value fetch: block_until_ready is unreliable through the axon relay
-    return float(np.asarray(x).reshape(-1)[0])
-
-
-def timeit_rep(fn, *args, n=30):
-    o = fn(*args)
-    _sync(o)
-    t0 = time.time()
-    for _ in range(n):
-        o = fn(*args)
-    _sync(o)
-    return (time.time() - t0) / n
+from _bench_util import timeit_rep  # noqa: E402  (script-dir import)
 
 
 def main():

@@ -32,23 +32,7 @@ else:
     B, S, H, D = 2, 5280, 32, 64     # LTX-2B headline shape
 
 
-def _sync(x):
-    return float(np.asarray(x).reshape(-1)[0])
-
-
-def timeit_loop(fn, *args, n=20):
-    @jax.jit
-    def run(*a):
-        def body(i, acc):
-            o = fn(a[0] + (acc * 1e-6).astype(a[0].dtype), *a[1:])
-            return o[(0,) * o.ndim].astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    _sync(run(*args))
-    t0 = time.time()
-    o = run(*args)
-    _sync(o)
-    return (time.time() - t0) / n
+from _bench_util import timeit_loop  # noqa: E402  (script-dir import)
 
 
 def main():

@@ -30,8 +30,7 @@ from ltx_video_gpupoor_tpu.ops.quant import quantize_params
 B, S, SC, STEPS = 2, 5280, 256, 30
 
 
-def _sync(x):
-    return float(np.asarray(x).reshape(-1)[0])
+from _bench_util import sync_scalar as _sync  # noqa: E402
 
 
 def main():

@@ -114,23 +114,7 @@ def pipelined_attention(q, k, v, *, block_q=768, block_kv=2688, nsub=1):
     )(q, k, v)
 
 
-def _sync(x):
-    return float(np.asarray(x).reshape(-1)[0])
-
-
-def timeit_loop(mk, q, k, v, n=20):
-    @jax.jit
-    def run(q, k, v):
-        def body(i, acc):
-            o = mk(q + (acc * 1e-6).astype(q.dtype), k, v)
-            return o[0, 0, 0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    _sync(run(q, k, v))
-    t0 = time.time()
-    o = run(q, k, v)
-    _sync(o)
-    return (time.time() - t0) / n
+from _bench_util import timeit_loop  # noqa: E402  (script-dir import)
 
 
 def main():
