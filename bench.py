@@ -43,6 +43,36 @@ from ltx_video_gpupoor_tpu.schedulers import rf
 BASELINE_SEC_PER_VIDEO = 20.0
 
 HEIGHT, WIDTH, FRAMES, STEPS = 480, 704, 121, 30
+
+
+def wait_for_backend(max_wait_s: float = 900.0) -> bool:
+    """Wait for the (shared, intermittently unavailable) relay chip.
+
+    A failed TPU backend init is cached for the whole process, so probe
+    in SUBPROCESSES and only let this process touch a device once a
+    probe succeeds — a transient relay outage at bench time then costs
+    minutes of waiting instead of the round's benchmark.
+    ``BENCH_WAIT_TPU_S`` overrides the wait budget (0 = no wait)."""
+    import subprocess
+    import sys
+
+    max_wait_s = float(os.environ.get("BENCH_WAIT_TPU_S", max_wait_s))
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]))")
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=300,
+                capture_output=True,
+            ).returncode
+        except Exception:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.time() >= deadline:
+            return False
+        time.sleep(30)
 # 2 cfg streams for the 2B dev-mode config; the 13B serving mode is the
 # DISTILLED checkpoint (no CFG -> single stream, inference.py:485-493 +
 # ltxv-13b-0.9.7-distilled.yaml), so BENCH_13B runs 1 stream
@@ -99,6 +129,13 @@ def _quantized_init_13b(cfg, key):
 
 
 def main():
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "e2e_sec_per_video_ltx2b_704x480x121f_30steps",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "device backend unavailable after wait budget",
+        }))
+        raise SystemExit(1)
     if os.environ.get("BENCH_13B"):
         # LTXV-13B 0.9.7 dims; runs on one 16 GB v5e only via the int8
         # tier (the reference's quanto-int8 13B checkpoints play the
@@ -132,8 +169,9 @@ def main():
 
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
     # BENCH_ATTN=pallas|pallas_int8|pallas_int8pv|xla: attention tier
-    # (pallas_int8pv is the sage2-equivalent int8 QK+PV tier — a win at
-    # the 13B/Wan d=128 shapes, not at d=64)
+    # (pallas_int8pv is the sage2-equivalent int8 QK+PV tier — measured
+    # wins at the 13B/Wan d=128 shapes AND at d=64 since the
+    # quantize-after-sum-col reorder)
     attn_mode = os.environ.get("BENCH_ATTN", "auto")
     vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 

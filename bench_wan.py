@@ -62,6 +62,15 @@ def step_flops(cfg, n_tokens, streams=2):
 def main():
     import dataclasses
 
+    from bench import wait_for_backend
+
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "e2e_sec_per_video_wan1.3b", "value": None,
+            "unit": "s", "vs_baseline": None,
+            "error": "device backend unavailable after wait budget",
+        }))
+        raise SystemExit(1)
     cfg = WAN_T2V_1_3B
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
