@@ -1,11 +1,15 @@
 """Serving warmup plumbing (serving/warmup.py)."""
 
+import threading
+import time
+
 import jax.numpy as jnp
 import numpy as np
 
 from ltx_video_gpupoor_tpu.serving import model_zoo
 from ltx_video_gpupoor_tpu.serving.warmup import (
     parse_buckets,
+    start_background_warmup,
     warmup_shapes,
 )
 
@@ -32,6 +36,27 @@ def test_warmup_runs_generation_for_bucket():
         seed=1,
     )
     assert isinstance(frames, np.ndarray) and frames.shape[0] == 9
+
+
+def test_warmup_blocks_on_generation_lock():
+    """The background warmup must serialize behind the server's
+    generation lock: while a live request holds it, warmup waits."""
+    model = model_zoo.build_demo_model()
+    lock = threading.Lock()
+    with lock:  # a "live request" in flight
+        th = start_background_warmup(
+            model.generator, spec="64x64x9", lock=lock
+        )
+        assert th is not None
+        time.sleep(1.0)
+        assert th.is_alive()  # parked on the lock, not generating
+    th.join(timeout=300)
+    assert not th.is_alive()
+
+
+def test_warmup_spec_off_disables():
+    model = model_zoo.build_demo_model()
+    assert start_background_warmup(model.generator, spec="off") is None
 
 
 def test_warmup_survives_bad_bucket():
