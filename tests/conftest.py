@@ -55,7 +55,13 @@ _SLOW_MODULES = {
     "test_checkpoint", "test_model_zoo_integration", "test_serving",
     "test_interrupt_observability", "test_golden_e2e_tool",
 }
-_SLOW_TESTS = {"test_vace_encoders"}
+_SLOW_TESTS = {
+    "test_vace_encoders",
+    # full demo-model generations (~80 s compile on one CPU)
+    "test_warmup_runs_generation_for_bucket",
+    "test_warmup_survives_bad_bucket",
+    "test_warmup_blocks_on_generation_lock",
+}
 
 
 def pytest_collection_modifyitems(config, items):
