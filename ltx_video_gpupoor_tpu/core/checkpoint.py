@@ -467,12 +467,19 @@ def convert_ltx_vae(
                 "bias": _jx(sd[qc + ".bias"], dtype),
             }
     stats = {}
-    for ours, theirs in (
-        ("std_of_means", "per_channel_statistics.std-of-means"),
-        ("mean_of_means", "per_channel_statistics.mean-of-means"),
+    for ours, names in (
+        # diffusers-format checkpoints store the stats as latents_std /
+        # latents_mean (``diffusers_config_mapping.py:172-173``) — losing
+        # them would silently skip latent (un)normalization entirely
+        ("std_of_means",
+         ("per_channel_statistics.std-of-means", "latents_std")),
+        ("mean_of_means",
+         ("per_channel_statistics.mean-of-means", "latents_mean")),
     ):
-        if theirs in sd:
-            stats[ours] = _jx(sd[theirs], jnp.float32)
+        for theirs in names:
+            if theirs in sd:
+                stats[ours] = _jx(sd[theirs], jnp.float32)
+                break
     if "std_of_means" in stats:
         stats.setdefault(
             "mean_of_means", jnp.zeros_like(stats["std_of_means"])
@@ -574,12 +581,16 @@ def convert_legacy_vae(
     if "post_quant_conv.weight" in sd:
         params["post_quant_conv"] = lin1x1("post_quant_conv")
     stats = {}
-    for ours, theirs in (
-        ("std_of_means", "per_channel_statistics.std-of-means"),
-        ("mean_of_means", "per_channel_statistics.mean-of-means"),
+    for ours, names in (
+        ("std_of_means",
+         ("per_channel_statistics.std-of-means", "latents_std")),
+        ("mean_of_means",
+         ("per_channel_statistics.mean-of-means", "latents_mean")),
     ):
-        if theirs in sd:
-            stats[ours] = _jx(sd[theirs], jnp.float32)
+        for theirs in names:
+            if theirs in sd:
+                stats[ours] = _jx(sd[theirs], jnp.float32)
+                break
     if stats:
         params["per_channel_statistics"] = stats
     return params

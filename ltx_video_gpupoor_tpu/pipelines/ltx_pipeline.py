@@ -36,9 +36,14 @@ from ..models.ltx import vae as ltx_vae
 from ..models.ltx.transformer3d import (
     LTXTransformerConfig,
     SkipLayerStrategy,
+    compute_freqs as _compute_freqs,
     forward as transformer_forward,
 )
 from ..schedulers import rf
+
+# module-level so the jit cache survives across generate() calls (a
+# fresh jax.jit wrapper per call would retrace every request)
+_jit_compute_freqs = jax.jit(_compute_freqs, static_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +255,14 @@ class GuidanceSchedule:
 
     @property
     def do_cfg(self) -> bool:
-        return self.num_conds >= 2 and bool(np.any(self.guidance_scale != 1.0))
+        # MUST match build_guidance_schedule's num_conds predicate: g of
+        # exactly 0 or 1 means "no uncond stream" (the reference skips
+        # CFG there) — counting g=0 as CFG would desync the stream rows
+        # from num_conds when STG is on
+        g = self.guidance_scale
+        return self.num_conds >= 2 and bool(
+            np.any((g != 0.0) & (g != 1.0))
+        )
 
     @property
     def do_stg(self) -> bool:
@@ -441,11 +453,9 @@ def denoise(
     # loop-invariant motion won't hoist the multi-MB cos/sin tables out
     # of the scan body itself). The USP path computes per-shard tables
     # from global coords inside shard_map instead.
-    from ..models.ltx.transformer3d import compute_freqs
-
-    rope_freqs = None if sp_mesh is not None else jax.jit(
-        compute_freqs, static_argnums=(0,)
-    )(transformer_cfg, coords)
+    rope_freqs = None if sp_mesh is not None else _jit_compute_freqs(
+        transformer_cfg, coords
+    )
 
     def body(carry, step):
         if use_tc:
@@ -568,6 +578,10 @@ def denoise(
 
     from ..core.interrupt import check
 
+    # per-call wrapper by necessity: body closes over this call's params
+    # and conditioning, so the trace cannot be shared across generate()
+    # calls. Only the interrupt/progress host loop pays this; the serving
+    # fast path is the scan above.
     step_fn = jax.jit(lambda lat, step: body(lat, step)[0])
     n_steps = len(np.asarray(timesteps))
     carry = carry0

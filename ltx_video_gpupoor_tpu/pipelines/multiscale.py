@@ -60,6 +60,18 @@ class MultiScalePipeline:
     upsampler_cfg: lup.LatentUpsamplerConfig
     downscale_factor: float = 2 / 3
 
+    def downscaled_dims(self, height: int, width: int) -> tuple[int, int]:
+        """Pass-1 dims: ``int(dim * factor)`` snapped down to the VAE
+        stride (``pipeline_ltx_video.py:1797-1801``). The single source
+        of truth — callers deriving pass-1 latent grids must use THIS
+        (the YAML factor 0.6666666 and float ``2/3`` differ by one unit
+        in ``int()`` for dims divisible by 96, which the %32 snap then
+        turns into a whole-block mismatch)."""
+        sf = self.pipeline.vae_cfg.spatial_downscale_factor
+        xh = int(height * self.downscale_factor)
+        xw = int(width * self.downscale_factor)
+        return xh - (xh % sf), xw - (xw % sf)
+
     def generate(
         self,
         prompt_embeds,
@@ -78,11 +90,9 @@ class MultiScalePipeline:
         key = key if key is not None else jax.random.key(0)
         k1, k2, k3 = jax.random.split(key, 3)
 
-        sf = self.pipeline.vae_cfg.spatial_downscale_factor
-        x_width = int(width * self.downscale_factor)
-        downscaled_width = x_width - (x_width % sf)
-        x_height = int(height * self.downscale_factor)
-        downscaled_height = x_height - (x_height % sf)
+        downscaled_height, downscaled_width = self.downscaled_dims(
+            height, width
+        )
 
         from ..utils.observability import stage as _stage
 

@@ -80,23 +80,30 @@ def build_timesteps(
     max_timestep: float = 1.0,
 ) -> np.ndarray:
     """Timestep list for one pass, including skip_initial/final handling
-    (``retrieve_timesteps``, ``pipeline_ltx_video.py:125-199``)."""
+    (``retrieve_timesteps``, ``pipeline_ltx_video.py:125-199``).
+
+    The skips and the ``max_timestep`` (v2v strength) truncation apply
+    to EXPLICIT config timestep lists too — the reference runs both
+    after resolving either source (``:176-196``); without that, the
+    distilled configs (explicit lists starting at 1.0) would silently
+    ignore v2v strength entirely."""
     if "timesteps" in pass_cfg:
-        return np.asarray(pass_cfg["timesteps"], np.float32)
-    steps = pass_cfg.get("num_inference_steps", 30)
-    sampler_name = {
-        "from_checkpoint": "Uniform",
-        "uniform": "Uniform",
-        "linear-quadratic": "LinearQuadratic",
-    }.get(sampler, "Uniform")
-    sched = rf.make_schedule(
-        steps,
-        sampler=sampler_name,
-        shifting="SD3",
-        n_media_tokens=n_media_tokens,
-        target_shift_terminal=0.1,
-    )
-    ts = np.asarray(sched.timesteps)
+        ts = np.asarray(pass_cfg["timesteps"], np.float32)
+    else:
+        steps = pass_cfg.get("num_inference_steps", 30)
+        sampler_name = {
+            "from_checkpoint": "Uniform",
+            "uniform": "Uniform",
+            "linear-quadratic": "LinearQuadratic",
+        }.get(sampler, "Uniform")
+        sched = rf.make_schedule(
+            steps,
+            sampler=sampler_name,
+            shifting="SD3",
+            n_media_tokens=n_media_tokens,
+            target_shift_terminal=0.1,
+        )
+        ts = np.asarray(sched.timesteps)
     skip_i = pass_cfg.get("skip_initial_inference_steps", 0)
     skip_f = pass_cfg.get("skip_final_inference_steps", 0)
     if skip_i or skip_f:
@@ -105,6 +112,11 @@ def build_timesteps(
         # v2v strength: start denoising at the media's noise level
         # (``retrieve_timesteps`` max_timestep truncation,
         # ``pipeline_ltx_video.py:190-196``)
+        if max_timestep < float(ts.min()):
+            raise ValueError(
+                f"max_timestep {max_timestep} is smaller than the "
+                f"minimum timestep {float(ts.min())}"
+            )
         ts = ts[ts <= max_timestep]
     return ts
 
@@ -204,14 +216,35 @@ class LTXVideoGenerator:
         conditioning = []
         media_video = None
         with _stage("media_prep"):
+            if input_video is not None and (
+                input_video.shape[1] != height
+                or input_video.shape[2] != width
+            ):
+                # the working dims moved off the video's own (MAX clamp
+                # or resolution bucketing): resize frames BEFORE padding,
+                # or the pad/crop bookkeeping applies to dims the media
+                # doesn't have
+                input_video = np.stack([
+                    media_utils.resize_image(f, height, width)
+                    for f in np.asarray(input_video)
+                ])
             if input_video is not None and strength < 1.0:
                 # v2v: encode the whole video, noise to `strength`, denoise
                 # from there (``prepare_latents`` media path, ``:632-710``);
                 # the encode happens per-branch at the branch's working
-                # resolution
-                media_video = media_utils.pad_media(input_video, padding)
+                # resolution. Trim to the padded frame count (the
+                # reference's ``load_media_file(max_frames=fp)``).
+                media_video = media_utils.pad_media(
+                    input_video[:fp], padding
+                )
             elif input_video is not None:
-                item = media_utils.pad_media(input_video, padding)
+                # conditioning video: trim to the target length floored
+                # to N*temporal_factor+1 (``trim_conditioning_sequence``,
+                # ``pipeline_ltx_video.py:1689-1707``)
+                tsf = self.pipeline.vae_cfg.temporal_downscale_factor
+                n = min(input_video.shape[0], frame_num)
+                n = (n - 1) // tsf * tsf + 1
+                item = media_utils.pad_media(input_video[:n], padding)
                 conditioning.append(ConditioningItem(item, 0, 1.0))
             if image_start is not None:
                 img = media_utils.prepare_conditioning_image(
@@ -274,11 +307,20 @@ class LTXVideoGenerator:
             first = dict(cfg["first_pass"])
             second = dict(cfg["second_pass"])
             if sampling_steps is not None:
-                first.setdefault("num_inference_steps", sampling_steps)
-            df = cfg.get("downscale_factor", 2 / 3)
-            sf = self.pipeline.vae_cfg.spatial_downscale_factor
-            dw = int(wp * df) - int(wp * df) % sf
-            dh = int(hp * df) - int(hp * df) % sf
+                # the user's step count overrides BOTH passes' configured
+                # counts (``ltxv.py:277-278`` + the post-update assignment
+                # at ``pipeline_ltx_video.py:1862-1888``); explicit config
+                # timestep lists still win inside build_timesteps
+                first["num_inference_steps"] = sampling_steps
+                second["num_inference_steps"] = sampling_steps
+            ms = self.multiscale
+            df = cfg.get("downscale_factor")
+            if df is not None and df != ms.downscale_factor:
+                ms = dataclasses.replace(ms, downscale_factor=df)
+            # pass-1 dims from the SAME computation the multiscale
+            # pipeline will run (a one-ulp factor difference shifts the
+            # %32 snap a whole block and desyncs the latent grids)
+            dh, dw = ms.downscaled_dims(hp, wp)
             fl, hl, wl = self.pipeline.latent_shape(dh, dw, fp)
             if media_video is not None:
                 media_latents = encode_media(media_video, dh, dw)
@@ -286,7 +328,13 @@ class LTXVideoGenerator:
                 first, fl * hl * wl, cfg.get("sampler"),
                 max_timestep=strength if media_latents is not None else 1.0,
             )
-            ts2 = build_timesteps(second, n_tokens, cfg.get("sampler"))
+            # strength truncates BOTH passes' schedules (the reference
+            # threads ``strength`` into every ``retrieve_timesteps`` call,
+            # ``pipeline_ltx_video.py:938-948`` — pass 2 included)
+            ts2 = build_timesteps(
+                second, n_tokens, cfg.get("sampler"),
+                max_timestep=strength if media_latents is not None else 1.0,
+            )
             first_pass_kwargs = dict(
                 timesteps=ts1, **_pass_kwargs(first, stg_strategy)
             )
@@ -295,7 +343,7 @@ class LTXVideoGenerator:
                     media_latents=media_latents,
                     initial_timestep=float(ts1[0]),
                 )
-            result = self.multiscale.generate(
+            result = ms.generate(
                 prompt_embeds, prompt_mask,
                 height=hp, width=wp, num_frames=fp,
                 first_pass=first_pass_kwargs,
@@ -347,13 +395,11 @@ class LTXVideoGenerator:
                     method="bilinear",
                 )
             # crop padding ON DEVICE (a free slice) so the fetch moves
-            # only requested pixels
-            left, right, top, bottom = padding
-            frames = jnp.asarray(frames)[
-                :frame_num,
-                top: hp - bottom if bottom else hp,
-                left: wp - right if right else wp,
-            ]
+            # only requested pixels; shares the zero-pad edge cases with
+            # the host-side helper
+            frames = media_utils.crop_padding(
+                jnp.asarray(frames), padding, frame_num
+            )
             if output_type == "yuv420" and height % 2 == 0 and width % 2 == 0:
                 # planar YUV420 fetch: half the bytes of uint8 RGB; the
                 # native mp4 writer takes the planes directly

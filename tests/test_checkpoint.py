@@ -199,6 +199,20 @@ def test_convert_ltx_vae_structure():
     )
     assert np.isfinite(np.asarray(e1)).all()
 
+    # diffusers-format stats keys (latents_std / latents_mean,
+    # ``diffusers_config_mapping.py:172-173``) map to the same statistics
+    # — dropping them would silently skip latent (un)normalization
+    del sd["per_channel_statistics.std-of-means"]
+    sd["latents_std"] = np.full(8, 2.0, np.float32)
+    sd["latents_mean"] = np.full(8, 0.5, np.float32)
+    p2 = ckpt.convert_ltx_vae(sd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(p2["per_channel_statistics"]["std_of_means"]), 2.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2["per_channel_statistics"]["mean_of_means"]), 0.5
+    )
+
 
 def test_dequantize_quanto():
     sd = {

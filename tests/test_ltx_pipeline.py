@@ -79,6 +79,20 @@ def test_t2v_with_stg(pipe):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_stg_with_zero_guidance(pipe):
+    """guidance_scale=0 + STG: 2 streams (cond + perturbed), no uncond.
+    Previously GuidanceSchedule.do_cfg counted g=0 as CFG and assembled
+    3 context rows against 2 latent streams — batch mismatch."""
+    emb, mask = _prompts()
+    out = pipe.generate(
+        emb, mask, height=32, width=32, num_frames=9,
+        num_inference_steps=3, guidance_scale=0.0, stg_scale=1.0,
+        skip_block_list=[1],
+        key=jax.random.key(0), output_type="latent",
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_t2v_pixels(pipe):
     emb, mask = _prompts()
     out = pipe.generate(

@@ -159,7 +159,9 @@ def test_server_metrics_route(server):
 
 
 def test_cli_v2v_with_strength(tmp_path):
-    # build a tiny source video then run v2v at strength 0.6
+    # build a tiny source video then run v2v at strength 0.8 (the demo
+    # distilled config's explicit schedule bottoms at 0.725, and strength
+    # truncates it — reference ``retrieve_timesteps`` semantics)
     src = str(tmp_path / "src.mp4")
     frames = np.random.rand(9, 64, 64, 3).astype(np.float32) * 2 - 1
     media_utils.save_video(frames, src, fps=10)
@@ -167,11 +169,33 @@ def test_cli_v2v_with_strength(tmp_path):
     args = parse_args([
         "--prompt", "stylized", "--demo", "--height", "64", "--width", "64",
         "--video-length", "9", "--num-inference-steps", "4",
-        "--video-source", src, "--strength", "0.6",
+        "--video-source", src, "--strength", "0.8",
         "--output-path", out, "--attention", "xla",
     ])
     path = infer(args)
     assert os.path.isfile(path)
+
+
+def test_v2v_strength_below_schedule_min_raises(tmp_path):
+    """Strength below the explicit schedule's minimum timestep must raise
+    the reference's descriptive error (``pipeline_ltx_video.py:190-196``)
+    — previously explicit lists ignored strength entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    model = model_zoo.build_demo_model(0)
+    gen = model.generator
+    emb = jax.random.normal(
+        jax.random.key(0),
+        (2, 16, gen.pipeline.transformer_cfg.caption_channels),
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    video = np.random.rand(9, 64, 64, 3).astype(np.float32) * 2 - 1
+    with pytest.raises(ValueError, match="max_timestep"):
+        gen.generate(
+            emb, mask, height=64, width=64, frame_num=9, seed=0,
+            input_video=video, strength=0.1, output_type="latent",
+        )
 
 
 def test_downloads_idempotent_offline(tmp_path):
@@ -211,6 +235,83 @@ def test_multiscale_output_resized_to_request():
         sampling_steps=2, output_type="pixels",
     )
     assert frames.shape == (9, 96, 96, 3)
+
+
+def test_v2v_multiscale_dims_single_source():
+    """h=w=480 is divisible by 96, where the YAML downscale factor
+    0.6666666 and float 2/3 disagree by one unit in int() — previously
+    the orchestrator's pass-1 latent grid desynced from the multiscale
+    pipeline's by a whole 32-px block, crashing the v2v init lerp."""
+    import jax
+    import jax.numpy as jnp
+
+    model = model_zoo.build_demo_model(0)
+    gen = model.generator
+    ms = gen.multiscale
+    # the generator must adopt the config's factor, and both sides must
+    # compute the same pass-1 dims
+    df = gen.pipeline_config["downscale_factor"]
+    import dataclasses as _dc
+
+    ms_cfg = _dc.replace(ms, downscale_factor=df)
+    assert ms_cfg.downscaled_dims(480, 480) == (288, 288)
+    emb = jax.random.normal(
+        jax.random.key(0),
+        (2, 16, gen.pipeline.transformer_cfg.caption_channels),
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    video = np.random.rand(9, 480, 480, 3).astype(np.float32) * 2 - 1
+    out = gen.generate(
+        emb, mask, height=480, width=480, frame_num=9, seed=0,
+        input_video=video, strength=0.8, output_type="latent",
+    )
+    assert out is not None
+
+
+def test_conditioning_video_trimmed_to_target():
+    """A conditioning video longer than the requested frame count is
+    trimmed to N*temporal_factor+1 frames (reference
+    ``trim_conditioning_sequence``) instead of crashing the
+    dynamic_update_slice."""
+    import jax
+    import jax.numpy as jnp
+
+    model = model_zoo.build_demo_model(0)
+    gen = model.generator
+    emb = jax.random.normal(
+        jax.random.key(0),
+        (2, 16, gen.pipeline.transformer_cfg.caption_channels),
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    video = np.random.rand(25, 64, 64, 3).astype(np.float32) * 2 - 1
+    out = gen.generate(
+        emb, mask, height=64, width=64, frame_num=9, seed=0,
+        input_video=video, strength=1.0, output_type="latent",
+    )
+    assert out is not None
+
+
+def test_oversize_input_video_resized_to_working_dims():
+    """Input video above the MAX dims: the working dims clamp, and the
+    frames must be resized to them (previously pad/crop bookkeeping
+    applied to the unresized frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = model_zoo.build_demo_model(0)
+    gen = model.generator
+    emb = jax.random.normal(
+        jax.random.key(0),
+        (2, 16, gen.pipeline.transformer_cfg.caption_channels),
+    )
+    mask = jnp.ones((2, 16), jnp.int32)
+    video = (np.random.rand(9, 736, 1312, 3) * 2 - 1).astype(np.float32)
+    frames = gen.generate(
+        emb, mask, height=736, width=1312, frame_num=9, seed=0,
+        input_video=video, strength=0.8, output_type="pixels",
+        sampling_steps=1,
+    )
+    assert frames.shape == (9, 720, 1280, 3)
 
 
 def test_ckpt_resolution_subfolder_layout(tmp_path):
