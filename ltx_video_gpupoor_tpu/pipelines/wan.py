@@ -169,14 +169,23 @@ class WanPipeline:
         vace_scale: float = 1.0,
         teacache_mask: Optional[np.ndarray] = None,  # [steps] bool
         attn_mode: str = "auto",
-        overlapped_latents: Optional[jax.Array] = None,  # [1, n, H', W', z]
+        # sliding-window continuation latents, INCLUDING the boundary
+        # frame (the reference pins ``overlapped.shape[1] + 1`` frames —
+        # ``text2video.py:456``; pass that full region here)
+        overlapped_latents: Optional[jax.Array] = None,  # [1, n+1, H', W', z]
         overlap_noise: float = 0.0,
         key: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.model_cfg
+        if solver not in ("unipc", "dpm++", "euler"):
+            raise ValueError(f"unsupported solver {solver!r}")
         num_steps = sigmas.shape[0] - 1
+        # guide_scale == 1 takes precedence over Phantom in the reference
+        # (``text2video.py:498-500``): a single cond pass on the bare
+        # latents, ref images never appended
+        phantom = ref_latents is not None and guide_scale != 1
         f_all = latents.shape[1] + (
-            ref_latents.shape[1] if ref_latents is not None else 0
+            ref_latents.shape[1] if phantom else 0
         )
         if source_latents is not None:
             f_all = latents.shape[1] + source_latents.shape[1]
@@ -190,7 +199,6 @@ class WanPipeline:
         # SLG keep-mask per step: cond stream index 0, uncond index 1 — the
         # reference skips slg layers for the UNCOND stream only
         # (``model.py:1077-1080``: x_id != 0 path)
-        phantom = ref_latents is not None
         num_streams = 3 if phantom else (2 if guide_scale != 1 else 1)
         slg_keep_steps = np.ones(
             (num_steps, cfg.num_layers, num_streams), np.float32
@@ -206,8 +214,10 @@ class WanPipeline:
             else np.asarray(teacache_mask, bool)
         )
 
-        def model_call(x_latent, t_scalar, keep, residual, compute):
+        def model_call(x_latent, t_scalar, keep, residual, compute,
+                       vctx_step=None):
             """Evaluate all guidance streams in one batched forward."""
+            vace_ctx = vctx_step if vctx_step is not None else vace_context
             if phantom:
                 # streams: [pos_it (ctx, ref), pos_i (null, ref), neg (null, ref_neg)]
                 xs = jnp.concatenate([
@@ -244,8 +254,8 @@ class WanPipeline:
                 else jnp.concatenate([clip_features] * num_streams, axis=0)
             )
             vctx = (
-                None if vace_context is None
-                else jnp.concatenate([vace_context] * num_streams, axis=0)
+                None if vace_ctx is None
+                else jnp.concatenate([vace_ctx] * num_streams, axis=0)
             )
             t = jnp.full((num_streams,), t_scalar)
             if self.sp_mesh is not None:
@@ -302,13 +312,17 @@ class WanPipeline:
             i = step["idx"]
             sigma = sigmas[i]
             t_scalar = sigma * self.num_train_timesteps
+            vctx_step = None
             if n_overlap:
                 # sliding-window continuation: re-inject the previous
                 # window's tail latents noised to the current level
-                # (``text2video.py:471-480``)
+                # (``text2video.py:471-480``; ``overlapped_latents`` must
+                # include the boundary frame — the reference pins
+                # ``shape[1] + 1`` frames)
+                k_x, k_vace = jax.random.split(step["key"])
                 factor = t_scalar / self.num_train_timesteps
                 noise = jax.random.normal(
-                    step["key"], overlapped_latents.shape, x.dtype
+                    k_x, overlapped_latents.shape, x.dtype
                 )
                 noised = (
                     overlapped_latents.astype(x.dtype) * (1 - factor)
@@ -317,8 +331,31 @@ class WanPipeline:
                 x = jax.lax.dynamic_update_slice(
                     x, noised, (0, 0, 0, 0, 0)
                 )
+                if vace_context is not None and overlap_noise > 0:
+                    # the VACE context's inactive channels (the leading
+                    # z_dim of the feature axis) carry the continuation
+                    # latents; each step they are re-perturbed from the
+                    # clean snapshot at the fixed overlap noise floor
+                    # (``text2video.py:471-480`` zz update). Stateless:
+                    # derived from the ORIGINAL context every step.
+                    onf = overlap_noise / self.num_train_timesteps
+                    snap = jax.lax.dynamic_slice(
+                        vace_context,
+                        (0, 0, 0, 0, 0),
+                        (1, n_overlap) + vace_context.shape[2:4]
+                        + (overlapped_latents.shape[-1],),
+                    )
+                    vnoise = jax.random.normal(
+                        k_vace, snap.shape, vace_context.dtype
+                    )
+                    vctx_step = jax.lax.dynamic_update_slice(
+                        vace_context,
+                        snap * (1 - onf) + vnoise * onf,
+                        (0, 0, 0, 0, 0),
+                    )
             out, residual = model_call(
-                x, t_scalar, step["keep"], residual, step["tc"]
+                x, t_scalar, step["keep"], residual, step["tc"],
+                vctx_step=vctx_step,
             )
             out = out[:, : latents.shape[1]]  # strip ref/source frames
 
@@ -332,15 +369,19 @@ class WanPipeline:
             elif num_streams == 2:
                 cond, uncond = out[0:1], out[1:2]
                 if cfg_star_switch:
+                    # reference quirk (``text2video.py:551-563``): the
+                    # ``noise_pred_text*0`` zeroing for i <= cfg_zero_step
+                    # is DEAD CODE — unconditionally overwritten by the
+                    # plain-CFG line right after. The EXECUTED behavior:
+                    # early steps merely skip the alpha rescale of the
+                    # uncond stream, then apply plain CFG.
                     alpha = optimized_scale(
                         cond.astype(jnp.float32), uncond.astype(jnp.float32)
                     )
                     uncond = jnp.where(
                         i <= cfg_zero_step, uncond, uncond * alpha
                     )
-                    zeroed = i <= cfg_zero_step
-                    guided = uncond + guide_scale * (cond - uncond)
-                    noise_pred = jnp.where(zeroed, cond * 0.0, guided)
+                    noise_pred = uncond + guide_scale * (cond - uncond)
                 else:
                     noise_pred = uncond + guide_scale * (cond - uncond)
             else:
@@ -350,6 +391,13 @@ class WanPipeline:
                 sstate, x = junipc.unipc_step(
                     sstate, noise_pred, x, i, sigmas, num_steps
                 )
+            elif solver == "euler":
+                # flow-match Euler between sigma levels (the reference's
+                # ``basic_flowmatch.FlowMatchScheduler.step``); state-free
+                x = (
+                    x.astype(jnp.float32)
+                    + (sigmas[i + 1] - sigmas[i]) * noise_pred
+                ).astype(x.dtype)
             else:
                 sstate, x = jdpm.dpm_step(
                     sstate, noise_pred, x, i, sigmas, num_steps
@@ -390,9 +438,11 @@ class WanPipeline:
         **denoise_kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
+        k_noise, k_loop = jax.random.split(key)  # never reuse a consumed key
         f_lat, h_lat, w_lat = self.latent_shape(height, width, frame_num)
         noise = jax.random.normal(
-            key, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim), jnp.float32
+            k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
+            jnp.float32,
         )
         sigmas = self._solve_schedule(solver, sampling_steps, shift)
         tc_mask = None
@@ -406,7 +456,7 @@ class WanPipeline:
             noise, context, context_mask, sigmas,
             guide_scale=guide_scale, solver=solver,
             enable_riflex=enable_riflex, teacache_mask=tc_mask,
-            key=key,
+            key=k_loop,
             **denoise_kwargs,
         )
         result = latents if output_type == "latent" else \
@@ -468,9 +518,11 @@ class WanPipeline:
         **denoise_kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
+        k_noise, k_loop = jax.random.split(key)
         f_lat, h_lat, w_lat = self.latent_shape(height, width, frame_num)
         noise = jax.random.normal(
-            key, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim), jnp.float32
+            k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
+            jnp.float32,
         )
         y = self.prepare_i2v_conditioning(
             first_frame, height, width, frame_num, last_frame
@@ -479,7 +531,7 @@ class WanPipeline:
         latents = self.denoise(
             noise, context, context_mask, sigmas,
             guide_scale=guide_scale, solver=solver,
-            clip_features=clip_features, y=y,
+            clip_features=clip_features, y=y, key=k_loop,
             **denoise_kwargs,
         )
         if output_type == "latent":

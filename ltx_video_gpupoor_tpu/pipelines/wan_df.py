@@ -104,6 +104,10 @@ class WanDFPipeline:
     vae_cfg: wan_vae.WanVAEConfig
     vae_stride: tuple = (4, 8, 8)
     num_train_timesteps: int = 1000
+    # spatial tile size for the final decode; None = untiled. DF runs are
+    # typically LONGER than t2v clips, so the same memory-envelope policy
+    # applies (``WanPipeline.vae_tile_size``)
+    vae_tile_size: Optional[int] = None
     # sequence parallelism over ICI (BASELINE "DF sharded over ICI"): every
     # denoiser evaluation runs under shard_map with frames (and the [B, F]
     # DF timestep rows) sharded over `sp_axis` — the autoregressive
@@ -281,4 +285,9 @@ class WanDFPipeline:
 
         if output_type == "latent":
             return latents
+        if self.vae_tile_size:
+            return wan_vae.spatial_tiled_decode(
+                self.vae_params, self.vae_cfg, latents,
+                tile_size=self.vae_tile_size,
+            )
         return wan_vae._tile_decode(self.vae_params, self.vae_cfg, latents)

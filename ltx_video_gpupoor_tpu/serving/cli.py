@@ -157,16 +157,16 @@ def infer(args) -> str:
         )
 
     image_start = image_end = input_video = None
-    if args.image_start:
+    if args.image_start or args.image_end:
         from PIL import Image
 
-        image_start = np.asarray(
-            Image.open(args.image_start).convert("RGB")
-        )
-    if args.image_end:
-        from PIL import Image
+        def _load_rgb(path):
+            return np.asarray(Image.open(path).convert("RGB"))
 
-        image_end = np.asarray(Image.open(args.image_end).convert("RGB"))
+        if args.image_start:
+            image_start = _load_rgb(args.image_start)
+        if args.image_end:
+            image_end = _load_rgb(args.image_end)
     if args.video_source:
         input_video = media_utils.load_video(args.video_source)
 

@@ -76,19 +76,62 @@ def test_t2v_no_cfg(pipe):
 
 def test_t2v_slg(pipe):
     ctx, mask = _ctx()
-    # cfg_zero_step=-1: with the default (5) every prediction in a 3-step
-    # run is zeroed and SLG could not show an effect
     base = pipe.generate_t2v(
         ctx, mask, width=16, height=16, frame_num=5,
         sampling_steps=3, guide_scale=3.0, key=jax.random.key(0),
-        cfg_zero_step=-1,
     )
     out = pipe.generate_t2v(
         ctx, mask, width=16, height=16, frame_num=5,
         sampling_steps=3, guide_scale=3.0, key=jax.random.key(0),
-        cfg_zero_step=-1, slg_layers=[1], slg_start=0.0, slg_end=1.0,
+        slg_layers=[1], slg_start=0.0, slg_end=1.0,
     )
     assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-5
+
+
+def test_cfg_zero_early_steps_are_plain_cfg(pipe):
+    """The reference's 'zero the prediction for i <= cfg_zero_step' is
+    dead code (text2video.py:558-563 overwrites it); the executed
+    behavior merely skips the alpha rescale early. A 2-step run with
+    cfg_zero_step=5 must therefore equal plain CFG exactly."""
+    p = pipe
+    ctx, mask = _ctx()
+    kw = dict(width=16, height=16, frame_num=5, sampling_steps=2,
+              guide_scale=3.0, key=jax.random.key(0))
+    star = p.generate_t2v(ctx, mask, cfg_star_switch=True,
+                          cfg_zero_step=5, **kw)
+    plain = p.generate_t2v(ctx, mask, cfg_star_switch=False, **kw)
+    np.testing.assert_allclose(np.asarray(star), np.asarray(plain))
+
+
+def test_euler_solver_runs_and_differs_from_unipc(pipe):
+    """solver='euler' must run the flow-match Euler integrator (it
+    previously fell through to DPM++ silently)."""
+    p = pipe
+    ctx, mask = _ctx()
+    kw = dict(width=16, height=16, frame_num=5, sampling_steps=4,
+              guide_scale=2.0, key=jax.random.key(0))
+    eu = p.generate_t2v(ctx, mask, solver="euler", **kw)
+    un = p.generate_t2v(ctx, mask, solver="unipc", **kw)
+    assert np.isfinite(np.asarray(eu)).all()
+    assert np.abs(np.asarray(eu) - np.asarray(un)).max() > 1e-6
+    with pytest.raises(ValueError, match="unsupported solver"):
+        p.generate_t2v(ctx, mask, solver="heun", **kw)
+
+
+def test_phantom_guide_scale_one_single_stream(pipe):
+    """Phantom refs with guide_scale == 1: the reference runs ONE cond
+    pass on the bare latents (text2video.py:498-500) — the result must
+    equal a plain no-CFG run, refs ignored."""
+    p = pipe
+    ctx, mask = _ctx()
+    refs = jax.random.normal(jax.random.key(7), (1, 1, 8, 8, 4))
+    kw = dict(width=16, height=16, frame_num=5, sampling_steps=2,
+              guide_scale=1.0, key=jax.random.key(0))
+    with_refs = p.generate_t2v(
+        ctx, mask, ref_latents=refs, ref_latents_neg=refs, **kw
+    )
+    without = p.generate_t2v(ctx, mask, **kw)
+    np.testing.assert_allclose(np.asarray(with_refs), np.asarray(without))
 
 
 def test_teacache_schedule(pipe):
