@@ -111,6 +111,13 @@ class WanPipeline:
     # pixel tile size for VAE decode/encode; 0 = untiled
     # (reference get_VAE_tile_size policy, ``wan/modules/vae.py:790-811``)
     vae_tile_size: int = 256
+    # optional encoder weights (loaded by serving.model_zoo.load_wan_model):
+    # the pipeline itself takes pre-computed context / CLIP features, so
+    # callers run models.t5.encode / models.wan.clip with these
+    t5_params: Optional[dict] = None
+    t5_cfg: object = None
+    clip_params: Optional[dict] = None
+    clip_cfg: object = None
 
     def _vae_decode(self, latents):
         if self.vae_tile_size:

@@ -131,7 +131,7 @@ def load_ltxv_model(
     model_mode: str = "ltxv_13B_distilled",
     ckpt_dir: str = "ckpts",
     text_encoder_filename: Optional[str] = None,
-    upsampler_filename: str = "ltxv-spatial-upscaler-0.9.7.safetensors",
+    upsampler_filename: Optional[str] = None,
     vae_filename: Optional[str] = None,
 ) -> LoadedModel:
     """Assemble the full LTX stack from local safetensors checkpoints.
@@ -140,6 +140,15 @@ def load_ltxv_model(
     environment; the reference would HF-hub-download here,
     ``inference.py:51-75``).
     """
+    # LoRA-only checkpoints (the distilled convention): the file named by
+    # the policy is a LoRA — the reference inserts the dev int8 transformer
+    # as the BASE and applies the LoRA on top (``inference.py:449-452``,
+    # ``:485-493``). Loading the LoRA file as a full model would KeyError.
+    lora_filename = None
+    if "lora" in os.path.basename(model_filename):
+        lora_filename = model_filename
+        model_filename = "ltxv_0.9.7_13B_dev_quanto_bf16_int8.safetensors"
+
     tf_path = _maybe(model_filename, ckpt_dir)
     if tf_path is None:
         raise FileNotFoundError(
@@ -167,22 +176,40 @@ def load_ltxv_model(
     )
     tf_params = ckpt.convert_ltx_transformer(tensors, tcfg.num_layers)
 
-    # distilled = dev weights + lora128 merge (``inference.py:485-493``);
-    # merge any sibling LoRA file named in the checkpoint convention
-    if "distilled" in model_mode:
-        lora_path = _maybe(
-            "ltxv_0.9.7_13B_distilled_lora128.safetensors", ckpt_dir
-        )
-        if lora_path:
-            from ..core.lora import merge_lora
+    if lora_filename is not None:
+        lora_path = _maybe(lora_filename, ckpt_dir)
+        if lora_path is None:
+            raise FileNotFoundError(
+                f"LoRA checkpoint not found: {lora_filename} — place it "
+                f"under {ckpt_dir}/"
+            )
+        from ..core.lora import merge_lora
 
-            lora_sd, _ = ckpt.load_safetensors(lora_path)
-            tf_params, n = merge_lora(tf_params, lora_sd, multiplier=1.0)
-            if n == 0:
-                raise ValueError(f"no LoRA layers matched from {lora_path}")
+        lora_sd, _ = ckpt.load_safetensors(lora_path)
+        tf_params, n = merge_lora(tf_params, lora_sd, multiplier=1.0)
+        if n == 0:
+            raise ValueError(f"no LoRA layers matched from {lora_path}")
 
-    vae_path = _maybe(vae_filename or model_filename, ckpt_dir)
-    vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
+    # the VAE ships as its own file (``ltxv.py:171``; downloads.py fetches
+    # exactly this name). Fall back to the transformer checkpoint only for
+    # combined single-file checkpoints; an EXPLICIT missing name errors.
+    if vae_filename is None:
+        vae_path = _maybe("ltxv_0.9.7_VAE.safetensors", ckpt_dir)
+        if vae_path is None:
+            vae_path = tf_path
+    else:
+        vae_path = _maybe(vae_filename, ckpt_dir)
+        if vae_path is None:
+            raise FileNotFoundError(
+                f"VAE checkpoint not found: {vae_filename} under {ckpt_dir}/"
+            )
+    if vae_path == tf_path:
+        # combined checkpoint: reuse the already-loaded (and already
+        # dequantized) tensors instead of re-reading a multi-GB file
+        vae_tensors, vae_config = tensors, config
+    else:
+        vae_tensors, vae_config = ckpt.load_safetensors(vae_path)
+        vae_tensors = ckpt.dequantize_quanto(vae_tensors)
     vcfg_dict = vae_config.get("vae", vae_config) if vae_config else \
         ltx_vae.LTX_VAE_CONFIG_097
     # legacy iff the config says so, or the encoder has a mid_block with
@@ -214,6 +241,15 @@ def load_ltxv_model(
             t5_params = ckpt.convert_t5_encoder(
                 te_tensors, t5_cfg.num_layers, t5_cfg.shared_pos
             )
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "text encoder checkpoint %s not found under %s — prompt "
+                "encoding will use the hash-embedding fallback (demo "
+                "quality, NOT production)",
+                text_encoder_filename, ckpt_dir,
+            )
 
     pipeline = LTXPipeline(
         transformer_params=tf_params, transformer_cfg=tcfg,
@@ -222,10 +258,23 @@ def load_ltxv_model(
     )
 
     multiscale = None
-    up_path = _maybe(upsampler_filename, ckpt_dir)
+    # the download layer provisions "ltxv_0.9.7_spatial_upscaler" (the hub
+    # name, ``inference.py:406``); older docs used the dashed LTXV name —
+    # accept both so multiscale isn't silently absent at request time
+    up_candidates = ([upsampler_filename] if upsampler_filename else []) + [
+        "ltxv_0.9.7_spatial_upscaler.safetensors",
+        "ltxv-spatial-upscaler-0.9.7.safetensors",
+    ]
+    up_path = next(
+        (p for p in (_maybe(c, ckpt_dir) for c in up_candidates) if p), None
+    )
     if up_path:
         up_tensors, up_cfg_dict = ckpt.load_safetensors(up_path)
-        up_cfg = lup.LatentUpsamplerConfig()
+        up_fields = {f.name for f in dataclasses.fields(
+            lup.LatentUpsamplerConfig)}
+        up_cfg = lup.LatentUpsamplerConfig(**{
+            k: v for k, v in (up_cfg_dict or {}).items() if k in up_fields
+        })
         up_params = convert_latent_upsampler(up_tensors)
         multiscale = MultiScalePipeline(
             pipeline=pipeline, upsampler_params=up_params,
@@ -270,16 +319,24 @@ def convert_latent_upsampler(sd: dict, dtype=jnp.bfloat16) -> dict:
             "norm2": gn(prefix + ".norm2"),
         }
 
-    n_blocks = 0
-    while f"res_blocks.{n_blocks}.conv1.weight" in sd:
-        n_blocks += 1
+    def count(prefix):
+        n = 0
+        while f"{prefix}.{n}.conv1.weight" in sd:
+            n += 1
+        return n
+
     return {
         "initial_conv": conv("initial_conv"),
         "initial_norm": gn("initial_norm"),
-        "res_blocks": [res(f"res_blocks.{i}") for i in range(n_blocks)],
+        "res_blocks": [
+            res(f"res_blocks.{i}") for i in range(count("res_blocks"))
+        ],
         "upsampler": conv("upsampler.0"),
+        # counted independently: checkpoints may carry different pre/post
+        # block counts
         "post_upsample_res_blocks": [
-            res(f"post_upsample_res_blocks.{i}") for i in range(n_blocks)
+            res(f"post_upsample_res_blocks.{i}")
+            for i in range(count("post_upsample_res_blocks"))
         ],
         "final_conv": conv("final_conv"),
     }
@@ -328,10 +385,42 @@ def load_wan_model(
     vae_tensors, _ = ckpt.load_safetensors(vae_path)
     vae_params = ckpt.convert_wan_vae(vae_tensors, vae_cfg)
 
+    # optional encoders: the pipeline takes pre-computed context/CLIP
+    # features, so the loaded params are returned on the pipeline for
+    # callers to run models.t5.encode / models.wan.clip.encode with
+    extras = {}
+    if text_encoder_filename:
+        te_path = _maybe(text_encoder_filename, ckpt_dir)
+        if te_path is None:
+            raise FileNotFoundError(
+                f"Wan text encoder checkpoint not found: "
+                f"{text_encoder_filename}"
+            )
+        te_tensors, _ = ckpt.load_safetensors(te_path)
+        te_tensors = ckpt.dequantize_quanto(te_tensors)
+        extras["t5_cfg"] = jt5.UMT5_XXL
+        extras["t5_params"] = ckpt.convert_t5_encoder(
+            te_tensors, jt5.UMT5_XXL.num_layers, jt5.UMT5_XXL.shared_pos
+        )
+    if clip_filename:
+        clip_path = _maybe(clip_filename, ckpt_dir)
+        if clip_path is None:
+            raise FileNotFoundError(
+                f"Wan CLIP checkpoint not found: {clip_filename}"
+            )
+        from ..models.wan import clip as wan_clip
+
+        clip_tensors, _ = ckpt.load_safetensors(clip_path)
+        extras["clip_cfg"] = wan_clip.CLIPVisionConfig()
+        extras["clip_params"] = ckpt.convert_clip_vision(
+            clip_tensors, extras["clip_cfg"].num_layers
+        )
+
     return WanPipeline(
         model_params=model_params, model_cfg=cfg,
         vae_params=vae_params, vae_cfg=vae_cfg,
         vae_stride=tuple(spec["vae_stride"]),
+        **extras,
     )
 
 

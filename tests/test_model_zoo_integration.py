@@ -183,3 +183,54 @@ def test_quantized_checkpoint_roundtrip_loads(ckpt_dir, tmp_path):
     orig = tensors["patchify_proj.weight"]
     got = deq["patchify_proj.weight"]
     assert np.abs(got - orig).max() / (np.abs(orig).max() + 1e-9) < 0.02
+
+
+def test_lora_filename_requires_dev_base(ckpt_dir):
+    """A 'lora' model filename names a LoRA-ONLY checkpoint; the loader
+    must look for the dev int8 base (``inference.py:449-452``) and error
+    clearly when it is absent — not KeyError parsing the LoRA file as a
+    full model."""
+    with pytest.raises(FileNotFoundError, match="dev_quanto_bf16_int8"):
+        model_zoo.load_ltxv_model(
+            "ltxv_0.9.7_13B_distilled_lora128_bf16.safetensors",
+            ckpt_dir=ckpt_dir,
+        )
+
+
+def test_lora_checkpoint_merges_over_dev_base(ckpt_dir, tmp_path):
+    import shutil
+
+    d = TF_CFG_DICT["num_attention_heads"] * TF_CFG_DICT["attention_head_dim"]
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    shutil.copy(
+        os.path.join(ckpt_dir, "ltxv_0.9.7_13B_dev_bf16.safetensors"),
+        ck / "ltxv_0.9.7_13B_dev_quanto_bf16_int8.safetensors",
+    )
+    rank = 2
+    down = _rand(rank, d)
+    up = np.ones((d, rank), np.float32)
+    ckpt.save_safetensors(
+        str(ck / "ltxv_0.9.7_13B_distilled_lora128_bf16.safetensors"),
+        {
+            "transformer_blocks.0.attn1.to_q.lora_A.weight": down,
+            "transformer_blocks.0.attn1.to_q.lora_B.weight": up,
+        },
+    )
+    base = model_zoo.load_ltxv_model(
+        "ltxv_0.9.7_13B_dev_bf16.safetensors", model_mode="ltxv_13B",
+        ckpt_dir=ckpt_dir, upsampler_filename="missing.safetensors",
+    )
+    merged = model_zoo.load_ltxv_model(
+        "ltxv_0.9.7_13B_distilled_lora128_bf16.safetensors",
+        ckpt_dir=str(ck), upsampler_filename="missing.safetensors",
+    )
+    bq = np.asarray(
+        base.generator.pipeline.transformer_params
+        ["blocks"]["attn1"]["to_q"]["kernel"][0]
+    )
+    mq = np.asarray(
+        merged.generator.pipeline.transformer_params
+        ["blocks"]["attn1"]["to_q"]["kernel"][0]
+    )
+    assert np.abs(mq - bq).max() > 1e-6  # the merge changed block 0

@@ -46,11 +46,18 @@ PSNR_TARGET_DB = 40.0
 
 
 def find_checkpoint(ckpt_dir):
-    pats = ("ltxv*([0-9.]*)*.safetensors", "ltxv*.safetensors",
+    """Pick a FULL transformer checkpoint: exclude the upsampler, the
+    standalone VAE file, and LoRA-only files (the distilled lora128
+    checkpoint is a LoRA, not a full model — ``inference.py:449-452``)."""
+    pats = ("ltxv*dev*.safetensors", "ltxv*.safetensors",
             "*ltx*video*.safetensors")
     for pat in pats:
         hits = sorted(glob.glob(os.path.join(ckpt_dir, pat)))
-        hits = [h for h in hits if "upsampler" not in h.lower()]
+        hits = [
+            h for h in hits
+            if not any(s in os.path.basename(h).lower()
+                       for s in ("upsampler", "upscaler", "vae", "lora"))
+        ]
         if hits:
             return hits[0]
     return None
@@ -166,6 +173,10 @@ def run(ckpt_dir="ckpts", steps=8, height=256, width=256, frames=9,
     print(f"# checkpoint: {path}")
     tensors, config = ckpt.load_safetensors(path)
     tensors = ckpt.dequantize_quanto(tensors)
+    # normalize the optional "vae." prefix once so both the JAX converter
+    # (which strips it itself) and the torch-side decoder/transformer key
+    # filters below see the same namespace
+    tensors = {k.removeprefix("vae."): v for k, v in tensors.items()}
     config = config or {}
     tcfg_dict = config.get("transformer", config)
     vcfg_dict = config.get("vae")
@@ -306,7 +317,12 @@ def run(ckpt_dir="ckpts", steps=8, height=256, width=256, frames=9,
         ).numpy()
     ref_px = np.transpose(ref_px, (0, 2, 3, 4, 1))  # -> [B, F, H, W, 3]
     if ours_px.shape != ref_px.shape:
-        ours_px = ours_px.reshape(ref_px.shape)
+        # a blind reshape would scramble pixels across axes and make the
+        # PSNR verdict meaningless — fail loudly with the shapes instead
+        raise SystemExit(
+            f"decode layout mismatch: ours {ours_px.shape} vs reference "
+            f"{ref_px.shape} — fix the axis order, do not reshape"
+        )
 
     frame_psnrs = [
         psnr(ours_px[0, i], ref_px[0, i]) for i in range(ref_px.shape[1])
