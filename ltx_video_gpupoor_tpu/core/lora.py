@@ -44,6 +44,13 @@ def normalize_lora_keys(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             nk = nk.replace("attn2_", "attn2.")
             nk = nk.replace("ffn_", "ffn.")
             nk = nk.replace("ff_", "ff.")
+            # sub-module indices that stay underscore-joined after the
+            # prefix replaces above: attention output Sequential slot and
+            # the GEGLU FFN projections — without these, to_out/FFN LoRA
+            # pairs silently never match merge_lora's dotted names
+            nk = nk.replace("to_out_0", "to_out.0")
+            nk = nk.replace("ff.net_0_proj", "ff.net.0.proj")
+            nk = nk.replace("ff.net_2", "ff.net.2")
         nk = nk.removeprefix("diffusion_model.")
         nk = nk.removeprefix("transformer.")
         out[nk] = v
@@ -83,6 +90,10 @@ def merge_lora(
     .to_q``)."""
     flat = flatten(params)
     matched = 0
+    # collect all per-layer deltas per stacked key first: updating a
+    # 48-layer [L, in, out] stack one .at[i].set at a time would copy the
+    # full multi-GB stack once per LoRA pair instead of once per key
+    stacked: dict[str, list] = {}
     for base, down, up, alpha in lora_pairs(lora_sd):
         path = base
         if path_map is not None:
@@ -92,6 +103,10 @@ def merge_lora(
         path = path.replace(".to_out.0", ".to_out")
         path = path.replace(".ff.net.0.proj", ".ff.proj_in")
         path = path.replace(".ff.net.2", ".ff.proj_out")
+        # Wan FFN is an nn.Sequential in the reference (ffn.0 / ffn.2);
+        # our tree names the projections fc1 / fc2
+        path = path.replace(".ffn.0", ".ffn.fc1")
+        path = path.replace(".ffn.2", ".ffn.fc2")
         m = re.match(r"blocks\.(\d+)\.(.*)", path)
         layer_idx = None
         if m:
@@ -105,14 +120,21 @@ def merge_lora(
         scale = float(multiplier)
         if alpha is not None:
             scale *= float(np.asarray(alpha)) / r
-        delta = (up.astype(np.float32) @ down.astype(np.float32)).T  # [in,out]
+        delta = scale * (
+            up.astype(np.float32) @ down.astype(np.float32)
+        ).T  # [in, out]
         w = flat[key]
         if layer_idx is not None and w.ndim == 3:
-            upd = w[layer_idx].astype(jnp.float32) + scale * delta
-            flat[key] = w.at[layer_idx].set(upd.astype(w.dtype))
+            stacked.setdefault(key, []).append((layer_idx, delta))
         else:
             flat[key] = (
-                w.astype(jnp.float32) + scale * delta
+                w.astype(jnp.float32) + delta
             ).astype(w.dtype)
         matched += 1
+    for key, items in stacked.items():
+        w = flat[key]
+        idxs = jnp.asarray([i for i, _ in items])
+        deltas = jnp.asarray(np.stack([d for _, d in items]))
+        upd = w[idxs].astype(jnp.float32) + deltas
+        flat[key] = w.at[idxs].set(upd.astype(w.dtype))
     return unflatten(flat), matched

@@ -53,11 +53,28 @@ class TrainConfig:
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    # standard transformer recipe: weight decay applies to matmul kernels
+    # only — norm weights, biases (ndim < 2), and the adaLN
+    # scale_shift/modulation tables (2-3D, matched by name) must not
+    # shrink toward zero
+    def decay_mask(params):
+        from ..core.params import flatten, unflatten
+
+        flat = flatten(params)
+        return unflatten({
+            k: (
+                v.ndim >= 2
+                and "scale_shift" not in k
+                and "modulation" not in k
+            )
+            for k, v in flat.items()
+        })
+
     return optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.adamw(
             tc.learning_rate, b1=tc.b1, b2=tc.b2,
-            weight_decay=tc.weight_decay,
+            weight_decay=tc.weight_decay, mask=decay_mask,
         ),
     )
 
@@ -66,6 +83,11 @@ def sample_timesteps(key: jax.Array, batch: int, tc: TrainConfig) -> jax.Array:
     if tc.timestep_sampling == "logit_normal":
         u = jax.random.normal(key, (batch,)) * tc.logit_std + tc.logit_mean
         return jax.nn.sigmoid(u)
+    if tc.timestep_sampling != "uniform":
+        raise ValueError(
+            f"unknown timestep_sampling {tc.timestep_sampling!r} "
+            "(expected 'uniform' or 'logit_normal')"
+        )
     return jax.random.uniform(key, (batch,))
 
 

@@ -29,8 +29,12 @@ def resize_crop(video: np.ndarray, oh: int, ow: int) -> np.ndarray:
     t, ih, iw, c = video.shape
     scale = max(ow / iw, oh / ih)
     rh, rw = round(scale * ih), round(scale * iw)
+    # cv2.resize drops a trailing singleton channel (HxWx1 -> HxW);
+    # restore it so the [T, oh, ow, C] contract holds for mask videos
     frames = np.stack([
-        cv2.resize(f, (rw, rh), interpolation=cv2.INTER_CUBIC) for f in video
+        cv2.resize(f, (rw, rh), interpolation=cv2.INTER_CUBIC)
+        .reshape(rh, rw, c)
+        for f in video
     ])
     y1 = (rh - oh) // 2
     x1 = (rw - ow) // 2
@@ -54,10 +58,26 @@ class VaceVideoProcessor:
     keep_last: bool = True
 
     def select_frames(
-        self, fps: float, num_frames: int
+        self, fps: float, num_frames: int,
+        max_frames: int = 0, start_frame: int = 0,
     ) -> tuple[list[int], float]:
-        """Frame ids resampled to the fps budget
-        (``_get_frameid_bbox_default``)."""
+        """Frame ids resampled to the fps budget.
+
+        ``keep_last=True`` (the fork's serving default) runs the
+        timestamp-binning ``resample`` at ``max_fps``
+        (``_get_frameid_bbox_adjust_last``); ``keep_last=False`` is the
+        zero-start uniform path (``_get_frameid_bbox_default`` with
+        ``zero_start=True``; the training-time random window/area
+        sampling is out of scope for serving)."""
+        if self.keep_last:
+            from .video_ops import resample
+
+            target_fps = self.max_fps
+            ids = resample(
+                fps, num_frames, max_frames or num_frames, target_fps,
+                start_frame,
+            )
+            return ids, target_fps
         target_fps = min(fps, self.max_fps)
         duration = num_frames / fps
         target_num = int(duration * target_fps)
@@ -68,7 +88,13 @@ class VaceVideoProcessor:
         return ids, target_fps
 
     def budget_dimensions(self, h: int, w: int, num_frames: int):
-        """Scale area so the token count fits the seq_len budget."""
+        """Scale area so the token count fits the seq_len budget.
+
+        Floors like the reference (``int(h*scale)//dh*dh``,
+        ``vace_preprocessor.py:81-84``) — rounding could overshoot the
+        budget the function exists to enforce. (``min_area``/``min_fps``
+        bound the reference's TRAINING-time random area/window sampling,
+        which is out of scope for serving.)"""
         df, dh, dw = self.downsample
         lat_frames = (num_frames - 1) // df + 1
         max_area = min(
@@ -76,8 +102,9 @@ class VaceVideoProcessor:
         )
         area = h * w
         scale = min(1.0, math.sqrt(max_area / area))
-        oh = round(h * scale / dh) * dh
-        ow = round(w * scale / dw) * dw
+        oh = int(h * scale) // dh * dh
+        ow = int(w * scale) // dw * dw
+        assert (oh // dh) * (ow // dw) * lat_frames <= self.seq_len
         return oh, ow
 
 
@@ -117,21 +144,31 @@ def vace_encode_masks(
     vae_stride: tuple = (4, 8, 8),
     num_refs: int = 0,
 ) -> jnp.ndarray:
-    """``vace_encode_masks`` (``text2video.py:153-184``): nearest-downsample
-    masks to the latent grid, depth-pack the temporal stride into channels,
-    prepend zeros for ref frames."""
+    """``vace_encode_masks`` (``text2video.py:153-184``): pack the
+    ``dh x dw`` SPATIAL neighborhood of each latent cell into channels
+    (64 for the production 8x8 stride — the real VACE checkpoint's
+    ``vace_in_dim=96`` is 32 frame-latent + 64 mask channels),
+    nearest-exact resample depth to the latent frame count, prepend
+    zeros for ref frames. Returns ``[B, F', H', W', dh*dw]``."""
     b, f, h, w, _ = masks.shape
     df, dh, dw = vae_stride
-    f_lat = (f - 1) // df + 1
-    # temporal grouping: first frame alone, then df-sized groups
-    pad = jnp.repeat(masks[:, :1], df - 1, axis=1)
-    m = jnp.concatenate([pad, masks], axis=1)  # [1, f + df - 1, ...]
-    m = m[:, : f_lat * df]
-    m = m.reshape(b, f_lat, df, h, w, 1)
-    # spatial nearest downsample
-    m = m[:, :, :, ::dh, ::dw, :]
-    m = m.reshape(b, f_lat, df, h // dh, w // dw)
-    m = jnp.moveaxis(m, 2, -1)  # [B, F', H', W', df]
+    new_depth = (f + df - 1) // df           # == VAE latent frames
+    # floor the spatial grid exactly like the reference
+    # (``height = 2 * (H // (stride*2))``) and crop to it, so
+    # non-aligned masks pack instead of crashing the reshape
+    hl = 2 * (h // (dh * 2))
+    wl = 2 * (w // (dw * 2))
+    m = masks[..., 0][:, :, : hl * dh, : wl * dw]   # [B, F, hl*dh, wl*dw]
+    m = m.reshape(b, f, hl, dh, wl, dw)
+    # spatial phases -> channels, channel index = sh*dw + sw (the
+    # reference's permute(2,4,0,1,3) + reshape order)
+    m = jnp.transpose(m, (0, 1, 2, 4, 3, 5)).reshape(b, f, hl, wl, dh * dw)
+    # nearest-exact depth resample F -> new_depth
+    # (``F.interpolate(mode='nearest-exact')``: src = floor((dst+.5)*scale))
+    idx = jnp.floor(
+        (jnp.arange(new_depth) + 0.5) * (f / new_depth)
+    ).astype(jnp.int32)
+    m = m[:, jnp.clip(idx, 0, f - 1)]
     if num_refs:
         zeros = jnp.zeros((b, num_refs) + m.shape[2:], m.dtype)
         m = jnp.concatenate([zeros, m], axis=1)

@@ -122,10 +122,22 @@ def test_vace_encoders():
     )
     z = vace.vace_encode_frames(params, cfg, frames, masks=masks)
     assert z.shape[-1] == 8  # 2 * z_dim
+    # mask channels = dh*dw spatial phases (the real 8x8 stride gives the
+    # 64 mask channels of vace_in_dim=96 = 2*z_dim(16) + 64)
     m = vace.vace_encode_masks(masks, vae_stride=(2, 2, 2))
-    assert m.shape == (1, 3, 8, 8, 2)
+    assert m.shape == (1, 3, 8, 8, 4)
     ctx = vace.vace_latent(z, m)
-    assert ctx.shape[-1] == 10
+    assert ctx.shape[-1] == 12
+    # production stride: channel count matches the checkpoint's 96
+    m8 = vace.vace_encode_masks(
+        jnp.ones((1, 5, 32, 32, 1)), vae_stride=(4, 8, 8)
+    )
+    assert m8.shape[-1] == 64 and m8.shape[1] == 2
+    # non-stride-aligned masks floor-crop instead of crashing
+    modd = vace.vace_encode_masks(
+        jnp.ones((1, 5, 100, 36, 1)), vae_stride=(4, 8, 8)
+    )
+    assert modd.shape[2] == 2 * (100 // 16) and modd.shape[3] == 2 * (36 // 16)
 
 
 def test_vace_processor_budget():
@@ -135,7 +147,7 @@ def test_vace_processor_budget():
     oh, ow = proc.budget_dimensions(480, 832, 81)
     assert oh % 8 == 0 and ow % 8 == 0
     lat = ((81 - 1) // 4 + 1) * (oh // 8) * (ow // 8)
-    assert lat <= 1100  # within ~budget after rounding
+    assert lat <= 1000  # floors like the reference: budget is a hard cap
     ids, fps = proc.select_frames(30.0, 90)
     assert fps == 24
     assert len(ids) == 72
