@@ -80,6 +80,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def encode_or_hash(pipe, prompt: str, negative: str):
+    """Real T5 encode (at the serving max_len) when weights + tokenizer
+    are loaded, else the deterministic demo hash embeddings. ONE
+    definition shared by the CLI and the HTTP server so the encode path
+    (and its sequence length) cannot diverge between the two."""
+    if pipe.t5_params is not None and pipe.tokenizer is not None:
+        return pipe.encode_prompt([negative, prompt])
+    return hash_prompt_embeds(
+        prompt, negative, 128, pipe.transformer_cfg.caption_channels
+    )
+
+
 def hash_prompt_embeds(prompt: str, negative: str, seq_len: int, dim: int):
     """Deterministic pseudo text embeddings for --demo runs (no T5 weights)."""
     import jax
@@ -146,15 +158,7 @@ def infer(args) -> str:
         pipe.vae_tile_size = (
             (0, 0) if args.VAE_tile_size == 0 else (4, args.VAE_tile_size)
         )
-    if pipe.t5_params is not None and pipe.tokenizer is not None:
-        embeds, mask = pipe.encode_prompt(
-            [args.negative_prompt, args.prompt]
-        )
-    else:
-        embeds, mask = hash_prompt_embeds(
-            args.prompt, args.negative_prompt, 128,
-            pipe.transformer_cfg.caption_channels,
-        )
+    embeds, mask = encode_or_hash(pipe, args.prompt, args.negative_prompt)
 
     image_start = image_end = input_video = None
     if args.image_start or args.image_end:

@@ -78,6 +78,8 @@ class InferenceService:
 
     def run(self, data: dict, url_root: str) -> tuple[int, object]:
         start = time.time()
+        if not isinstance(data, dict):
+            return 400, [{"error": "request body must be a JSON object"}]
         logger.info(
             "[POST /] Start time: %.3f, ID %s",
             start, data.get("creation_id") or "N/A",
@@ -88,7 +90,7 @@ class InferenceService:
         try:
             from PIL import Image
 
-            from .cli import hash_prompt_embeds
+            from .cli import encode_or_hash
 
             image_bytes = base64.b64decode(data["image"])
             pil = Image.open(io.BytesIO(image_bytes)).convert("RGB")
@@ -96,15 +98,9 @@ class InferenceService:
 
             gen = self.model.generator
             pipe = gen.pipeline
-            if pipe.t5_params is not None and pipe.tokenizer is not None:
-                embeds, mask = pipe.encode_prompt(
-                    [data["negative_prompt"], data["prompt"]]
-                )
-            else:
-                embeds, mask = hash_prompt_embeds(
-                    data["prompt"], data["negative_prompt"], 128,
-                    pipe.transformer_cfg.caption_channels,
-                )
+            embeds, mask = encode_or_hash(
+                pipe, data["prompt"], data["negative_prompt"]
+            )
             from ..utils import media as media_utils
             from ..utils import native_codec
 
@@ -150,7 +146,11 @@ class InferenceService:
 
     def download_path(self, filename: str):
         path = os.path.abspath(os.path.join(self.outputs_dir, filename))
-        if not path.startswith(self.outputs_dir) or not os.path.isfile(path):
+        # trailing separator: a bare prefix check would admit sibling
+        # directories like outputs_archive/
+        if not path.startswith(self.outputs_dir + os.sep):
+            return None
+        if not os.path.isfile(path):
             return None
         return path
 
@@ -170,8 +170,16 @@ def create_flask_app(service: InferenceService | None = None):
 
     @app.route("/", methods=["POST"])
     def run_inference():
-        status, payload = service.run(request.get_json(), request.url_root)
+        status, payload = service.run(
+            request.get_json(silent=True), request.url_root
+        )
         return jsonify(payload), status
+
+    @app.route("/metrics", methods=["GET"])
+    def metrics():
+        from ..utils.observability import Metrics
+
+        return jsonify(Metrics.snapshot())
 
     return app
 
@@ -196,7 +204,11 @@ def create_stdlib_server(service: InferenceService, host="0.0.0.0", port=7860):
             if self.path.rstrip("/") not in ("", "/"):
                 self._send_json(404, {"error": "not found"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
             try:
                 data = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
@@ -207,29 +219,37 @@ def create_stdlib_server(service: InferenceService, host="0.0.0.0", port=7860):
             self._send_json(status, payload)
 
         def do_GET(self):
-            if self.path == "/metrics":
+            import shutil
+            import urllib.parse
+
+            # clients append ?tracking params; decode %XX names (the
+            # Flask route gets both behaviors from werkzeug)
+            url = urllib.parse.urlsplit(self.path)
+            path_part = urllib.parse.unquote(url.path)
+            if path_part == "/metrics":
                 from ..utils.observability import Metrics
 
                 self._send_json(200, Metrics.snapshot())
                 return
-            if not self.path.startswith("/download/"):
+            if not path_part.startswith("/download/"):
                 self._send_json(404, {"error": "not found"})
                 return
-            path = service.download_path(self.path[len("/download/"):])
+            path = service.download_path(path_part[len("/download/"):])
             if path is None:
                 self._send_json(404, {"error": "file not found"})
                 return
-            with open(path, "rb") as f:
-                data = f.read()
+            # stream: full-res videos are hundreds of MB and this server
+            # handles concurrent requests in threads
             self.send_response(200)
             self.send_header("Content-Type", "video/mp4")
             self.send_header(
                 "Content-Disposition",
                 f'attachment; filename="{os.path.basename(path)}"',
             )
-            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Content-Length", str(os.path.getsize(path)))
             self.end_headers()
-            self.wfile.write(data)
+            with open(path, "rb") as f:
+                shutil.copyfileobj(f, self.wfile)
 
     return ThreadingHTTPServer((host, port), Handler)
 

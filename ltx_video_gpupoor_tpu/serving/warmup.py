@@ -44,9 +44,15 @@ def warmup_shapes(generator, buckets=None, i2v: bool = True,
 
     buckets = list(buckets or [DEFAULT_BUCKET])
     t0 = time.time()
-    cap = generator.pipeline.transformer_cfg.caption_channels
-    emb = jnp.zeros((2, 128, cap), jnp.bfloat16)
-    mask = jnp.ones((2, 128), jnp.int32)
+    pipe = generator.pipeline
+    cap = pipe.transformer_cfg.caption_channels
+    # compile for the text length the LIVE path will use: the real T5
+    # encode pads to 256 (encode_prompt default), the demo hash
+    # embeddings use 128 — warming the wrong one leaves the first real
+    # request paying the full compile anyway
+    text_len = 256 if pipe.t5_params is not None else 128
+    emb = jnp.zeros((2, text_len, cap), jnp.bfloat16)
+    mask = jnp.ones((2, text_len), jnp.int32)
     ctx = lock if lock is not None else contextlib.nullcontext()
     for w, h, f in buckets:
         img = None

@@ -76,31 +76,36 @@ def stage(name: str, sync=None) -> Iterator[None]:
         yield
         body_ok = True
     finally:
-        # sync only when the body completed: the callable typically closes
-        # over variables assigned INSIDE the block, and running it after an
-        # exception would raise NameError over the real error
-        if body_ok and sync is not None:
-            import numpy as np
+        try:
+            # sync only when the body completed: the callable typically
+            # closes over variables assigned INSIDE the block, and running
+            # it after an exception would raise NameError over the real
+            # error
+            if body_ok and sync is not None:
+                import numpy as np
 
-            arr = sync()
-            if arr is not None:
-                # one-element host fetch = device sync. Index ON DEVICE
-                # first — np.asarray(arr) would fetch the whole array
-                # (~90 s for full-res pixels through a 13 MB/s relay) and
-                # bill the transfer to the stage being measured; a device
-                # reshape(-1) is no better (XLA materializes a padded
-                # tiled-layout copy — 40x the bytes for a channels-last
-                # pixel array).
-                np.asarray(arr[(0,) * getattr(arr, "ndim", 0)])
-        dt = time.perf_counter() - t0
-        _prefix.pop()
-        tm = _active_timer
-        if tm is not None:
-            # rows are inclusive; nested names ("pass1/denoise") let the
-            # reader/tooling attribute parent time to children
-            if full not in tm.stages:
-                tm._order.append(full)
-            tm.stages[full] = tm.stages.get(full, 0.0) + dt
+                arr = sync()
+                if arr is not None:
+                    # one-element host fetch = device sync. Index ON DEVICE
+                    # first — np.asarray(arr) would fetch the whole array
+                    # (~90 s for full-res pixels through a 13 MB/s relay)
+                    # and bill the transfer to the stage being measured; a
+                    # device reshape(-1) is no better (XLA materializes a
+                    # padded tiled-layout copy — 40x the bytes for a
+                    # channels-last pixel array).
+                    np.asarray(arr[(0,) * getattr(arr, "ndim", 0)])
+        finally:
+            # the pop + record must survive a failing sync, or the global
+            # prefix stack stays corrupted for every later stage
+            dt = time.perf_counter() - t0
+            _prefix.pop()
+            tm = _active_timer
+            if tm is not None:
+                # rows are inclusive; nested names ("pass1/denoise") let
+                # the reader/tooling attribute parent time to children
+                if full not in tm.stages:
+                    tm._order.append(full)
+                tm.stages[full] = tm.stages.get(full, 0.0) + dt
 
 
 class StageTimer:

@@ -95,6 +95,78 @@ def server():
     srv.shutdown()
 
 
+def test_provision_required_files_cover_cold_start():
+    """provision()'s file list must include everything load_ltxv_model +
+    encode_prompt need: the dev int8 base for the LoRA-distilled mode,
+    the standalone VAE, the upscaler, and the tokenizer files under the
+    hub subfolder."""
+    from ltx_video_gpupoor_tpu.serving.upload import required_files
+
+    items = required_files("ltxv_13B_distilled", "int8")
+    names = {n for _, n in items}
+    assert "ltxv_0.9.7_13B_dev_quanto_bf16_int8.safetensors" in names
+    assert "ltxv_0.9.7_VAE.safetensors" in names
+    assert "ltxv_0.9.7_spatial_upscaler.safetensors" in names
+    assert "spiece.model" in names
+    # tokenizer + text encoder carry the hub subfolder
+    folders = {f for f, n in items if n == "spiece.model"}
+    assert folders == {"T5_xxl_1.1"}
+
+
+def test_server_rejects_non_object_body(server):
+    req = urllib.request.Request(
+        server + "/", data=b"[1, 2]",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_download_path_rejects_sibling_dirs(tmp_path):
+    from ltx_video_gpupoor_tpu.serving.server import InferenceService
+
+    out = tmp_path / "outputs"
+    sibling = tmp_path / "outputs_archive"
+    out.mkdir()
+    sibling.mkdir()
+    (sibling / "secret.mp4").write_bytes(b"x")
+    (out / "ok.mp4").write_bytes(b"y")
+    svc = InferenceService(
+        model=model_zoo.build_demo_model(), outputs_dir=str(out),
+        warmup_spec="off",
+    )
+    assert svc.download_path("ok.mp4") is not None
+    assert svc.download_path("../outputs_archive/secret.mp4") is None
+
+
+def test_server_download_with_query_string(server, tmp_path):
+    # generate once via POST, then fetch the download URL with a
+    # tracking query param appended (stdlib handler must strip it)
+    buf = io.BytesIO()
+    from PIL import Image
+
+    Image.fromarray(
+        (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    body = {
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "prompt": "a cat", "negative_prompt": "blurry",
+        "height": 64, "width": 64, "num_frames": 9, "frame_rate": 16,
+        "num_inference_steps": 2,
+    }
+    req = urllib.request.Request(
+        server + "/", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+    url = resp[0]["video"] + "?creation_id=7"
+    data = urllib.request.urlopen(url, timeout=60).read()
+    assert len(data) > 0
+
+
 def test_server_missing_fields(server):
     req = urllib.request.Request(
         server + "/", data=json.dumps({"prompt": "x"}).encode(),
