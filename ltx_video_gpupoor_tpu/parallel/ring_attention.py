@@ -48,15 +48,16 @@ def ring_attention(
 
     perm = [(i, (i + 1) % p) for i in range(p)]
 
-    def step(carry, _):
-        k_blk, v_blk, m, l, acc = carry
-        out, m_cur, l_cur = _local_attention_stats(q, k_blk, v_blk, scale)
+    def merge(m, l, acc, out, m_cur, l_cur):
         m_new = jnp.maximum(m, m_cur)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_cur - m_new)
-        acc = acc * alpha + out * beta
-        l = l * alpha + l_cur * beta
-        m = m_new
+        return m_new, l * alpha + l_cur * beta, acc * alpha + out * beta
+
+    def step(carry, _):
+        k_blk, v_blk, m, l, acc = carry
+        out, m_cur, l_cur = _local_attention_stats(q, k_blk, v_blk, scale)
+        m, l, acc = merge(m, l, acc, out, m_cur, l_cur)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         return (k_blk, v_blk, m, l, acc), None
@@ -66,9 +67,13 @@ def ring_attention(
     l0 = jnp.zeros((b, h, s_local, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
 
+    # p blocks need only p-1 rotations: the last block is consumed
+    # OUTSIDE the scan so no dead KV round-trip rides the ICI
     (k_blk, v_blk, m, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), None, length=p
+        step, (k, v, m0, l0, acc0), None, length=p - 1
     )
+    out, m_cur, l_cur = _local_attention_stats(q, k_blk, v_blk, scale)
+    m, l, acc = merge(m, l, acc, out, m_cur, l_cur)
     return (acc / jnp.maximum(l, 1e-20)).astype(q.dtype)
 
 
@@ -78,10 +83,11 @@ def ring_attention_sharded(
     k: jax.Array,
     v: jax.Array,
     axis_name: str = "sp",
+    scale: float | None = None,
 ) -> jax.Array:
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(
-        partial(ring_attention, axis_name=axis_name),
+        partial(ring_attention, axis_name=axis_name, scale=scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -74,10 +74,18 @@ def shard_pipeline(pipeline, mesh: Mesh):
     import dataclasses
 
     replicated_s = replicated(mesh)
+
+    def repl(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, replicated_s), tree
+        )
+
+    extra = {}
+    if getattr(pipeline, "t5_params", None) is not None:
+        extra["t5_params"] = repl(pipeline.t5_params)
     return dataclasses.replace(
         pipeline,
         transformer_params=shard_params(mesh, pipeline.transformer_params),
-        vae_params=jax.tree.map(
-            lambda x: jax.device_put(x, replicated_s), pipeline.vae_params
-        ),
+        vae_params=repl(pipeline.vae_params),
+        **extra,
     )

@@ -18,11 +18,9 @@ coordinates per shard (the reference pads-then-slices frequencies,
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.attention import attention
 
@@ -80,11 +78,13 @@ def ulysses_attention_sharded(
     v: jax.Array,
     axis_name: str = "sp",
     attn_mode: str = "auto",
+    score_bound: float | None = None,
 ) -> jax.Array:
     """Convenience wrapper: shard_map over the sp axis of ``mesh``."""
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(
-        partial(ulysses_attention, axis_name=axis_name, attn_mode=attn_mode),
+        partial(ulysses_attention, axis_name=axis_name,
+                attn_mode=attn_mode, score_bound=score_bound),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

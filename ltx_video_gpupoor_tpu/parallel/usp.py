@@ -23,7 +23,6 @@ replicated result.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -31,6 +30,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.ltx import transformer3d as ltx_model
 from ..models.wan import model as wan_model
+
+
+def _pack_optionals(pairs, compute):
+    """Assemble the present optional inputs for a ``shard_map`` boundary
+    (``None`` must never cross it): returns ``(names, values, specs,
+    compute_is_traced)``, appending TeaCache's ``compute`` gate when it
+    is a traced array rather than a static bool."""
+    names, extras, specs = [], [], []
+    for name, val, spec in pairs:
+        if val is not None:
+            names.append(name)
+            extras.append(val)
+            specs.append(spec)
+    traced = not isinstance(compute, bool)
+    if traced:
+        names.append("compute")
+        extras.append(compute)
+        specs.append(P())
+    return names, extras, specs, traced
 
 
 def usp_wan_forward(
@@ -59,6 +77,14 @@ def usp_wan_forward(
     reuse works per shard (the residual is per-token).
     """
     sp = mesh.shape[axis_name]
+    if cfg.patch_size[0] != 1:
+        # the frame-sharded design relies on a temporal patch of 1 so the
+        # conv patch embed needs no cross-shard halo; a larger temporal
+        # patch would silently drop boundary patches per shard
+        raise ValueError(
+            f"usp_wan_forward requires patch_size[0] == 1, got "
+            f"{cfg.patch_size}"
+        )
     if x.shape[1] % sp:
         raise ValueError(
             f"frames ({x.shape[1]}) must divide over sp={sp}"
@@ -76,25 +102,14 @@ def usp_wan_forward(
     tok_spec = P(axis_name)               # [L, head_dim] RoPE rows
     repl = P()
 
-    # assemble (value, in_spec) pairs for the present optionals so None
-    # never crosses the shard_map boundary
-    extras: list = []
-    extra_specs: list = []
-    names: list = []
-    for name, val, spec in (
-        ("clip_features", clip_features, repl),
-        ("slg_keep", slg_keep, repl),
-        ("previous_residual", previous_residual, token_spec),
-    ):
-        if val is not None:
-            names.append(name)
-            extras.append(val)
-            extra_specs.append(spec)
-    compute_is_traced = not isinstance(compute, bool)
-    if compute_is_traced:
-        names.append("compute")
-        extras.append(compute)
-        extra_specs.append(repl)
+    names, extras, extra_specs, compute_is_traced = _pack_optionals(
+        (
+            ("clip_features", clip_features, repl),
+            ("slg_keep", slg_keep, repl),
+            ("previous_residual", previous_residual, token_spec),
+        ),
+        compute,
+    )
 
     def fwd(params, x, t, context, context_mask, cos, sin, *rest):
         kw = dict(zip(names, rest))
@@ -106,8 +121,8 @@ def usp_wan_forward(
         )
 
     # per-frame timesteps (diffusion forcing, [B, F]) shard with the
-    # frames; scalar-per-stream timesteps ([B]) replicate
-    t_spec = frame_spec if t.ndim == 2 else repl
+    # frames; scalar-per-stream ([B]) and broadcastable [B, 1] replicate
+    t_spec = frame_spec if (t.ndim == 2 and t.shape[1] > 1) else repl
     fn = jax.shard_map(
         fwd,
         mesh=mesh,
@@ -135,13 +150,17 @@ def usp_ltx_forward(
     attn_mode: str = "auto",
     previous_residual: Optional[jax.Array] = None,
     compute: bool | jax.Array = True,
+    freqs: Optional[tuple] = None,  # precomputed (cos, sin) [B, N, d]
 ) -> tuple[jax.Array, jax.Array]:
     """Sequence-parallel LTX DiT forward; returns ``(velocity, residual)``
     token-sharded over ``axis_name``.
 
-    Fractional-coordinate RoPE is computed INSIDE the forward from the
-    sharded ``indices_grid``, so every shard sees its GLOBAL positions —
-    exactly the design the reference's pad-then-slice approximates
+    Fractional-coordinate RoPE follows the tokens: pass step-invariant
+    precomputed tables (``compute_freqs``) token-sharded via ``freqs`` —
+    callers in a denoise scan MUST, or the multi-MB tables are rebuilt
+    inside every step — or let each shard compute its rows from the
+    sharded ``indices_grid``. Both ways every shard sees its GLOBAL
+    positions — the design the reference's pad-then-slice approximates
     (``xdit_context_parallel.py:12-22, 52-57``). Per-group timesteps
     require the group count to divide over sp (token shards then align
     with whole frame groups).
@@ -170,28 +189,29 @@ def usp_ltx_forward(
     # bypassed it would silently confine attention to the local shard
     inner_mode = f"ulysses:{axis_name}:{attn_mode}"
 
-    extras: list = []
-    extra_specs: list = []
-    names: list = []
-    for name, val, spec in (
+    pairs = [
         ("caption_mask", caption_mask, repl),
         ("skip_layer_mask", skip_layer_mask, repl),
         ("previous_residual", previous_residual, token_spec),
-    ):
-        if val is not None:
-            names.append(name)
-            extras.append(val)
-            extra_specs.append(spec)
-    compute_is_traced = not isinstance(compute, bool)
-    if compute_is_traced:
-        names.append("compute")
-        extras.append(compute)
-        extra_specs.append(repl)
+    ]
+    if freqs is not None:
+        # tables ride their tokens: [B, N, d] sharded on the token axis
+        pairs += [
+            ("freqs_cos", freqs[0], token_spec),
+            ("freqs_sin", freqs[1], token_spec),
+        ]
+    names, extras, extra_specs, compute_is_traced = _pack_optionals(
+        pairs, compute
+    )
 
     def fwd(params, latents, coords, t, caption, *rest):
         kw = dict(zip(names, rest))
         if not compute_is_traced:
             kw["compute"] = compute
+        cos = kw.pop("freqs_cos", None)
+        sin = kw.pop("freqs_sin", None)
+        if cos is not None:
+            kw["freqs"] = (cos, sin)
         return ltx_model.forward(
             params, cfg, latents, coords, t, caption,
             skip_layer_strategy=skip_layer_strategy,

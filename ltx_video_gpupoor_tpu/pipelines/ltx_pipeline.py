@@ -451,11 +451,9 @@ def denoise(
 
     # RoPE tables are step-invariant: build once outside the scan (XLA's
     # loop-invariant motion won't hoist the multi-MB cos/sin tables out
-    # of the scan body itself). The USP path computes per-shard tables
-    # from global coords inside shard_map instead.
-    rope_freqs = None if sp_mesh is not None else _jit_compute_freqs(
-        transformer_cfg, coords
-    )
+    # of the scan body itself). Under USP the same precomputed tables
+    # enter shard_map token-sharded, so each shard reads its GLOBAL rows.
+    rope_freqs = _jit_compute_freqs(transformer_cfg, coords)
 
     def body(carry, step):
         if use_tc:
@@ -494,7 +492,8 @@ def denoise(
                 x, coords, tg, ctx, caption_mask=ctx_mask,
                 skip_layer_mask=skip,
                 skip_layer_strategy=schedule.skip_layer_strategy,
-                axis_name=sp_axis, attn_mode=attn_mode, **tc_kw,
+                axis_name=sp_axis, attn_mode=attn_mode,
+                freqs=rope_freqs, **tc_kw,
             )
             if use_tc:
                 residual = new_res
