@@ -170,6 +170,12 @@ def attention_packed(
     if (mode == "pallas_hp" and _default_backend_is_tpu()
             and d in (64, 128) and score_bound is None
             and (d == 128 or heads % 2 == 0)):
+        if k.shape[1] != s or v.shape[1] != s:
+            # the hp kernel's kv_valid below is derived from the q
+            # length; it is a self-attention-only path by contract
+            raise ValueError(
+                "attention_packed hp path requires q/k/v of equal length"
+            )
         sp = round_up(s, 128)
         if sp != s:
             q = pad_axis(q, 1, 128)

@@ -14,9 +14,10 @@ token *j* iff ``q_seg[i] == kv_seg[j]`` and ``kv_seg[j] > 0`` — id 0 marks
 padding. Fully-masked (padding) query rows produce zeros, not NaNs.
 
 Layout: ``q: [B, H, Sq, D]``, ``k/v: [B, H, Skv, D]``. Sequence lengths
-must be multiples of the block size (128); use
-:func:`ltx_video_gpupoor_tpu.ops.padding.pad_to_block` + segment ids for
-arbitrary lengths. fp32 online-softmax statistics, fp32 MXU accumulation.
+must be multiples of the block size (128); for arbitrary lengths call
+through :func:`ltx_video_gpupoor_tpu.ops.attention.attention`, which pads
+and masks (segment ids or a static ``kv_valid``) automatically. fp32
+online-softmax statistics, fp32 MXU accumulation.
 """
 
 from __future__ import annotations
@@ -248,10 +249,21 @@ def _flash_kernel(
         and kv_valid < num_kv_blocks * block_kv
     )
     if causal:
-        # Skip fully-masked kv blocks above the diagonal.
+        # Skip fully-masked kv blocks above the diagonal; the kv_valid
+        # tail compare runs only in the one straddling (last) block,
+        # like the non-causal split below
         @pl.when(kv_idx * block_kv <= (q_idx + 1) * block_q - 1)
         def _():
-            _compute(needs_tail)
+            if needs_tail:
+                @pl.when(kv_idx == num_kv_blocks - 1)
+                def _tail():
+                    _compute(True)
+
+                @pl.when(kv_idx != num_kv_blocks - 1)
+                def _interior():
+                    _compute(False)
+            else:
+                _compute(False)
     elif needs_tail:
         # Static split: only the last kv block holds padded columns.
         @pl.when(kv_idx == num_kv_blocks - 1)
@@ -331,6 +343,10 @@ def flash_attention(
     use_segments = q_segment_ids is not None
     if use_segments and kv_segment_ids is None:
         raise ValueError("q_segment_ids given without kv_segment_ids")
+    if kv_segment_ids is not None and not use_segments:
+        # silently ignoring a kv-only mask would leave pad kv columns
+        # contributing softmax mass to every row
+        raise ValueError("kv_segment_ids given without q_segment_ids")
 
     # int8 tiers: quantize ONCE here (XLA fuses this O(S*D) pass into the
     # producing ops) rather than per kv-block inside the kernel — the
@@ -784,6 +800,8 @@ def reference_attention(
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
+    if kv_segment_ids is not None and q_segment_ids is None:
+        raise ValueError("kv_segment_ids given without q_segment_ids")
     if q_segment_ids is not None:
         mask = (
             q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]

@@ -29,26 +29,6 @@ def pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, pads)
 
 
-def pad_tokens_with_segments(
-    x: jax.Array,
-    seg: jax.Array | None,
-    axis: int,
-    multiple: int = 128,
-) -> tuple[jax.Array, jax.Array]:
-    """Pad token axis to a block multiple; return padded x and segment ids
-    where pad positions carry id 0 (masked by the attention kernel).
-
-    ``seg`` is ``[B, S]`` int32 (or None → all tokens are segment 1).
-    """
-    b = x.shape[0]
-    s = x.shape[axis]
-    if seg is None:
-        seg = jnp.ones((b, s), jnp.int32)
-    x_p = pad_axis(x, axis, multiple)
-    seg_p = pad_axis(seg, 1, multiple)  # pad positions become 0
-    return x_p, seg_p
-
-
 def unpad_axis(x: jax.Array, axis: int, size: int) -> jax.Array:
     if x.shape[axis] == size:
         return x

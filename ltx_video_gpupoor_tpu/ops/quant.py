@@ -127,16 +127,14 @@ def int8_dynamic_matmul_dispatch(
     import os
 
     if (
-        os.environ.get("LTXV_TPU_FUSED_INT8")
+        os.environ.get("LTXV_TPU_FUSED_INT8", "").lower()
+        in ("1", "true", "on")
         and jax.default_backend() == "tpu"
         and q.w_int8.shape[1] % 256 == 0
     ):
         from .int8_matmul import int8_dynamic_matmul_fused
 
-        return int8_dynamic_matmul_fused(
-            x, q.w_int8, q.scale,
-            None if bias is None else bias,
-        )
+        return int8_dynamic_matmul_fused(x, q.w_int8, q.scale, bias)
     return int8_dynamic_matmul(x, q, bias)
 
 
@@ -203,14 +201,19 @@ def quantize_params(
 
 def maybe_quantized_matmul(p: dict, x: jax.Array) -> jax.Array:
     """Apply a linear whose params are either {"kernel"[, "bias"]} or
-    {"w_int8"|"w_int8_dyn", "scale"[, "bias"]}."""
+    {"w_int8"|"w_int8_dyn"|"w_int4", "scale"[, "bias"]} — every key
+    ``quantize_params`` can produce."""
     if "w_int8_dyn" in p:
-        return int8_dynamic_matmul(
+        return int8_dynamic_matmul_dispatch(
             x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
         )
     if "w_int8" in p:
         return int8_wo_matmul(
             x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
+        )
+    if "w_int4" in p:
+        return int4_wo_matmul(
+            x, QuantizedLinear4(p["w_int4"], p["scale"]), p.get("bias")
         )
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),

@@ -107,6 +107,15 @@ def ltx_freqs_cis(
             dtype=jnp.float32,
         )
     elif spacing == "exp_2":
+        if dim % 6:
+            # arange(0, dim, 6) yields ceil(dim/6) frequencies while the
+            # table-width bookkeeping assumes dim//6 — the REFERENCE has
+            # the same defect (transformer3d.py:224, 250-254 produce a
+            # dim%6-over-wide table); no shipped config hits it, so fail
+            # clearly instead of broadcasting garbage
+            raise ValueError(
+                f"exp_2 spacing requires dim divisible by 6, got {dim}"
+            )
         indices = 1.0 / theta ** (jnp.arange(0, dim, 6, dtype=jnp.float32) / dim)
     elif spacing == "linear":
         indices = jnp.linspace(1.0, theta, n, dtype=jnp.float32)

@@ -332,3 +332,37 @@ def test_subblock_pipelined_path_matches_reference():
     ref = reference_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_kv_only_segments_rejected():
+    """A kv-only mask must raise — silently ignoring it would leave pad
+    kv columns contributing softmax mass (both kernel and oracle)."""
+    import pytest
+
+    k1, k2, k3 = jax.random.split(jax.random.key(5), 3)
+    q = _rand(k1, (1, 2, 128, 64))
+    k = _rand(k2, (1, 2, 128, 64))
+    v = _rand(k3, (1, 2, 128, 64))
+    seg = jnp.ones((1, 128), jnp.int32)
+    with pytest.raises(ValueError, match="kv_segment_ids"):
+        flash_attention(q, k, v, None, seg, interpret=True)
+    with pytest.raises(ValueError, match="kv_segment_ids"):
+        reference_attention(q, k, v, None, seg)
+
+
+def test_causal_with_kv_valid_tail():
+    """causal + kv_valid: the straddling-block tail split must not change
+    numerics."""
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    b, h, s, d = 1, 2, 384, 64
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    out = flash_attention(q, k, v, block_q=128, block_kv=128,
+                          causal=True, kv_valid=300, interpret=True)
+    seg = jnp.asarray(np.where(np.arange(s) < 300, 1, 0)[None], jnp.int32)
+    ref = reference_attention(
+        q, k, v, jnp.ones((b, s), jnp.int32), seg, causal=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

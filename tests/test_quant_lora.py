@@ -242,3 +242,22 @@ def test_wan_model_quantized_forward():
         assert np.isfinite(out).all()
         rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-8)
         assert rel < tol, (mode, rel)
+
+
+def test_maybe_quantized_matmul_int4_key():
+    """mode="wo_int4" params route through maybe_quantized_matmul (it
+    previously KeyError'd on the w_int4 layout)."""
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    params = {"lin": {"kernel": w, "bias": jnp.zeros((8,))}}
+    qp = quantize_params(params, mode="wo_int4")
+    assert "w_int4" in qp["lin"]
+    x = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    out = maybe_quantized_matmul(qp["lin"], x)
+    ref = x @ w
+    # int4 weight-only: coarse but correlated
+    assert np.corrcoef(
+        np.asarray(out).ravel(), np.asarray(ref).ravel()
+    )[0, 1] > 0.98
