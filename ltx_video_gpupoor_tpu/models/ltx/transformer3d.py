@@ -170,37 +170,11 @@ def init_params(key: jax.Array, cfg: LTXTransformerConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _apply_linear(p, x, accum=jnp.float32):
-    if "w_int8_dyn" in p:
-        # dynamic-activation int8: fused Pallas act-quant + s8xs8 MXU
-        # kernel on TPU, XLA path elsewhere (ops/quant.py dispatch)
-        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul_dispatch
+    # single source of truth for the quantization-tier dispatch
+    # (int8-dynamic / int8-wo / int4-wo / dense — ops/quant.py)
+    from ...ops.quant import maybe_quantized_matmul
 
-        return int8_dynamic_matmul_dispatch(
-            x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
-        )
-    if "w_int8" in p:
-        # int8 weight-only checkpoint/runtime quantization (ops/quant.py)
-        from ...ops.quant import QuantizedLinear, int8_wo_matmul
-
-        return int8_wo_matmul(
-            x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
-        )
-    if "w_int4" in p:
-        # int4 weight-only: halves weight HBM again (fits 13B-class
-        # models on a contended 16 GiB chip)
-        from ...ops.quant import QuantizedLinear4, int4_wo_matmul
-
-        return int4_wo_matmul(
-            x, QuantizedLinear4(p["w_int4"], p["scale"]), p.get("bias")
-        )
-    y = jax.lax.dot_general(
-        x, p["kernel"].astype(x.dtype),
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=accum,
-    ).astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
-    return y
+    return maybe_quantized_matmul(p, x, accum=accum)
 
 
 def timestep_embedding(

@@ -220,32 +220,10 @@ def init_params(key: jax.Array, cfg: WanConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _apply(p, x):
-    if "w_int8_dyn" in p:
-        from ...ops.quant import QuantizedLinear, int8_dynamic_matmul_dispatch
+    # single source of truth for the quantization-tier dispatch
+    from ...ops.quant import maybe_quantized_matmul
 
-        return int8_dynamic_matmul_dispatch(
-            x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
-        )
-    if "w_int8" in p:
-        from ...ops.quant import QuantizedLinear, int8_wo_matmul
-
-        return int8_wo_matmul(
-            x, QuantizedLinear(p["w_int8"], p["scale"]), p.get("bias")
-        )
-    if "w_int4" in p:
-        from ...ops.quant import QuantizedLinear4, int4_wo_matmul
-
-        return int4_wo_matmul(
-            x, QuantizedLinear4(p["w_int4"], p["scale"]), p.get("bias")
-        )
-    y = jax.lax.dot_general(
-        x, p["kernel"].astype(x.dtype),
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
-    return y
+    return maybe_quantized_matmul(p, x)
 
 
 def patch_embed(p, cfg: WanConfig, video: jax.Array) -> tuple[jax.Array, tuple]:
@@ -393,7 +371,10 @@ def block_forward(
     if cam_emb is not None and "cam_encoder" in p:
         h = h + cam_emb
     y = _self_attention(p["self_attn"], cfg, h, freqs, attn_mode)
-    if "projector" in p:
+    if cam_emb is not None and "projector" in p:
+        # the reference applies the ReCamMaster projector only when
+        # camera poses are given (``model.py:454-455``) — a trained
+        # projector must not touch plain t2v runs
         y = _apply(p["projector"], y)
     x = _gate(x, y, e[2])
 
@@ -421,8 +402,7 @@ def block_forward(
 def time_modulation(params, cfg: WanConfig, t: jax.Array):
     """t [B] or [B, G] -> (e [B*G, D], e0 [B, G, 6, D]) fp32."""
     tb = jnp.asarray(t)
-    squeeze = tb.ndim == 1
-    if squeeze:
+    if tb.ndim == 1:
         tb = tb[:, None]
     b, g = tb.shape
     emb = sinusoidal_embedding_1d(cfg.freq_dim, tb.reshape(-1))
@@ -498,12 +478,8 @@ def forward(
 
     cam_tokens = None
     if cam_emb is not None:
-        # ReCamMaster: [B, F', 12] -> encode -> repeat over (H, W)
-        f, h, w = grid
-        enc_any = jax.tree.leaves(params["blocks"])[0]
-        # per-block encoders live in block params; encode inside blocks is
-        # costly under scan, so encode with block 0's table per layer inside
-        # the loop — here we just pass raw cam features forward
+        # ReCamMaster: raw [B, F', 12] pose features; each block encodes
+        # them with its OWN cam_encoder inside the loop
         cam_tokens = cam_emb
 
     def run_blocks(tokens):
@@ -520,16 +496,7 @@ def forward(
 
         def body(xx, layer):
             lp, keep = layer
-            cam = None
-            if cam_tokens is not None and "cam_encoder" in lp:
-                f, h, w = grid
-                ce = _apply(lp["cam_encoder"], cam_tokens.astype(xx.dtype))
-                ce = jnp.repeat(ce, 2, axis=1)  # [B, 2F', D]
-                ce = jnp.broadcast_to(
-                    ce[:, :, None, None, :],
-                    (b, ce.shape[1], h, w, cfg.dim),
-                ).reshape(b, -1, cfg.dim)[:, :l]
-                cam = ce
+            cam = _encode_cam(lp, cfg, cam_tokens, grid, b, l, xx.dtype)
             xx = block_forward(
                 lp, cfg, xx, e0, freqs, ctx, context_mask, img_ctx,
                 keep, cam, attn_mode,
@@ -554,8 +521,13 @@ def forward(
         )
         out_tokens, residual = jax.lax.cond(
             compute,
-            lambda tk: (lambda o: (o, o - tk))(run_blocks(tk)),
-            lambda tk: (tk + prev, prev),
+            # both branches must agree in dtype even when the residual
+            # carry is fp32 and the tokens bf16 (cond type-checks the
+            # branch outputs; the LTX twin casts identically)
+            lambda tk: (lambda o: (o, (o - tk).astype(prev.dtype)))(
+                run_blocks(tk)
+            ),
+            lambda tk: ((tk + prev).astype(tk.dtype), prev),
             tokens,
         )
 
@@ -570,12 +542,28 @@ def forward(
     return unpatchify(y, grid, cfg), residual
 
 
+def _encode_cam(lp, cfg, cam_tokens, grid, b, l, dtype):
+    """ReCamMaster per-block camera tokens: encode the raw pose features
+    with THIS block's cam_encoder, tile the pose rows (torch
+    ``.repeat(1, 2, 1)`` tiles — an interleaving repeat would hand every
+    frame the wrong pose, ``model.py:443-446``), broadcast over (H, W)."""
+    if cam_tokens is None or "cam_encoder" not in lp:
+        return None
+    f, h, w = grid
+    ce = _apply(lp["cam_encoder"], cam_tokens.astype(dtype))
+    ce = jnp.tile(ce, (1, 2, 1))  # [B, 2F', D]
+    ce = jnp.broadcast_to(
+        ce[:, :, None, None, :], (b, ce.shape[1], h, w, cfg.dim)
+    ).reshape(b, -1, cfg.dim)[:, :l]
+    return ce
+
+
 def _run_blocks_vace(
     params, cfg, tokens, e0, freqs, ctx, context_mask, img_ctx,
     slg_keep, vace_context, vace_scale, attn_mode, grid, cam_tokens,
 ):
     """Unrolled layer loop with interleaved VACE hint blocks."""
-    b = tokens.shape[0]
+    b, l = tokens.shape[0], tokens.shape[1]
     vace_tokens, _ = patch_embed(
         params["vace_patch_embedding"], cfg, vace_context
     )
@@ -587,6 +575,7 @@ def _run_blocks_vace(
     for i in range(cfg.num_layers):
         lp = jax.tree.map(lambda a: a[i], params["blocks"])
         keep = None if slg_keep is None else slg_keep[i]
+        cam = _encode_cam(lp, cfg, cam_tokens, grid, b, l, x.dtype)
         if i in mapping:
             vp = params["vace_blocks"][mapping[i]]
             if mapping[i] == 0:
@@ -598,12 +587,17 @@ def _run_blocks_vace(
             hint = _apply(vp["after_proj"], c)
             x = block_forward(
                 lp, cfg, x, e0, freqs, ctx, context_mask, img_ctx,
-                keep, None, attn_mode,
+                keep, cam, attn_mode,
             )
-            x = x + vace_scale * hint
+            h_add = vace_scale * hint
+            if keep is not None:
+                # SLG-skipped streams skip the WHOLE block in the
+                # reference — hint included (``model.py:1077-1083``)
+                h_add = h_add * keep.astype(x.dtype)[:, None, None]
+            x = x + h_add
         else:
             x = block_forward(
                 lp, cfg, x, e0, freqs, ctx, context_mask, img_ctx,
-                keep, None, attn_mode,
+                keep, cam, attn_mode,
             )
     return x

@@ -199,10 +199,14 @@ def quantize_params(
     return unflatten(out)
 
 
-def maybe_quantized_matmul(p: dict, x: jax.Array) -> jax.Array:
+def maybe_quantized_matmul(
+    p: dict, x: jax.Array, accum=jnp.float32
+) -> jax.Array:
     """Apply a linear whose params are either {"kernel"[, "bias"]} or
     {"w_int8"|"w_int8_dyn"|"w_int4", "scale"[, "bias"]} — every key
-    ``quantize_params`` can produce."""
+    ``quantize_params`` can produce. THE quantization-tier dispatch: the
+    DiT families' ``_apply``/``_apply_linear`` delegate here so a new
+    tier lands everywhere at once."""
     if "w_int8_dyn" in p:
         return int8_dynamic_matmul_dispatch(
             x, QuantizedLinear(p["w_int8_dyn"], p["scale"]), p.get("bias")
@@ -217,7 +221,7 @@ def maybe_quantized_matmul(p: dict, x: jax.Array) -> jax.Array:
         )
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum,
     ).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
