@@ -116,6 +116,7 @@ def tiled_spatial(
     limit = tile_out - blend_extent
 
     rows = []
+    prev = None
     for i in range(0, x.shape[h_axis], overlap_in):
         row = []
         for j in range(0, x.shape[w_axis], overlap_in):
@@ -125,7 +126,16 @@ def tiled_spatial(
             tile = jax.lax.slice_in_dim(
                 tile, j, min(j + tile_in, x.shape[w_axis]), axis=w_axis
             )
-            row.append(fn(tile))
+            if prev is not None:
+                # zero-valued data dependency on the previous tile's
+                # output: under the fused whole-call jit this forces XLA
+                # to SEQUENCE the tile evaluations so peak memory stays
+                # at one tile's intermediates (an unordered fused tile
+                # graph OOMed 16 GiB on the Wan path — wan/vae.py)
+                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tile = tile + tok
+            prev = fn(tile)
+            row.append(prev)
         rows.append(row)
 
     result_rows = []
@@ -166,7 +176,9 @@ def tiled_encode(
         return _tile_encode(params, cfg, x)
 
     def encode_maybe_hw(x):
-        if hw_tile and x.shape[2] > hw_tile:
+        # either dimension over the tile engages tiling (a wide frame
+        # must tile even when short)
+        if hw_tile and (x.shape[2] > hw_tile or x.shape[3] > hw_tile):
             return tiled_spatial(
                 encode_fn, x, hw_tile, hw_tile // sf, overlap_factor
             )
@@ -184,9 +196,15 @@ def tiled_encode(
     t_limit = tile_latent_t - blend_extent
 
     row = []
+    prev = None
     for i in range(0, t, overlap):
         tile = media[:, i: i + tile_sample_t + 1]
-        enc = encode_maybe_hw(tile)
+        if prev is not None:
+            # sequence temporal tiles under the fused jit (see
+            # tiled_spatial) so peak memory stays one-tile-scale
+            tile = tile + (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+        prev = encode_maybe_hw(tile)
+        enc = prev
         if i > 0:
             enc = enc[:, 1:]
         row.append(enc)
@@ -218,7 +236,9 @@ def tiled_decode(
         return _tile_decode(params, cfg, z, timestep, noise_key)
 
     def decode_maybe_hw(z):
-        if hw_tile_latent and z.shape[2] > hw_tile_latent:
+        if hw_tile_latent and (
+            z.shape[2] > hw_tile_latent or z.shape[3] > hw_tile_latent
+        ):
             return tiled_spatial(
                 decode_fn, z, hw_tile_latent, hw_tile, overlap_factor
             )
@@ -228,6 +248,25 @@ def tiled_decode(
     tf = cfg.temporal_downscale_factor
     use_z = z_tile > 1 and t > z_tile + 1
     if not use_z:
+        # spatially-tiled-but-temporally-short decodes still benefit from
+        # the concurrent compile warmup below
+        if not isinstance(latents, jax.core.Tracer) and hw_tile_latent and (
+            latents.shape[2] > hw_tile_latent
+            or latents.shape[3] > hw_tile_latent
+        ):
+            b, _, h_lat, w_lat, c = latents.shape
+            hw_pairs = [
+                (th, tw)
+                for th in _spatial_tile_sizes(h_lat, hw_tile_latent,
+                                              overlap_factor)
+                for tw in _spatial_tile_sizes(w_lat, hw_tile_latent,
+                                              overlap_factor)
+            ]
+            _warm_concurrently(
+                decode_fn,
+                [(b, t, th, tw, c) for th, tw in hw_pairs],
+                latents.dtype,
+            )
         return decode_maybe_hw(latents)
 
     tile_sample_t = z_tile * tf
@@ -240,7 +279,9 @@ def tiled_decode(
     if not isinstance(latents, jax.core.Tracer):
         b, _, h_lat, w_lat, c = latents.shape
         t_sizes = {min(z_tile + 1, t - i) for i in range(0, t, overlap)}
-        if hw_tile_latent and h_lat > hw_tile_latent:
+        if hw_tile_latent and (
+            h_lat > hw_tile_latent or w_lat > hw_tile_latent
+        ):
             hw_pairs = [
                 (th, tw)
                 for th in _spatial_tile_sizes(h_lat, hw_tile_latent,
@@ -257,9 +298,15 @@ def tiled_decode(
         )
 
     row = []
+    prev = None
     for i in range(0, t, overlap):
         tile = latents[:, i: i + z_tile + 1]
-        dec = decode_maybe_hw(tile)
+        if prev is not None:
+            # sequence temporal tiles under the fused jit (see
+            # tiled_spatial) so peak memory stays one-tile-scale
+            tile = tile + (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+        prev = decode_maybe_hw(tile)
+        dec = prev
         if i > 0:
             dec = dec[:, 1:]
         row.append(dec)

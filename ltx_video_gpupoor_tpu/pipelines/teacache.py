@@ -44,13 +44,16 @@ def calibrate_mask(
         rel = np.abs(cur - prev).mean() / (np.abs(prev).mean() + 1e-12)
         return abs(float(rescale(rel))) if rescale is not None else rel
 
+    # precompute once: the 121-threshold sweep below reuses these
+    deltas = [0.0] + [delta(i) for i in range(1, n)]
+
     def run(threshold):
         acc, steps_run, mask = 0.0, 0, []
         for i in range(n):
             skip = False
             # first steps and the last step always compute
             if not (i <= start_step or i == n - 1):
-                acc += delta(i)
+                acc += deltas[i]
                 if acc < threshold:
                     skip = True
                 else:
@@ -64,7 +67,7 @@ def calibrate_mask(
     # Sweep thresholds over the actual delta distribution (the reference
     # hard-codes 0.01..0.6, which assumes the published models' embedding
     # scales; deriving the range keeps calibration model-agnostic).
-    ds = [delta(i) for i in range(1, n)] or [0.0]
+    ds = deltas[1:] or [0.0]
     lo = 0.5 * min(ds)
     hi = float(np.sum(ds)) + 1e-6
     best_diff, best_mask = 10**9, np.ones(n, bool)

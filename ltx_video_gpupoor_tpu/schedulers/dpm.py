@@ -80,6 +80,11 @@ def dpm_step(
         jnp.minimum(order, num_steps - step_index),
         state.lower_order_nums + 1,
     )
+    # note: the reference defines a lower_order_second rule (<15-step
+    # schedules, ``fm_solvers.py:750-752``) but its dispatch at ``:778``
+    # short-circuits on ``solver_order == 2`` first, so the rule is DEAD
+    # for the order-2 configs Wan runs — the golden test pins the
+    # executed behavior (second order at the second-to-last step)
     prev_sample = jnp.where(this_order >= 2, x2, x1)
 
     new_state = DPMState(

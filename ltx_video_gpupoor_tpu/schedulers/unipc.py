@@ -32,12 +32,15 @@ def unipc_sigmas(
 ) -> jnp.ndarray:
     """``set_timesteps`` (``fm_solvers_unipc.py:160-227``): linspace from
     ``sigma_max = 1 - 1/num_train`` down to 0 with the flux-style shift,
-    terminal sigma appended. Returns [steps + 1]."""
+    terminal sigma appended. Returns [steps + 1].
+
+    ``final_sigma_zero=False`` maps to the reference's "sigma_min"
+    final-sigmas type: the terminal sigma is the training grid's
+    smallest (1/num_train) instead of exactly 0."""
     sigma_max = 1.0 - 1.0 / num_train_timesteps
-    sigma_min = 0.0
-    sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1)[:-1]
+    sigmas = np.linspace(sigma_max, 0.0, num_steps + 1)[:-1]
     sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
-    last = 0.0 if final_sigma_zero else sigma_min
+    last = 0.0 if final_sigma_zero else 1.0 / num_train_timesteps
     return jnp.asarray(np.concatenate([sigmas, [last]]), jnp.float32)
 
 

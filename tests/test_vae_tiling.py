@@ -80,3 +80,19 @@ def test_z_tiled_decode_shapes(params):
     # random weights exaggerate seam error; real checkpoints are far closer
     assert np.median(diff) < 0.25, np.median(diff)
     assert np.isfinite(np.asarray(tiled)).all()
+
+
+def test_wide_frame_triggers_spatial_tiling(params):
+    """A frame wide in W but short in H must still tile (the trigger
+    previously checked only the H axis) and match the untiled decode."""
+    z = jax.random.normal(jax.random.key(3), (1, 2, 4, 16, 4))
+    full = vae_tiling._tile_decode(params, CFG, z, None, None)
+    tiled = vae_tiling.tiled_decode(
+        params, CFG, z, z_tile=0, hw_tile=8 * CFG.spatial_downscale_factor
+    )
+    assert tiled.shape == full.shape
+    # interior (non-blend) region matches exactly
+    np.testing.assert_allclose(
+        np.asarray(tiled[:, :, :, :8]), np.asarray(full[:, :, :, :8]),
+        atol=1e-4, rtol=1e-4,
+    )
