@@ -58,13 +58,24 @@ def _build_library() -> Optional[str]:
 
 
 _lib = None
+_lib_tried = False
 
 
 def _get_lib():
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
         return _lib
-    path = _SO_PATH if os.path.isfile(_SO_PATH) else _build_library()
+    _lib_tried = True  # never re-run the g++ attempt per call
+    path = _SO_PATH
+    src = os.path.join(_RUNTIME_DIR, "safetensors_loader.cpp")
+    stale = (
+        os.path.isfile(path) and os.path.isfile(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if not os.path.isfile(path) or stale:
+        # rebuild when the source is newer than the checked-in .so —
+        # otherwise a fix to the C++ silently keeps loading stale code
+        path = _build_library() or (path if os.path.isfile(path) else None)
     if path is None:
         return None
     lib = ctypes.CDLL(path)
@@ -154,7 +165,11 @@ class NativeSafetensors:
             dtype = _bf16_dtype()
         else:
             dtype = _DTYPES[dtype_s]
-        return np.frombuffer(buf, dtype=dtype).reshape(shape)
+        arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
+        # the backing mmap is PROT_READ: an in-place write through a
+        # writeable-flagged view would SIGSEGV instead of raising
+        arr.flags.writeable = False
+        return arr
 
     def as_dict(self, copy: bool = True) -> dict[str, np.ndarray]:
         out = {}
@@ -173,7 +188,10 @@ def load_safetensors_native(
         with NativeSafetensors(path, prefetch_threads) as f:
             tensors = f.as_dict(copy=True)
             meta = f.metadata()
-    except (RuntimeError, OSError):
+    except Exception:
+        # ANY native-path failure falls back (the docstring's contract):
+        # unsupported dtypes raise KeyError, corrupt shapes ValueError —
+        # the Python safetensors reader handles cases this one doesn't
         from ..core.checkpoint import load_safetensors
 
         return load_safetensors(path)

@@ -114,6 +114,10 @@ def write_mp4(
     if lib is None:
         return False
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        # grayscale/RGBA would make the native encoder read out of
+        # bounds or interleave planes wrongly — honor the contract
+        return False
     n, h, w = frames.shape[:3]
     rc = lib.h264_write_mp4(
         path.encode(), _u8p(frames), n, h, w, float(fps), int(crf)
@@ -139,6 +143,8 @@ def write_mp4_yuv(
     y = np.ascontiguousarray(y, dtype=np.uint8)
     u = np.ascontiguousarray(u, dtype=np.uint8)
     v = np.ascontiguousarray(v, dtype=np.uint8)
+    if y.ndim != 3:  # bool-on-failure contract: never raise from here
+        return False
     n, h, w = y.shape
     if h % 2 or w % 2 or u.shape != (n, h // 2, w // 2) or u.shape != v.shape:
         return False

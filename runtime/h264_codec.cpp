@@ -287,6 +287,14 @@ int h264_read_video(const char* path, uint8_t* frames, int max_frames,
         return -4;
     }
     int w = ctx->width, h = ctx->height;
+    if (frames && *out_h > 0 && (*out_h != h || *out_w != w)) {
+        // the caller's buffer was sized from a previous (counting) call;
+        // if the file changed in between, writing at the new dims would
+        // overflow that allocation — refuse instead
+        avcodec_free_context(&ctx);
+        avformat_close_input(&fmt);
+        return -5;
+    }
     *out_h = h;
     *out_w = w;
     SwsContext* sws = nullptr;

@@ -80,8 +80,54 @@ struct Cursor {
     if (p >= end || *p != '"') { fail = true; return out; }
     ++p;
     while (p < end && *p != '"') {
-      if (*p == '\\' && p + 1 < end) { out.push_back(p[1]); p += 2; }
-      else out.push_back(*p++);
+      if (*p == '\\' && p + 1 < end) {
+        // full JSON escape handling: tensor keys from other writers may
+        // legally contain \uXXXX etc.; dropping the backslash and
+        // keeping the letter would silently corrupt the key (a
+        // wrong-weights bug with no error)
+        char e = p[1];
+        p += 2;
+        switch (e) {
+          case 'n': out.push_back('\n'); break;
+          case 't': out.push_back('\t'); break;
+          case 'r': out.push_back('\r'); break;
+          case 'b': out.push_back('\b'); break;
+          case 'f': out.push_back('\f'); break;
+          case '"': out.push_back('"'); break;
+          case '\\': out.push_back('\\'); break;
+          case '/': out.push_back('/'); break;
+          case 'u': {
+            if (p + 4 > end) { fail = true; return out; }
+            unsigned cp = 0;
+            for (int k = 0; k < 4; ++k) {
+              char c = p[k];
+              cp <<= 4;
+              if (c >= '0' && c <= '9') cp |= (unsigned)(c - '0');
+              else if (c >= 'a' && c <= 'f') cp |= (unsigned)(c - 'a' + 10);
+              else if (c >= 'A' && c <= 'F') cp |= (unsigned)(c - 'A' + 10);
+              else { fail = true; return out; }
+            }
+            p += 4;
+            // UTF-8 encode (BMP only; surrogate pairs are not used by
+            // any known checkpoint writer — reject rather than corrupt)
+            if (cp >= 0xD800 && cp <= 0xDFFF) { fail = true; return out; }
+            if (cp < 0x80) {
+              out.push_back((char)cp);
+            } else if (cp < 0x800) {
+              out.push_back((char)(0xC0 | (cp >> 6)));
+              out.push_back((char)(0x80 | (cp & 0x3F)));
+            } else {
+              out.push_back((char)(0xE0 | (cp >> 12)));
+              out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+              out.push_back((char)(0x80 | (cp & 0x3F)));
+            }
+            break;
+          }
+          default: fail = true; return out;
+        }
+      } else {
+        out.push_back(*p++);
+      }
     }
     if (p >= end) { fail = true; return out; }
     ++p;  // closing quote
@@ -226,7 +272,9 @@ void* st_open(const char* path) {
 
   uint64_t header_len = 0;
   memcpy(&header_len, h->map, 8);  // little-endian per spec
-  if (8 + header_len > h->map_size) {
+  // compare without `8 + header_len`: a corrupt length near UINT64_MAX
+  // would wrap the sum past the check and drive the parser out of bounds
+  if (header_len > h->map_size - 8) {
     g_error = "corrupt header length";
     st_close(h);
     return nullptr;
@@ -297,19 +345,27 @@ void st_prefetch(void* hp, int nthreads) {
   madvise((void*)h->map, h->map_size, MADV_WILLNEED);
   size_t chunk = (h->map_size + nthreads - 1) / nthreads;
   std::vector<std::thread> threads;
-  volatile uint64_t sink = 0;
+  // per-thread accumulators: an unsynchronized shared `sink +=` would be
+  // a data race (volatile is not atomic); one volatile store after join
+  // still defeats dead-code elimination
+  std::vector<uint64_t> accs((size_t)nthreads, 0);
   for (int t = 0; t < nthreads; ++t) {
     size_t begin = t * chunk;
     size_t end = std::min(h->map_size, begin + chunk);
     if (begin >= end) break;
-    threads.emplace_back([h, begin, end, &sink] {
+    uint64_t* acc_slot = &accs[(size_t)t];
+    threads.emplace_back([h, begin, end, acc_slot] {
       uint64_t acc = 0;
       const size_t page = 4096;
       for (size_t off = begin; off < end; off += page) acc += h->map[off];
-      sink += acc;
+      *acc_slot = acc;
     });
   }
   for (auto& th : threads) th.join();
+  uint64_t total = 0;
+  for (uint64_t a : accs) total += a;
+  static volatile uint64_t sink = 0;
+  sink = sink + total;  // read+write so -Wunused stays quiet too
 }
 
 void st_close(void* hp) {
