@@ -37,6 +37,13 @@ def enable(cache_dir: str | None = None) -> str | None:
     if cache_dir is None:
         cache_dir = os.environ.get(_ENV, _DEFAULT_DIR)
     if not cache_dir or cache_dir.lower() in ("0", "off", "false", "none"):
+        if _enabled_dir is not None:
+            # actually disable an already-enabled cache, or the None
+            # return would lie while entries keep being written
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", None)
+            _enabled_dir = None
         return None
     if _enabled_dir == cache_dir:
         return _enabled_dir
@@ -46,8 +53,13 @@ def enable(cache_dir: str | None = None) -> str | None:
     # CPU-only processes (tests, virtual-mesh dryruns): skip the persistent
     # cache. CPU compiles are cheap, and XLA:CPU AOT entries embed host
     # machine features — loading one compiled on a different host risks
-    # SIGILL. The minutes-scale wins are all on the TPU backend.
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # SIGILL. The minutes-scale wins are all on the TPU backend. Check
+    # every CPU-selection spelling that takes effect before backend init
+    # (probing jax.default_backend() here would itself initialize it).
+    plats = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    legacy = os.environ.get("JAX_PLATFORM_NAME", "").strip().lower()
+    first = plats.split(",")[0].strip() if plats else ""
+    if first == "cpu" or legacy == "cpu":
         return None
 
     os.makedirs(cache_dir, exist_ok=True)

@@ -142,10 +142,38 @@ def lookup_config(diffusers_config: dict) -> dict | None:
         k: v for k, v in diffusers_config.items()
         if k != "_diffusers_version"
     }
+    import copy
+
     for known, ours in _MAPPING.items():
         known_scrubbed = tuple(
             (k, v) for k, v in known if k != "_diffusers_version"
         )
         if make_hashable_key(scrub) == known_scrubbed:
-            return dict(ours)
+            # deep copy: a shallow dict() aliases the nested lists
+            # ('blocks', max_pos) to the module constants, so caller
+            # mutation would corrupt every later lookup
+            return copy.deepcopy(ours)
     return None
+
+
+def maybe_translate_config(cfg_dict: dict | None) -> dict | None:
+    """Translate a diffusers-format config dict to ours when recognized;
+    pass native configs through unchanged. Diffusers VAE configs carry
+    ``_class_name: AutoencoderKL*`` and no ``blocks`` plan — feeding one
+    raw into ``VAEConfig.from_dict`` silently builds the wrong
+    architecture (group_norm, quant conv, empty block plan)."""
+    if not cfg_dict:
+        return cfg_dict
+    name = str(cfg_dict.get("_class_name", ""))
+    if name.startswith("AutoencoderKL") or (
+        "down_block_types" in cfg_dict and "blocks" not in cfg_dict
+    ):
+        translated = lookup_config(cfg_dict)
+        if translated is not None:
+            return translated
+        raise ValueError(
+            "unrecognized diffusers-format VAE config (class "
+            f"{name!r}); known exports are translated via "
+            "core/diffusers_compat.py"
+        )
+    return cfg_dict

@@ -40,6 +40,10 @@ class MeshConfig:
 
     def resolve(self, n_devices: int) -> tuple[int, int, int]:
         dims = [self.dp, self.sp, self.tp]
+        if any(d == 0 or d < -1 for d in dims):
+            raise ValueError(
+                f"mesh dims must be positive or -1, got {dims}"
+            )
         free = [i for i, d in enumerate(dims) if d == -1]
         fixed = math.prod(d for d in dims if d != -1)
         if n_devices % fixed != 0:

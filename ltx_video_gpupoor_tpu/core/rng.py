@@ -17,14 +17,24 @@ import numpy as np
 
 
 def seed_everything(seed: int) -> jax.Array:
-    """Seed host-side RNGs and return the root JAX key for a generation."""
-    seed = int(seed) & 0xFFFFFFFF
+    """Seed host-side RNGs and return the root JAX key for a generation.
+
+    The JAX key keeps the full seed (two 64-bit user seeds differing only
+    in high bits must not collide); only numpy's legacy API needs the
+    32-bit mask."""
+    seed = int(seed)
     random.seed(seed)
-    np.random.seed(seed)
+    np.random.seed(seed & 0xFFFFFFFF)
     return jax.random.key(seed)
 
 
 def split_for(key: jax.Array, *names: str) -> dict[str, jax.Array]:
-    """Split a key into named sub-keys (stable w.r.t. name order)."""
-    keys = jax.random.split(key, len(names))
-    return dict(zip(names, keys))
+    """Named sub-keys derived by folding a stable hash of each NAME into
+    the key — adding/reordering names never changes another name's key
+    (a positional split would)."""
+    import zlib
+
+    return {
+        n: jax.random.fold_in(key, zlib.crc32(n.encode()) & 0x7FFFFFFF)
+        for n in names
+    }

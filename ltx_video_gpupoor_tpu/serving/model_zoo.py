@@ -212,6 +212,9 @@ def load_ltxv_model(
         vae_tensors = ckpt.dequantize_quanto(vae_tensors)
     vcfg_dict = vae_config.get("vae", vae_config) if vae_config else \
         ltx_vae.LTX_VAE_CONFIG_097
+    from ..core.diffusers_compat import maybe_translate_config
+
+    vcfg_dict = maybe_translate_config(vcfg_dict)
     # legacy iff the config says so, or the encoder has a mid_block with
     # res_blocks naming (the causal VAE has no encoder mid_block in native
     # format, and diffusers-format causal mid blocks use "resnets")

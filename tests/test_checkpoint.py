@@ -287,3 +287,56 @@ def test_convert_wan_model_structure():
     params = ckpt.convert_wan_model(sd, cfg)
     expected = wan_init(jax.random.key(0), cfg)
     chex.assert_trees_all_equal_shapes(params, expected)
+
+
+def test_flatten_recurses_into_list_subtrees():
+    """The VAE/VACE converters build list-of-dict subtrees; flatten-based
+    helpers (cast/quantize/save) previously treated them as opaque
+    leaves and silently skipped every parameter inside."""
+    from ltx_video_gpupoor_tpu.core.params import (
+        cast_params, flatten, unflatten,
+    )
+
+    tree = {
+        "up_blocks": [
+            {"res_blocks": [{"conv1": {"kernel": jnp.ones((2, 2))}}]},
+            {"conv": {"kernel": jnp.ones((2, 2))}},
+        ],
+        "head": {"kernel": jnp.ones((2, 2))},
+    }
+    flat = flatten(tree)
+    assert "up_blocks.0.res_blocks.0.conv1.kernel" in flat
+    rebuilt = unflatten(flat)
+    assert isinstance(rebuilt["up_blocks"], list)
+    out = cast_params(tree, jnp.bfloat16)
+    assert (
+        out["up_blocks"][0]["res_blocks"][0]["conv1"]["kernel"].dtype
+        == jnp.bfloat16
+    )
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+
+    q = quantize_params(
+        {"b": [{"lin": {"kernel": jnp.ones((16, 8))}}]}, mode="wo"
+    )
+    assert "w_int8" in q["b"][0]["lin"]
+
+
+def test_diffusers_vae_config_translated():
+    """A diffusers-format VAE config in the checkpoint metadata must be
+    translated to the native block-plan config (feeding it raw would
+    silently build the wrong architecture)."""
+    from ltx_video_gpupoor_tpu.core.diffusers_compat import (
+        DIFFUSERS_VAE_CONFIG,
+        maybe_translate_config,
+    )
+
+    out = maybe_translate_config(dict(DIFFUSERS_VAE_CONFIG))
+    assert out is not None and "blocks" in out
+    assert out["norm_layer"] == "pixel_norm"
+    # mutation must not corrupt the module constants
+    out["blocks"].append(["res_x", 1])
+    out2 = maybe_translate_config(dict(DIFFUSERS_VAE_CONFIG))
+    assert len(out2["blocks"]) == len(out["blocks"]) - 1
+    # native configs pass through untouched
+    native = {"_class_name": "CausalVideoAutoencoder", "blocks": []}
+    assert maybe_translate_config(native) is native
