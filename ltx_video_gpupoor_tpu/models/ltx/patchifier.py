@@ -54,7 +54,15 @@ def unpatchify(
     out_channels: int,
     patch_size: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
-    """``[B, N, C*p...] -> [B, F, H, W, C]`` (height/width in latent pixels)."""
+    """``[B, N, C*p...] -> [B, F, H, W, C]`` (height/width in latent pixels).
+
+    Temporal patch sizes > 1 are not supported (the rearrange below only
+    unpacks the spatial patch dims; silently accepting ``p_t > 1`` would
+    return a garbage grid) — every LTX config uses ``p_t == 1``."""
+    if patch_size[0] != 1:
+        raise ValueError(
+            f"unpatchify supports temporal patch 1, got {patch_size}"
+        )
     h = height // patch_size[1]
     w = width // patch_size[2]
     return rearrange(

@@ -204,6 +204,15 @@ def prepare_conditioning(
         fp = min(num_prefix_latent_frames, fz)
         if fz > fp:
             f_start = item.frame_number // t_factor + fp
+            if f_start + (fz - fp) > latents.shape[1]:
+                # dynamic_update_slice CLAMPS out-of-range starts, which
+                # would silently write the conditioning at a shifted
+                # frame offset — reject like the reference's shape error
+                raise ValueError(
+                    f"conditioning item at frame {item.frame_number} "
+                    f"extends past the latent grid "
+                    f"({f_start + fz - fp} > {latents.shape[1]})"
+                )
             latents = jax.lax.dynamic_update_slice(
                 latents, z[:, fp:].astype(latents.dtype),
                 (0, f_start, 0, 0, 0),
@@ -252,6 +261,10 @@ class GuidanceSchedule:
     num_conds: int
     skip_layer_strategy: Optional[str]
     cfg_star_rescale: bool = True
+    # the reference gates STG std-rescaling on any(rescaling != 1.0)
+    # (``pipeline_ltx_video.py:998, 1211``) — with all-1 rescale the
+    # factor would otherwise degenerate to std_text/std_pred, not no-op
+    do_rescaling: bool = True
 
     @property
     def do_cfg(self) -> bool:
@@ -269,10 +282,20 @@ class GuidanceSchedule:
         return bool(np.any(self.stg_scale > 0))
 
 
+def _guidance_index(t, guidance_timesteps) -> int:
+    """Bucket index for a sampled timestep: the FIRST i with
+    ``guidance_timesteps[i] <= t`` (descending list), falling back to the
+    last bucket (``pipeline_ltx_video.py:959-967``). Keeping the LAST i
+    with ``t <= gt`` instead is off by one for every t strictly between
+    two entries — silently wrong guidance on most steps."""
+    for j, gt in enumerate(guidance_timesteps):
+        if gt <= t:
+            return j
+    return len(guidance_timesteps) - 1
+
+
 def _per_timestep(values, timesteps, guidance_timesteps):
-    """Map per-guidance-timestep lists onto the sampled timesteps
-    (the reference indexes guidance arrays by retrieved timestep —
-    ``ltxv.py:398-409`` semantics: value applies for t <= guidance_t)."""
+    """Map per-guidance-timestep lists onto the sampled timesteps."""
     if not isinstance(values, (list, tuple)):
         return np.full(len(timesteps), float(values), np.float32)
     if guidance_timesteps is None:
@@ -281,14 +304,11 @@ def _per_timestep(values, timesteps, guidance_timesteps):
         if len(vals) < len(timesteps):
             vals = vals + [vals[-1]] * (len(timesteps) - len(vals))
         return np.asarray(vals[: len(timesteps)], np.float32)
-    out = []
-    for t in np.asarray(timesteps):
-        idx = 0
-        for j, gt in enumerate(guidance_timesteps):
-            if t <= gt:
-                idx = j
-        out.append(values[idx])
-    return np.asarray(out, np.float32)
+    return np.asarray(
+        [values[_guidance_index(t, guidance_timesteps)]
+         for t in np.asarray(timesteps)],
+        np.float32,
+    )
 
 
 def build_guidance_schedule(
@@ -306,6 +326,9 @@ def build_guidance_schedule(
     g = _per_timestep(guidance_scale, timesteps, guidance_timesteps)
     s = _per_timestep(stg_scale, timesteps, guidance_timesteps)
     r = _per_timestep(rescaling_scale, timesteps, guidance_timesteps)
+    # guidance <= 1 means "no CFG" and is zeroed up front
+    # (``pipeline_ltx_video.py:982``: ``x if x > 1.0 else 0.0``)
+    g = np.where(g > 1.0, g, 0.0).astype(np.float32)
     do_cfg = bool(np.any((g != 0.0) & (g != 1.0)))
     do_stg = bool(np.any(s > 0))
     num_conds = 1 + (1 if do_cfg else 0) + (1 if do_stg else 0)
@@ -316,15 +339,13 @@ def build_guidance_schedule(
         ptb = num_conds - 1
         if len(skip_block_list) and isinstance(skip_block_list[0], (list, tuple)):
             if guidance_timesteps is not None:
-                per_step_lists = []
-                for t in np.asarray(timesteps):
-                    idx = 0
-                    for j, gt in enumerate(guidance_timesteps):
-                        if t <= gt:
-                            idx = j
-                    per_step_lists.append(
-                        skip_block_list[min(idx, len(skip_block_list) - 1)]
-                    )
+                per_step_lists = [
+                    skip_block_list[
+                        min(_guidance_index(t, guidance_timesteps),
+                            len(skip_block_list) - 1)
+                    ]
+                    for t in np.asarray(timesteps)
+                ]
             else:
                 per_step_lists = [
                     skip_block_list[min(i, len(skip_block_list) - 1)]
@@ -341,6 +362,7 @@ def build_guidance_schedule(
         skip_layer_mask=mask, num_conds=num_conds,
         skip_layer_strategy=skip_layer_strategy if do_stg else None,
         cfg_star_rescale=cfg_star_rescale,
+        do_rescaling=bool(np.any(r != 1.0)),
     )
 
 
@@ -424,6 +446,12 @@ def denoise(
     else:
         rows = []
         if schedule.do_cfg:
+            if prompt_embeds.shape[0] < 2:
+                raise ValueError(
+                    "CFG needs [negative, positive] prompt embeddings "
+                    f"(got {prompt_embeds.shape[0]} row); pass "
+                    "guidance_scale<=1 for single-prompt runs"
+                )
             rows = [0, 1]
         else:
             rows = [1] if prompt_embeds.shape[0] > 1 else [0]
@@ -434,6 +462,10 @@ def denoise(
 
     rf_sched = rf.RectifiedFlowSchedule(timesteps=jnp.asarray(timesteps))
     coords = jnp.concatenate([indices_grid] * num_conds, axis=0)
+    # RoPE tables from the batch-1 grid: they broadcast over the guidance
+    # streams in apply_rotary_emb, so materializing num_conds identical
+    # multi-MB copies across the whole scan would waste HBM for nothing
+    freq_coords = indices_grid
     cond_mask_tokens = conditioning_mask  # [1, N]
     tokens_per_group = n_tokens // num_frame_groups
 
@@ -453,7 +485,7 @@ def denoise(
     # loop-invariant motion won't hoist the multi-MB cos/sin tables out
     # of the scan body itself). Under USP the same precomputed tables
     # enter shard_map token-sharded, so each shard reads its GLOBAL rows.
-    rope_freqs = _jit_compute_freqs(transformer_cfg, coords)
+    rope_freqs = _jit_compute_freqs(transformer_cfg, freq_coords)
 
     def body(carry, step):
         if use_tc:
@@ -541,13 +573,14 @@ def denoise(
             noise_pred = pred_text
         if schedule.do_stg:
             noise_pred = noise_pred + step["stg"] * (pred_text - pred_ptb)
-            std_text = jnp.std(pred_text)
-            std_pred = jnp.std(noise_pred)
-            factor = std_text / (std_pred + 1e-8)
-            factor = step["rescale"] * factor + (1 - step["rescale"])
-            noise_pred = jnp.where(
-                step["stg"] > 0.0, noise_pred * factor, noise_pred
-            )
+            if schedule.do_rescaling:  # static: any(rescaling != 1.0)
+                std_text = jnp.std(pred_text)
+                std_pred = jnp.std(noise_pred)
+                factor = std_text / (std_pred + 1e-8)
+                factor = step["rescale"] * factor + (1 - step["rescale"])
+                noise_pred = jnp.where(
+                    step["stg"] > 0.0, noise_pred * factor, noise_pred
+                )
 
         denoised = rf.step(
             rf_sched, noise_pred.astype(latents.dtype), t_tokens, latents,
@@ -694,7 +727,7 @@ class LTXPipeline:
         )
         ts = np.asarray(sched.timesteps)
 
-        k_noise, k_denoise, k_decode = jax.random.split(key, 3)
+        k_noise, k_denoise, k_decode, k_extras = jax.random.split(key, 4)
         noise = jax.random.normal(
             k_noise, (1, f_lat * h_lat * w_lat, c), jnp.float32
         )
@@ -742,7 +775,9 @@ class LTXPipeline:
         if extras:
             ex_tokens, ex_coords, ex_masks = [], [], []
             for i, (z, frame_number, strength_i) in enumerate(extras):
-                k_noise, k_ex = jax.random.split(k_noise)
+                # fresh stream: k_noise was already consumed for the base
+                # noise (single-use key discipline)
+                k_extras, k_ex = jax.random.split(k_extras)
                 zt, z_coords = patchifier.patchify(z.astype(jnp.float32))
                 ex_noise = jax.random.normal(k_ex, zt.shape, jnp.float32)
                 zt = ex_noise + strength_i * (zt - ex_noise)

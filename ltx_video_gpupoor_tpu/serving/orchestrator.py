@@ -106,6 +106,15 @@ def build_timesteps(
         ts = np.asarray(sched.timesteps)
     skip_i = pass_cfg.get("skip_initial_inference_steps", 0)
     skip_f = pass_cfg.get("skip_final_inference_steps", 0)
+    if skip_i < 0 or skip_f < 0 or skip_i + skip_f >= len(ts):
+        # the reference validates BEFORE slicing (``:176-183``); without
+        # this an aggressive skip (e.g. dev config skips + a small user
+        # step count) silently yields an empty schedule and a bare
+        # IndexError downstream
+        raise ValueError(
+            "invalid skip inference step values: skip_initial="
+            f"{skip_i}, skip_final={skip_f} with {len(ts)} steps"
+        )
     if skip_i or skip_f:
         ts = ts[skip_i: len(ts) - skip_f]
     if max_timestep < 1.0:

@@ -63,7 +63,8 @@ def remove_background(images: list[np.ndarray]) -> list[np.ndarray]:
         from PIL import Image
 
         pil = Image.fromarray(img)
-        removed = remove(pil, session=session, alpha_matting=False,
+        removed = remove(pil, session=session, alpha_matting=True,
+                         alpha_matting_erode_size=1,
                          bgcolor=[255, 255, 255, 0])
         out.append(np.asarray(removed.convert("RGB")))
     return out
@@ -126,7 +127,10 @@ def get_3d_sincos_pos_embed(
     d = embed_dim // 3
     d = d + (d % 2)  # even per-axis dims
     parts = [_sincos_1d(d, np.asarray(grid[i], np.float64)) for i in range(3)]
-    emb = np.concatenate(parts, axis=1)
+    # channel order [emb_h, emb_w, emb_f] (``embeddings.py:71-76``) —
+    # grid rows are (f, h, w), so reorder before concat or a trained
+    # checkpoint reads frame sinusoids in its height channels
+    emb = np.concatenate([parts[1], parts[2], parts[0]], axis=1)
     if emb.shape[1] > embed_dim:
         emb = emb[:, :embed_dim]
     elif emb.shape[1] < embed_dim:

@@ -157,7 +157,28 @@ def test_guidance_schedule_builder():
     # step 0 (t=1.0 matches idx 0): block 1 skipped for perturbed stream
     assert s.skip_layer_mask[0, 1, 2] == 0.0
     assert s.skip_layer_mask[0, 1, 1] == 1.0
-    np.testing.assert_allclose(s.guidance_scale, [1, 4, 4, 2])
+    # guidance <= 1 zeroes ("x if x > 1.0 else 0.0",
+    # pipeline_ltx_video.py:982)
+    np.testing.assert_allclose(s.guidance_scale, [0, 4, 4, 2])
+
+
+def test_guidance_bucket_mapping_between_timesteps():
+    """A sampled t strictly between two guidance timesteps picks the
+    FIRST bucket with guidance_t <= t (pipeline_ltx_video.py:959-967) —
+    the previous last-match loop was off by one on every such step."""
+    gts = [1.0, 0.9933, 0.985, 0.9767, 0.9008, 0.618]
+    vals = [1, 1, 6, 8, 6, 1]
+    s = build_guidance_schedule(
+        np.array([0.95]), num_layers=2,
+        guidance_scale=vals, guidance_timesteps=gts,
+    )
+    np.testing.assert_allclose(s.guidance_scale, [6.0])
+    # below every entry -> last bucket
+    s2 = build_guidance_schedule(
+        np.array([0.5]), num_layers=2,
+        guidance_scale=vals, guidance_timesteps=gts,
+    )
+    np.testing.assert_allclose(s2.guidance_scale, [0.0])  # 1 -> zeroed
 
 
 def test_latent_to_pixel_coords_causal_fix():
