@@ -124,10 +124,13 @@ def test_remove_background_with_stub_rembg(monkeypatch):
         calls["sessions"] += 1
         return object()
 
-    def remove(pil, session=None, alpha_matting=None, bgcolor=None):
+    def remove(pil, session=None, alpha_matting=None,
+               alpha_matting_erode_size=None, bgcolor=None):
         calls["removes"] += 1
         assert session is not None
         assert bgcolor == [255, 255, 255, 0]
+        # reference parity: matting on with erode size 1 (utils.py:119)
+        assert alpha_matting is True and alpha_matting_erode_size == 1
         from PIL import Image
 
         return Image.new("RGBA", pil.size, (255, 0, 0, 255))
