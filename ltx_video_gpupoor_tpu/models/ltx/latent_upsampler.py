@@ -55,18 +55,38 @@ def _gn(p, x):
     return group_norm(x, 32, p["weight"], p["bias"], eps=1e-5, channel_axis=-1)
 
 
-def _resblock(p, x):
+def _conv(p, x, dims: int):
+    """dims=2: 2-D convs applied framewise (the reference's from_config
+    DEFAULT — the shipped spatial-upscaler checkpoints are 2-D,
+    ``latent_upsampler.py:157``); dims=3: full 3-D convs."""
+    return _conv2d_framewise(p, x) if dims == 2 else _conv3d(p, x)
+
+
+def _resblock(p, x, dims: int = 3):
     r = x
-    x = _conv3d(p["conv1"], x)
+    x = _conv(p["conv1"], x, dims)
     x = _gn(p["norm1"], x)
     x = jax.nn.silu(x)
-    x = _conv3d(p["conv2"], x)
+    x = _conv(p["conv2"], x, dims)
     x = _gn(p["norm2"], x)
     return jax.nn.silu(x + r)
 
 
+def _check_cfg(cfg: LatentUpsamplerConfig) -> None:
+    if not (cfg.spatial_upsample or cfg.temporal_upsample):
+        raise ValueError(
+            "Either spatial_upsample or temporal_upsample must be True"
+        )
+    if cfg.dims == 2 and (cfg.temporal_upsample or not cfg.spatial_upsample):
+        raise ValueError(
+            "dims=2 supports spatial upsampling only (reference parity)"
+        )
+
+
 def init_params(key: jax.Array, cfg: LatentUpsamplerConfig) -> dict:
+    _check_cfg(cfg)
     ks = iter(jax.random.split(key, 8 + 2 * cfg.num_blocks_per_stage))
+    body_dims = 2 if cfg.dims == 2 else 3
 
     def conv(k, cin, cout, kdims=3):
         shape = (3,) * kdims + (cin, cout)
@@ -82,9 +102,9 @@ def init_params(key: jax.Array, cfg: LatentUpsamplerConfig) -> dict:
     def res(k):
         k1, k2 = jax.random.split(k)
         return {
-            "conv1": conv(k1, cfg.mid_channels, cfg.mid_channels),
+            "conv1": conv(k1, cfg.mid_channels, cfg.mid_channels, body_dims),
             "norm1": gn(cfg.mid_channels),
-            "conv2": conv(k2, cfg.mid_channels, cfg.mid_channels),
+            "conv2": conv(k2, cfg.mid_channels, cfg.mid_channels, body_dims),
             "norm2": gn(cfg.mid_channels),
         }
 
@@ -96,24 +116,30 @@ def init_params(key: jax.Array, cfg: LatentUpsamplerConfig) -> dict:
         up = conv(next(ks), cfg.mid_channels, 2 * cfg.mid_channels, 3)
 
     return {
-        "initial_conv": conv(next(ks), cfg.in_channels, cfg.mid_channels),
+        "initial_conv": conv(
+            next(ks), cfg.in_channels, cfg.mid_channels, body_dims
+        ),
         "initial_norm": gn(cfg.mid_channels),
         "res_blocks": [res(next(ks)) for _ in range(cfg.num_blocks_per_stage)],
         "upsampler": up,
         "post_upsample_res_blocks": [
             res(next(ks)) for _ in range(cfg.num_blocks_per_stage)
         ],
-        "final_conv": conv(next(ks), cfg.mid_channels, cfg.in_channels),
+        "final_conv": conv(
+            next(ks), cfg.mid_channels, cfg.in_channels, body_dims
+        ),
     }
 
 
 def forward(params: dict, cfg: LatentUpsamplerConfig, latents: jax.Array):
     """latents: [B, F, H, W, C] un-normalized latent space."""
-    x = _conv3d(params["initial_conv"], latents)
+    _check_cfg(cfg)
+    body_dims = 2 if cfg.dims == 2 else 3
+    x = _conv(params["initial_conv"], latents, body_dims)
     x = _gn(params["initial_norm"], x)
     x = jax.nn.silu(x)
     for rp in params["res_blocks"]:
-        x = _resblock(rp, x)
+        x = _resblock(rp, x, body_dims)
 
     if cfg.temporal_upsample and cfg.spatial_upsample:
         x = _conv3d(params["upsampler"], x)
@@ -133,5 +159,5 @@ def forward(params: dict, cfg: LatentUpsamplerConfig, latents: jax.Array):
         x = x[:, 1:]
 
     for rp in params["post_upsample_res_blocks"]:
-        x = _resblock(rp, x)
-    return _conv3d(params["final_conv"], x)
+        x = _resblock(rp, x, body_dims)
+    return _conv(params["final_conv"], x, body_dims)

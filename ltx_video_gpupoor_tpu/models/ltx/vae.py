@@ -225,9 +225,10 @@ def _timestep_embedding(t, dim, max_period=10000.0):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def _pixart_time_embed(p: dict, t: jax.Array, dim: int) -> jax.Array:
+def _pixart_time_embed(p: dict, t: jax.Array) -> jax.Array:
     """PixArtAlphaCombinedTimestepSizeEmbeddings with size_emb_dim=0:
-    sinusoidal(256) -> linear -> silu -> linear (dim)."""
+    sinusoidal(256) -> linear -> silu -> linear (output width comes from
+    the linear_2 kernel)."""
     emb = _timestep_embedding(t, 256)
     emb = emb @ p["linear_1"]["kernel"].astype(jnp.float32) + p["linear_1"]["bias"]
     emb = jax.nn.silu(emb)
@@ -300,14 +301,19 @@ def _midblock_init(key, cfg, cin, num_layers, inject_noise, timestep_cond,
         }
     if attention_head_dim > 0:
         k = next(ks)
+        # qk rms-norm is PER HEAD in the reference (diffusers Attention
+        # with qk_norm="rms_norm": RMSNorm(dim_head)), so the norm weight
+        # width is the head dim — the forward derives the head split
+        # from it
+        hd = attention_head_dim if attention_head_dim < cin else cin
         p["attention_blocks"] = [
             {
                 "to_q": _linear_init(jax.random.fold_in(k, 4 * i), cin, cin),
                 "to_k": _linear_init(jax.random.fold_in(k, 4 * i + 1), cin, cin),
                 "to_v": _linear_init(jax.random.fold_in(k, 4 * i + 2), cin, cin),
                 "to_out": _linear_init(jax.random.fold_in(k, 4 * i + 3), cin, cin),
-                "q_norm": {"weight": jnp.ones((cin,))},
-                "k_norm": {"weight": jnp.ones((cin,))},
+                "q_norm": {"weight": jnp.ones((hd,))},
+                "k_norm": {"weight": jnp.ones((hd,))},
             }
             for i in range(num_layers)
         ]
@@ -501,15 +507,24 @@ def _resnet_forward(cfg: VAEConfig, p, x, causal, timestep_embed, key):
 
 def _vae_attention(p, x):
     """Spatial-temporal self-attention over all voxels (decoder mid-block,
-    residual connection + rms qk-norm — ``causal_video_autoencoder.py:845-870``)."""
+    residual connection + PER-HEAD rms qk-norm —
+    ``causal_video_autoencoder.py:876-895``: heads = C // head_dim, the
+    qk-norm weight width IS the head dim)."""
     b, f, h, w, c = x.shape
     tokens = x.reshape(b, f * h * w, c)
     q = tokens @ p["to_q"]["kernel"].astype(x.dtype) + p["to_q"]["bias"].astype(x.dtype)
     k = tokens @ p["to_k"]["kernel"].astype(x.dtype) + p["to_k"]["bias"].astype(x.dtype)
     v = tokens @ p["to_v"]["kernel"].astype(x.dtype) + p["to_v"]["bias"].astype(x.dtype)
-    q = rms_norm(q, p["q_norm"]["weight"], eps=1e-5)
-    k = rms_norm(k, p["k_norm"]["weight"], eps=1e-5)
-    out = mha(q[:, None], k[:, None], v[:, None])[:, 0]  # single head
+    d = p["q_norm"]["weight"].shape[0]
+    heads = c // d
+
+    def split(t):
+        return t.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+
+    qh = rms_norm(split(q), p["q_norm"]["weight"], eps=1e-5)
+    kh = rms_norm(split(k), p["k_norm"]["weight"], eps=1e-5)
+    out = mha(qh, kh, split(v))
+    out = out.transpose(0, 2, 1, 3).reshape(b, -1, c)
     out = out @ p["to_out"]["kernel"].astype(x.dtype) + \
         p["to_out"]["bias"].astype(x.dtype)
     return (tokens + out).reshape(b, f, h, w, c)
@@ -521,7 +536,6 @@ def _midblock_forward(cfg, p, x, causal, timestep, key):
         cin = x.shape[-1]
         temb = _pixart_time_embed(
             p["time_embedder"], jnp.broadcast_to(timestep, (x.shape[0],)),
-            cin * 4,
         )  # [B, 4C]
     attn = p.get("attention_blocks")
     for i, rp in enumerate(p["res_blocks"]):
@@ -657,6 +671,14 @@ def decode(
     noise_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode latents ``[B, F', H', W', latent]`` to pixels."""
+    if cfg.timestep_conditioning and timestep is None:
+        # the reference asserts this (a conditioned decoder run without
+        # its timestep silently drops the ada modulation the weights
+        # were trained with — badly degraded output, no error)
+        raise ValueError(
+            "cfg.timestep_conditioning=True requires a decode timestep "
+            "(the pipeline passes decode_timestep from the config)"
+        )
     dec = params["decoder"]
     causal = cfg.causal_decoder
     x = latents
@@ -694,7 +716,7 @@ def decode(
         c = x.shape[-1]
         emb = _pixart_time_embed(
             dec["last_time_embedder"],
-            jnp.broadcast_to(scaled_t, (b,)), c * 2,
+            jnp.broadcast_to(scaled_t, (b,)),
         )  # [B, 2C]
         vals = dec["last_scale_shift_table"].astype(jnp.float32)[None] + \
             emb.reshape(b, 2, c)

@@ -132,7 +132,7 @@ def tiled_spatial(
                 # to SEQUENCE the tile evaluations so peak memory stays
                 # at one tile's intermediates (an unordered fused tile
                 # graph OOMed 16 GiB on the Wan path — wan/vae.py)
-                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tok = (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
                 tile = tile + tok
             prev = fn(tile)
             row.append(prev)
@@ -202,7 +202,7 @@ def tiled_encode(
         if prev is not None:
             # sequence temporal tiles under the fused jit (see
             # tiled_spatial) so peak memory stays one-tile-scale
-            tile = tile + (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+            tile = tile + (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
         prev = encode_maybe_hw(tile)
         enc = prev
         if i > 0:
@@ -304,7 +304,7 @@ def tiled_decode(
         if prev is not None:
             # sequence temporal tiles under the fused jit (see
             # tiled_spatial) so peak memory stays one-tile-scale
-            tile = tile + (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+            tile = tile + (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
         prev = decode_maybe_hw(tile)
         dec = prev
         if i > 0:

@@ -369,8 +369,10 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array,
     x = causal_conv3d(params["conv1"], x)
     mu, log_var = jnp.split(x, 2, axis=-1)
     if normalize:
-        mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim])
-        std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim])
+        # cast stats to the latent dtype (decode does): fp32 constants
+        # would silently promote bf16 latents to fp32 downstream
+        mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim]).astype(mu.dtype)
+        std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim]).astype(mu.dtype)
         mu = (mu - mean) / std
     return mu
 
@@ -468,7 +470,7 @@ def spatial_tiled_decode(params, cfg: WanVAEConfig, z: jax.Array,
                 # SEQUENCE the tile decodes, so peak memory stays at
                 # one tile's intermediates (an unordered fused graph
                 # OOMs 16 GB HBM at 832x480x81f)
-                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tok = (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
                 tile = tile + tok
             prev = _tile_decode(params, cfg, tile, False,
                                 any_end_frame, False)
@@ -516,7 +518,7 @@ def spatial_tiled_encode(params, cfg: WanVAEConfig, video: jax.Array,
             tile = video[:, :, i: i + tile_size, j: j + tile_size]
             if prev is not None:
                 # sequencing dependency — see spatial_tiled_decode
-                tok = (prev[(0,) * prev.ndim] * 0).astype(tile.dtype)
+                tok = (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
                 tile = tile + tok
             prev = _tile_encode(params, cfg, tile, False, any_end_frame)
             row.append(prev)

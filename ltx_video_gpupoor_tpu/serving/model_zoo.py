@@ -275,9 +275,17 @@ def load_ltxv_model(
         up_tensors, up_cfg_dict = ckpt.load_safetensors(up_path)
         up_fields = {f.name for f in dataclasses.fields(
             lup.LatentUpsamplerConfig)}
-        up_cfg = lup.LatentUpsamplerConfig(**{
+        up_kwargs = {
             k: v for k, v in (up_cfg_dict or {}).items() if k in up_fields
-        })
+        }
+        if "dims" not in up_kwargs:
+            # the reference's from_config DEFAULTS to dims=2 (2-D convs,
+            # ``latent_upsampler.py:157``) — infer from the kernel rank
+            # when the metadata doesn't say
+            w = up_tensors.get("initial_conv.weight")
+            if w is not None:
+                up_kwargs["dims"] = 2 if w.ndim == 4 else 3
+        up_cfg = lup.LatentUpsamplerConfig(**up_kwargs)
         up_params = convert_latent_upsampler(up_tensors)
         multiscale = MultiScalePipeline(
             pipeline=pipeline, upsampler_params=up_params,
