@@ -134,6 +134,14 @@ class LegacyVAEConfig:
         if isinstance(dims, list):
             dims = tuple(dims)
         double_z = cfg.get("double_z", True)
+        llv = cfg.get(
+            "latent_log_var", "per_channel" if double_z else "none"
+        )
+        if cfg.get("use_quant_conv", True) and llv == "uniform":
+            # reference config validation (``video_autoencoder.py:76-77``)
+            raise ValueError(
+                "uniform latent_log_var requires use_quant_conv=False"
+            )
         return LegacyVAEConfig(
             dims=dims,
             in_channels=cfg.get("in_channels", 3),
@@ -174,7 +182,10 @@ class LegacyVAEConfig:
 
     @property
     def temporal_downscale_factor(self) -> int:
-        # dims=3 / (2,1) downsamples stride time as well (when in_time)
+        # dims=3 / (2,1) downsamples stride time as well (when in_time);
+        # pure 2-D configs never stride the time axis
+        if self.dims == 2:
+            return self.pst
         return 2**self._num_downsamples * self.pst
 
     # the legacy decoder has no timestep conditioning / injected noise
@@ -350,8 +361,11 @@ def pixel_patchify(x, q: int, p_t: int = 1, add_channel_padding=False):
     )
     if q > p_t and (p_t > 1 or add_channel_padding):
         target = y.shape[-1] * (q // p_t)
+        # the reference PREPENDS the zero channels (``torch.cat([zeros,
+        # x], dim=1)``, ``video_autoencoder.py:892-901``) — appending
+        # would feed real pixels to kernel slices trained on zeros
         y = jnp.concatenate(
-            [y, jnp.zeros(y.shape[:-1] + (target - y.shape[-1],), y.dtype)],
+            [jnp.zeros(y.shape[:-1] + (target - y.shape[-1],), y.dtype), y],
             axis=-1,
         )
     return y

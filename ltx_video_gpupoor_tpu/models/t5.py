@@ -89,12 +89,14 @@ def init_params(key: jax.Array, cfg: T5Config) -> dict:
         p = {
             "norm1": {"weight": jnp.ones((cfg.dim,))},
             "attn": {
+                # reference init stds (``t5.py:37-40``): q/o scale by the
+                # FULL products, no per-head division
                 "q": lin(next(kk), cfg.dim, cfg.dim_attn,
-                         (cfg.dim * cfg.dim_attn // cfg.num_heads) ** -0.5),
+                         (cfg.dim * cfg.dim_attn) ** -0.5),
                 "k": lin(next(kk), cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
                 "v": lin(next(kk), cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
                 "o": lin(next(kk), cfg.dim_attn, cfg.dim,
-                         (cfg.num_heads * cfg.dim_attn // cfg.num_heads) ** -0.5),
+                         (cfg.num_heads * cfg.dim_attn) ** -0.5),
             },
             "norm2": {"weight": jnp.ones((cfg.dim,))},
             "ffn": {

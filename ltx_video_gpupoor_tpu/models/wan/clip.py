@@ -158,7 +158,13 @@ def visual(
 
 
 def resize_bicubic(image: jax.Array, size: int) -> jax.Array:
-    """Host-free bicubic resize to [size, size] (jax.image)."""
+    """Host-free bicubic resize to [size, size].
+
+    ``antialias=False`` matches the reference's
+    ``F.interpolate(mode='bicubic', align_corners=False)`` (torch does
+    not antialias by default) — jax.image's default antialias widens the
+    kernel on downscale and shifts CLIP features off parity."""
     return jax.image.resize(
-        image, (image.shape[0], size, size, image.shape[-1]), method="bicubic"
+        image, (image.shape[0], size, size, image.shape[-1]),
+        method="bicubic", antialias=False,
     )

@@ -76,7 +76,12 @@ def int8_dynamic_matmul_fused(
         m *= d
     x2 = x.reshape(m, k)
 
-    bm = min(block_m, m)
+    # VMEM budget: the kernel holds the f32 [bm, K] activation tile (plus
+    # an f32 working copy) — clamp bm as K grows or large-K linears
+    # (13B/14B: K >= 5120) blow the ~16 MB VMEM and fail Mosaic compile
+    vmem_budget = 6 * 1024 * 1024  # bytes for the x tile alone
+    bm_cap = max(128, (vmem_budget // (k * 4)) // 128 * 128)
+    bm = min(block_m, bm_cap, m)
     pad_m = (-m) % bm
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))

@@ -78,8 +78,16 @@ def test_patchify_channel_padding():
     # p_t == 1: no channel padding unless requested
     y = lvae.pixel_patchify(x, q=4, p_t=1, add_channel_padding=False)
     assert y.shape == (1, 4, 2, 2, 3 * 16)
-    # p_t > 1 with q > p_t pads regardless (video_autoencoder.py:903-918)
+    # p_t > 1 with q > p_t pads regardless (video_autoencoder.py:886-901),
+    # and the zeros are PREPENDED (torch.cat([zeros, x], dim=1)) — the
+    # conv_in weights expect [zeros..., real] channel order
     y2 = lvae.pixel_patchify(x, q=4, p_t=2, add_channel_padding=False)
-    assert y2.shape[-1] == 3 * 2 * 16 * 2
+    real = 3 * 2 * 16
+    assert y2.shape[-1] == real * 2
+    assert np.all(np.asarray(y2[..., : y2.shape[-1] - real]) == 0)
+    assert np.all(np.asarray(y2[..., y2.shape[-1] - real:]) != 0)
+    # unpatchify keeps the FIRST channels like the reference (:915-916);
+    # the pair is intentionally asymmetric (they sit on opposite ends of
+    # the model), so there is no round-trip identity through the pad path
     back = lvae.pixel_unpatchify(y2, q=4, p_t=2, out_channels=3)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+    assert back.shape == x.shape
