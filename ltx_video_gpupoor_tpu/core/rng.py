@@ -19,13 +19,18 @@ import numpy as np
 def seed_everything(seed: int) -> jax.Array:
     """Seed host-side RNGs and return the root JAX key for a generation.
 
-    The JAX key keeps the full seed (two 64-bit user seeds differing only
-    in high bits must not collide); only numpy's legacy API needs the
-    32-bit mask."""
+    Two 64-bit user seeds differing only in high bits must not collide:
+    under the default (x64-disabled) config ``jax.random.key`` truncates
+    to 32 bits, so the high word is folded in explicitly. numpy's legacy
+    API needs the 32-bit mask."""
     seed = int(seed)
     random.seed(seed)
     np.random.seed(seed & 0xFFFFFFFF)
-    return jax.random.key(seed)
+    key = jax.random.key(seed & 0xFFFFFFFF)
+    high = (seed >> 32) & 0xFFFFFFFF
+    if high:
+        key = jax.random.fold_in(key, high)
+    return key
 
 
 def split_for(key: jax.Array, *names: str) -> dict[str, jax.Array]:
