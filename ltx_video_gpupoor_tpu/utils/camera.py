@@ -10,8 +10,18 @@ compute camera-to-world poses relative to the first frame, and emit the
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
+
+#: The ten preset trajectories ship with the package (the reference's
+#: released runtime data, ``/root/reference/wan/camera_extrinsics.json``,
+#: consumed at ``wan/utils/cammmaster_tools.py:40-63``) — cam01..cam10
+#: embeddings are bit-exact against the reference implementation.
+PACKAGED_EXTRINSICS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "camera_extrinsics.json",
+)
 
 
 def parse_matrix(matrix_str: str) -> np.ndarray:
@@ -127,10 +137,15 @@ def generate_preset_extrinsics(num_frames: int = 81) -> dict:
 
 def get_camera_embedding(
     cam_type: int | str,
-    extrinsics_path: str,
+    extrinsics_path: str | None = None,
     num_frames: int = 81,
 ) -> np.ndarray:
-    """Returns [ceil(num_frames/4), 12] float32 pose embeddings."""
+    """Returns [ceil(num_frames/4), 12] float32 pose embeddings.
+
+    ``extrinsics_path`` defaults to the packaged preset data, so
+    ``get_camera_embedding(3)`` reproduces the reference's ``cam03``."""
+    if extrinsics_path is None:
+        extrinsics_path = PACKAGED_EXTRINSICS
     with open(extrinsics_path) as f:
         cam_data = json.load(f)
     cam_idx = list(range(num_frames))[::4]

@@ -86,6 +86,44 @@ def test_preset_extrinsics_roundtrip(tmp_path):
         assert np.abs(emb[1:] - emb[0]).max() > 1e-3, kind
 
 
+def test_packaged_camera_presets_match_reference():
+    """The packaged camera_extrinsics.json (the reference's released
+    ReCamMaster runtime data) must reproduce the reference embedding for
+    every preset cam01..cam10 (``wan/utils/cammmaster_tools.py:40-63``).
+    Hashes pinned from an offline run of the reference math on
+    2026-08-18; spot rows pinned for readability."""
+    import hashlib
+    import os
+
+    assert os.path.isfile(camera.PACKAGED_EXTRINSICS)
+    pinned_hashes = {
+        1: "c46405784352ca81", 2: "02d6d095e2c3f026",
+        3: "59401b459ee19359", 4: "b138dd6a13bcf2c3",
+        5: "7cc2f162be47aa10", 6: "c62adb3d456e16ed",
+        7: "e6d131d5297580dc", 8: "62dbbc6f1eb12fba",
+        9: "a68dcfb740e03c21", 10: "4a69d6d21332678b",
+    }
+    for cam_type, want in pinned_hashes.items():
+        emb = camera.get_camera_embedding(cam_type)  # default packaged path
+        assert emb.shape == (21, 12)
+        got = hashlib.sha256(
+            np.round(emb.astype(np.float32), 5).tobytes()
+        ).hexdigest()[:16]
+        assert got == want, f"cam{cam_type:02d}"
+    np.testing.assert_allclose(
+        camera.get_camera_embedding(1)[20],
+        [0.940432, 0.0, 0.339982, 0.0, 0.0, 1.0, 0.0, 0.0,
+         -0.339982, 0.0, 0.940432, 0.0],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        camera.get_camera_embedding(10)[20],
+        [0.867575, 0.0, -0.497306, 1.9876, 0.0, 1.0, 0.0, 0.0,
+         0.497306, 0.0, 0.867575, 0.5326],
+        atol=1e-5,
+    )
+
+
 def test_async_run_executes():
     results = []
     tasks.async_run(results.append, 42)
