@@ -240,6 +240,94 @@ class QwenPromptExpander:
 
 
 @dataclasses.dataclass
+class QwenVLPromptExpander:
+    """Image-aware Qwen2.5-VL extension (``prompt_extend.py:300-365``,
+    ``extend_with_img`` at ``:398-455``): the first frame rides along in
+    the chat messages, vision elements are decoded/smart-resized by
+    ``utils.qwen_vl.process_vision_info``, and the VL processor builds
+    the multimodal generate() inputs. Gated on model availability; the
+    plumbing is stub-testable by injecting ``_model``/``_processor``."""
+
+    model_name: str = "Qwen/Qwen2.5-VL-7B-Instruct"
+    max_new_tokens: int = 512
+    _model = None
+    _processor = None
+
+    SYSTEM_EN = (
+        "You are a prompt engineer for image-to-video models. Using the "
+        "attached image as the first frame, rewrite the user's prompt "
+        "into a single detailed English paragraph that stays faithful to "
+        "the image's subjects, appearance, style, and composition, then "
+        "describes their motion, the scene, lighting, and camera "
+        "movement. Output the rewritten prompt only."
+    )
+
+    def _load(self) -> bool:
+        if self._model is not None:
+            return True
+        try:
+            from transformers import (
+                AutoProcessor,
+                Qwen2_5_VLForConditionalGeneration,
+            )
+
+            # the reference's processor pixel budget (prompt_extend.py:340)
+            self._processor = AutoProcessor.from_pretrained(
+                self.model_name, min_pixels=256 * 28 * 28,
+                max_pixels=1280 * 28 * 28, use_fast=True,
+            )
+            self._model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+                self.model_name, device_map="cpu"
+            )
+            return True
+        except Exception as e:
+            logger.warning("Qwen-VL prompt expander unavailable: %s", e)
+            return False
+
+    def extend_with_img(self, prompt: str, image, seed: int = -1,
+                        system_prompt: str | None = None) -> str:
+        """``image``: PIL image, local path, file:// or data: URI (the
+        forms ``qwen_vl.fetch_image`` accepts). Returns the rewritten
+        prompt, or ``prompt`` unchanged when the model is unavailable."""
+        if not self._load():
+            return prompt
+        import torch
+
+        from .qwen_vl import process_vision_info
+
+        messages = [
+            {"role": "system", "content": [
+                {"type": "text", "text": system_prompt or self.SYSTEM_EN},
+            ]},
+            {"role": "user", "content": [
+                {"type": "image", "image": image},
+                {"type": "text", "text": prompt},
+            ]},
+        ]
+        text = self._processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        image_inputs, video_inputs = process_vision_info(messages)
+        inputs = self._processor(
+            text=[text], images=image_inputs, videos=video_inputs,
+            padding=True, return_tensors="pt",
+        )
+        with torch.no_grad():
+            generated = self._model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens
+            )
+        trimmed = [
+            out_ids[len(in_ids):]
+            for in_ids, out_ids in zip(inputs["input_ids"], generated)
+        ]
+        out = self._processor.batch_decode(
+            trimmed, skip_special_tokens=True,
+            clean_up_tokenization_spaces=False,
+        )[0]
+        return out.strip() or prompt
+
+
+@dataclasses.dataclass
 class DashScopePromptExpander:
     """Remote DashScope extension (``prompt_extend.py:157``): requires
     network + API key; unusable in zero-egress environments."""

@@ -117,6 +117,58 @@ def test_qwen_expander_with_stub_model():
     assert msgs[1] == {"role": "user", "content": "a dog"}
 
 
+class FakeVLProcessor:
+    """Records the multimodal hand-off: chat template, PIL images from
+    process_vision_info, and the trimmed decode."""
+
+    def __init__(self):
+        self.messages = None
+        self.images = None
+
+    def apply_chat_template(self, messages, tokenize=False,
+                            add_generation_prompt=False):
+        self.messages = messages
+        return "<chat>"
+
+    def __call__(self, text=None, images=None, videos=None, padding=None,
+                 return_tensors="pt"):
+        assert text == ["<chat>"]
+        self.images = images
+        assert videos is None
+        return {"input_ids": torch.ones((1, 4), dtype=torch.long)}
+
+    def batch_decode(self, ids, skip_special_tokens=False,
+                     clean_up_tokenization_spaces=False):
+        return ["  A VL-EXTENDED PROMPT  "]
+
+
+def test_qwen_vl_expander_with_stub_model():
+    """i2v prompt extension end-to-end with injected fakes: the image
+    rides in the chat messages, gets decoded + smart-resized by
+    qwen_vl.process_vision_info, and the decoded continuation comes back
+    (reference extend_with_img, prompt_extend.py:398-455)."""
+    from PIL import Image
+
+    from ltx_video_gpupoor_tpu.utils.prompt_enhance import (
+        QwenVLPromptExpander,
+    )
+
+    q = QwenVLPromptExpander()
+    q._model = FakeLLM()
+    q._processor = FakeVLProcessor()
+    img = Image.fromarray(np.zeros((37, 53, 3), np.uint8))
+    out = q.extend_with_img("a cat", image=img)
+    assert out == "A VL-EXTENDED PROMPT"
+    msgs = q._processor.messages
+    assert msgs[0]["content"][0]["text"] == q.SYSTEM_EN
+    assert msgs[1]["content"][0]["image"] is img
+    assert msgs[1]["content"][1]["text"] == "a cat"
+    # the vision element was decoded and smart-resized (37x53 -> 56x84)
+    assert len(q._processor.images) == 1
+    assert q._processor.images[0].size == (84, 56)
+    assert q._model.calls == 1
+
+
 def test_remove_background_with_stub_rembg(monkeypatch):
     calls = {"sessions": 0, "removes": 0}
 
