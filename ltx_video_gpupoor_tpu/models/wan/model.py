@@ -546,16 +546,36 @@ def _encode_cam(lp, cfg, cam_tokens, grid, b, l, dtype):
     """ReCamMaster per-block camera tokens: encode the raw pose features
     with THIS block's cam_encoder, tile the pose rows (torch
     ``.repeat(1, 2, 1)`` tiles — an interleaving repeat would hand every
-    frame the wrong pose, ``model.py:443-446``), broadcast over (H, W)."""
+    frame the wrong pose, ``model.py:443-446``), broadcast over (H, W).
+
+    When ``cam_tokens`` already carries one row per latent frame
+    (``expand_cam_to_frames`` — the sequence-parallel path, where each
+    shard must see its GLOBAL frames' poses), the tile is skipped."""
     if cam_tokens is None or "cam_encoder" not in lp:
         return None
     f, h, w = grid
     ce = _apply(lp["cam_encoder"], cam_tokens.astype(dtype))
-    ce = jnp.tile(ce, (1, 2, 1))  # [B, 2F', D]
+    if ce.shape[1] < f:
+        ce = jnp.tile(ce, (1, 2, 1))  # [B, 2F', D]
     ce = jnp.broadcast_to(
-        ce[:, :, None, None, :], (b, ce.shape[1], h, w, cfg.dim)
+        ce[:, :f, None, None, :], (b, f, h, w, cfg.dim)
     ).reshape(b, -1, cfg.dim)[:, :l]
     return ce
+
+
+def expand_cam_to_frames(cam_emb: jax.Array, num_frames: int) -> jax.Array:
+    """[B, F', 12] pose rows -> frame-aligned [B, F, 12], reproducing the
+    tile-then-slice frame->pose mapping of ``_encode_cam`` (frame f gets
+    row f, wrapping past F'). Frame-aligned rows shard with their frames
+    under USP, where each shard's local tile-and-slice would otherwise
+    hand shard k>0 the poses of shard 0's frames."""
+    tiled = jnp.concatenate([cam_emb, cam_emb], axis=1)
+    if tiled.shape[1] < num_frames:
+        raise ValueError(
+            f"cam_emb rows ({cam_emb.shape[1]}) cover at most "
+            f"2x rows; need {num_frames} frames"
+        )
+    return tiled[:, :num_frames]
 
 
 def _run_blocks_vace(

@@ -67,6 +67,9 @@ def usp_wan_forward(
     previous_residual: Optional[jax.Array] = None,  # [B, N, D] token-sharded
     compute: bool | jax.Array = True,
     fps_idx: Optional[int] = None,     # static fps-embedding index (DF)
+    vace_context: Optional[jax.Array] = None,   # [B, F, H, W, vace_in]
+    vace_scale: float = 1.0,
+    cam_emb: Optional[jax.Array] = None,        # [B, F', 12] camera pose
 ) -> tuple[jax.Array, jax.Array]:
     """Sequence-parallel denoiser evaluation; returns
     ``(velocity [B, F, H, W, C_out], residual [B, N, D])``, both sharded
@@ -75,6 +78,13 @@ def usp_wan_forward(
     Requirements: frames divisible by the sp size; heads divisible by the
     sp size (the Ulysses exchange regroups heads). TeaCache residual
     reuse works per shard (the residual is per-token).
+
+    VACE hints are frame-aligned with the video ([B, F, H, W, vace_in],
+    same temporal patch 1 -> no halo) so they shard with the frames and
+    the hint stream rides the same Ulysses exchange. ReCamMaster poses
+    are expanded to one row per frame (``expand_cam_to_frames``) so each
+    shard encodes its GLOBAL frames' poses — a per-shard tile-and-slice
+    would hand every shard the first frames' poses.
     """
     sp = mesh.shape[axis_name]
     if cfg.patch_size[0] != 1:
@@ -102,11 +112,15 @@ def usp_wan_forward(
     tok_spec = P(axis_name)               # [L, head_dim] RoPE rows
     repl = P()
 
+    if cam_emb is not None:
+        cam_emb = wan_model.expand_cam_to_frames(cam_emb, x.shape[1])
     names, extras, extra_specs, compute_is_traced = _pack_optionals(
         (
             ("clip_features", clip_features, repl),
             ("slg_keep", slg_keep, repl),
             ("previous_residual", previous_residual, token_spec),
+            ("vace_context", vace_context, frame_spec),
+            ("cam_emb", cam_emb, frame_spec),
         ),
         compute,
     )
@@ -115,6 +129,8 @@ def usp_wan_forward(
         kw = dict(zip(names, rest))
         if not compute_is_traced:
             kw["compute"] = compute
+        if "vace_context" in kw:
+            kw["vace_scale"] = vace_scale
         return wan_model.forward(
             params, cfg, x, t, context, context_mask, (cos, sin),
             attn_mode=inner_mode, fps_idx=fps_idx, **kw,

@@ -266,11 +266,6 @@ class WanPipeline:
             )
             t = jnp.full((num_streams,), t_scalar)
             if self.sp_mesh is not None:
-                if vctx is not None or cam_emb is not None:
-                    raise NotImplementedError(
-                        "USP denoise supports t2v/i2v/Phantom (+SLG, "
-                        "TeaCache); VACE/ReCamMaster run single-device"
-                    )
                 from ..parallel.usp import usp_wan_forward
 
                 out, new_res = usp_wan_forward(
@@ -278,7 +273,8 @@ class WanPipeline:
                     cmask, freqs, axis_name=self.sp_axis,
                     attn_mode=attn_mode, clip_features=clip,
                     slg_keep=keep, previous_residual=residual,
-                    compute=compute,
+                    compute=compute, vace_context=vctx,
+                    vace_scale=vace_scale, cam_emb=cam_emb,
                 )
             else:
                 out, new_res = wan_model.forward(

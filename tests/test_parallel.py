@@ -156,6 +156,61 @@ def test_usp_wan_forward_matches_single_device(sp_mesh):
     )
 
 
+def test_usp_wan_vace_recam_matches_single_device(sp_mesh):
+    """VACE hint stream + ReCamMaster poses under USP equal the
+    single-device forward: hints are frame-aligned so they shard with the
+    frames and ride the same Ulysses exchange; poses are pre-expanded to
+    one row per frame (``expand_cam_to_frames``) so shard k>0 encodes its
+    GLOBAL frames' poses rather than shard 0's (the failure a per-shard
+    tile-and-slice would produce)."""
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+    from ltx_video_gpupoor_tpu.parallel.usp import usp_wan_forward
+
+    cfg = wan_model.WanConfig(
+        dim=512, ffn_dim=1024, num_heads=8, num_layers=2, text_dim=256,
+        vace_layers=(0,), vace_in_dim=96, recammaster=True,
+    )
+    params = wan_model.init_params(jax.random.key(0), cfg)
+    # after_proj inits to zeros (reference parity) — randomize it so the
+    # hint path actually contributes; same for the identity projector
+    kr = iter(jax.random.split(jax.random.key(7), 4))
+    vp0 = params["vace_blocks"][0]
+    vp0["after_proj"]["kernel"] = (
+        jax.random.normal(next(kr), vp0["after_proj"]["kernel"].shape) * 0.02
+    )
+    vp0["before_proj"]["kernel"] = (
+        jax.random.normal(next(kr), vp0["before_proj"]["kernel"].shape) * 0.02
+    )
+    params["blocks"]["projector"]["kernel"] = (
+        params["blocks"]["projector"]["kernel"]
+        + jax.random.normal(
+            next(kr), params["blocks"]["projector"]["kernel"].shape
+        ) * 0.02
+    )
+    f, h, w = 8, 8, 12
+    x = jax.random.normal(jax.random.key(1), (1, f, h, w, cfg.in_dim))
+    t = jnp.full((1,), 400.0)
+    ctx = jax.random.normal(jax.random.key(2), (1, 64, cfg.text_dim))
+    cmask = jnp.ones((1, 64), jnp.int32)
+    freqs = wan_rope_freqs((f, h // 2, w // 2), cfg.head_dim)
+    vctx = jax.random.normal(jax.random.key(3), (1, f, h, w, 96))
+    # F' = f//2 pose rows: the reference tiles (repeat(1,2,1)) to cover f
+    cam = jax.random.normal(jax.random.key(4), (1, f // 2, 12))
+
+    ref, _ = wan_model.forward(
+        params, cfg, x, t, ctx, cmask, freqs,
+        vace_context=vctx, vace_scale=1.3, cam_emb=cam,
+    )
+    out, _ = usp_wan_forward(
+        sp_mesh, params, cfg, x, t, ctx, cmask, freqs, axis_name="sp",
+        vace_context=vctx, vace_scale=1.3, cam_emb=cam,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_usp_wan_pipeline_matches_single_device(sp_mesh):
     """Pipeline-level USP: the full scanned denoise with the mesh set
     equals the single-device run (t2v, CFG, SLG window, TeaCache off)."""
