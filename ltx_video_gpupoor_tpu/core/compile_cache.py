@@ -24,6 +24,57 @@ _DEFAULT_DIR = os.path.join(
 )
 
 _enabled_dir: str | None = None
+_lazy_guard_installed = False
+
+
+def _backend_is_cpu() -> bool | None:
+    """Whether the RESOLVED JAX backend is CPU: True/False once backends
+    are initialized, None while unknown. Never initializes the backend
+    itself (that would defeat lazy platform selection)."""
+    try:
+        from jax._src import xla_bridge as xb
+
+        if not xb.backends_are_initialized():
+            return None
+        import jax
+
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return None
+
+
+def _install_lazy_cpu_guard() -> None:
+    """Arm a one-shot check at the first cache consultation: a TPU-less
+    host with no platform env vars set silently falls back to the CPU
+    backend AFTER ``enable()`` ran at import — exactly the cross-host
+    XLA:CPU AOT/SIGILL hazard the env-var check alone cannot see. The
+    guard wraps ``compilation_cache.is_cache_used`` (consulted with the
+    live backend before any read/write); CPU resolution disables the
+    cache dir, anything else restores the original immediately."""
+    global _lazy_guard_installed
+    if _lazy_guard_installed:
+        return
+    try:
+        from jax._src import compilation_cache as cc
+
+        orig = cc.is_cache_used
+
+        def guarded(backend):
+            global _enabled_dir
+            cc.is_cache_used = orig
+            if getattr(backend, "platform", None) == "cpu":
+                if _enabled_dir is not None:
+                    import jax
+
+                    jax.config.update("jax_compilation_cache_dir", None)
+                    _enabled_dir = None
+                return False
+            return orig(backend)
+
+        cc.is_cache_used = guarded
+        _lazy_guard_installed = True
+    except Exception:
+        pass  # best-effort: internal seam moved; env-var check still holds
 
 
 def enable(cache_dir: str | None = None) -> str | None:
@@ -61,6 +112,14 @@ def enable(cache_dir: str | None = None) -> str | None:
     first = plats.split(",")[0].strip() if plats else ""
     if first == "cpu" or legacy == "cpu":
         return None
+    # The env vars only cover EXPLICIT CPU selection; a TPU-less host with
+    # nothing set still resolves to the CPU backend. Consult the resolved
+    # backend when it exists, else arm a lazy check for when it does.
+    resolved_cpu = _backend_is_cpu()
+    if resolved_cpu:
+        return None
+    if resolved_cpu is None:
+        _install_lazy_cpu_guard()
 
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

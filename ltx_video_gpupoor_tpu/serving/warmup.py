@@ -30,10 +30,17 @@ DEFAULT_BUCKET = (704, 480, 121)
 
 
 def warmup_shapes(generator, buckets=None, i2v: bool = True,
-                  lock: threading.Lock | None = None) -> float:
+                  lock: threading.Lock | None = None,
+                  output_type: str | None = None) -> float:
     """Compile the serving programs for each ``(W, H, F)`` bucket by
     running a 1-step generation (compile time dominates; the single step
     is negligible). Returns elapsed seconds.
+
+    ``output_type``: defaults to what the LIVE server path will request
+    (``yuv420`` when the native codec is available, else ``pixels`` —
+    mirrors ``server.py``); warming a different one would compile the
+    uint8-RGB quantize program the server never runs and leave the first
+    real request paying the ``_rgb_to_yuv420`` compile.
 
     ``lock``: the server's generation lock — held per bucket so warmup
     never runs concurrently with a live request (two full-res
@@ -42,6 +49,10 @@ def warmup_shapes(generator, buckets=None, i2v: bool = True,
     import jax
     import jax.numpy as jnp
 
+    if output_type is None:
+        from ..utils import native_codec
+
+        output_type = "yuv420" if native_codec.available() else "pixels"
     buckets = list(buckets or [DEFAULT_BUCKET])
     t0 = time.time()
     pipe = generator.pipeline
@@ -63,6 +74,7 @@ def warmup_shapes(generator, buckets=None, i2v: bool = True,
                 generator.generate(
                     emb, mask, height=h, width=w, frame_num=f,
                     image_start=img, sampling_steps=1, seed=0,
+                    output_type=output_type,
                 )
             logger.info("warmup %dx%dx%df done (%.1f s elapsed)",
                         w, h, f, time.time() - t0)

@@ -41,31 +41,39 @@ def trace(log_dir: str) -> Iterator[None]:
 
 _collect_lock = threading.Lock()
 _active_timer: "StageTimer | None" = None
+_collector_thread: int | None = None
 _prefix: list[str] = []
 
 
 @contextlib.contextmanager
 def collect_stages(timer: "StageTimer") -> Iterator[None]:
-    global _active_timer
+    global _active_timer, _collector_thread
     with _collect_lock:  # one collector at a time (tooling, not serving)
         _active_timer = timer
+        _collector_thread = threading.get_ident()
         _prefix.clear()
         try:
             yield
         finally:
             _active_timer = None
+            _collector_thread = None
 
 
 @contextlib.contextmanager
 def stage(name: str, sync=None) -> Iterator[None]:
     """Time a pipeline phase when a collector is active (no-op otherwise).
 
+    Marks from threads OTHER than the one that entered ``collect_stages``
+    are no-ops: the server's background warmup thread also calls
+    ``generate()``, and its marks interleaving pops/pushes into the
+    collecting request's ``_prefix`` stack would corrupt stage names.
+
     ``sync``: optional zero-arg callable returning a device array; called
     on exit and synced with a one-element host fetch so the stage's async
     dispatches are actually attributed to it (``block_until_ready`` is
     unreliable through the relay).
     """
-    if _active_timer is None:
+    if _active_timer is None or threading.get_ident() != _collector_thread:
         yield
         return
     _prefix.append(name)

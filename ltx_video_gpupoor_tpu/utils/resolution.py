@@ -65,13 +65,15 @@ def bucketed_dimensions(
     base: int | None = None,
 ) -> tuple[int, int, int]:
     """Full bucketing: snap H/W to the aspect bin of the nearest base
-    (chosen by area when ``base`` is None), frames to the NEAREST point
-    of the 8k+1 grid the causal VAE requires (callers should surface the
-    result when it differs from the request — see
-    ``serving/orchestrator.py``)."""
+    (chosen by area when ``base`` is None), frames UP to the next point
+    of the 8k+1 grid the causal VAE requires — padding up matches the
+    reference (``((f-2)//8+1)*8+1``) and never silently shortens the
+    requested clip (callers should surface the result when it differs
+    from the request — see ``serving/orchestrator.py``)."""
     if base is None:
         area = height * width
         base = min((512, 768, 1024), key=lambda b: abs(b * b - area))
     h, w = snap_to_bin(height, width, base=base)
-    frames = max(1, round((max(frame_num, 1) - 1) / 8) * 8 + 1)
+    f = max(frame_num, 1)
+    frames = ((f - 2) // 8 + 1) * 8 + 1
     return h, w, frames

@@ -87,6 +87,36 @@ def test_stage_timer():
     assert "a=" in rep and "b=" in rep and rep.startswith("total=")
 
 
+def test_stage_marks_from_other_threads_are_noops():
+    """Only the thread that entered collect_stages records: the server's
+    background warmup thread also emits stage marks, and cross-thread
+    pops/pushes would corrupt the collecting request's prefix stack."""
+    import threading
+
+    from ltx_video_gpupoor_tpu.utils import observability as obs
+
+    t = StageTimer()
+    with obs.collect_stages(t):
+        started = threading.Event()
+        release = threading.Event()
+
+        def intruder():
+            with obs.stage("warmup-noise"):
+                started.set()
+                release.wait(timeout=30)
+
+        th = threading.Thread(target=intruder)
+        th.start()
+        started.wait(timeout=30)
+        # the intruder is INSIDE its stage right now; ours must nest
+        # under nothing and record under its own clean name
+        with obs.stage("denoise"):
+            pass
+        release.set()
+        th.join(timeout=30)
+    assert list(t.stages) == ["denoise"]
+
+
 def test_metrics():
     Metrics.reset()
     Metrics.inc("requests")

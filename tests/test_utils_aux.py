@@ -270,6 +270,11 @@ def test_resolution_bins_and_snap():
     assert (h, w) in resolution.aspect_ratio_bins(512).values()
     assert f == 81  # already on the 8k+1 grid
     assert resolution.bucketed_dimensions(480, 704, 80)[2] == 81
+    # frames pad UP (reference ((f-2)//8+1)*8+1): a 5-frame request must
+    # never be silently shortened (round-half-to-even gave 5 -> 1)
+    assert resolution.bucketed_dimensions(480, 704, 5)[2] == 9
+    assert resolution.bucketed_dimensions(480, 704, 12)[2] == 17
+    assert resolution.bucketed_dimensions(480, 704, 1)[2] == 1
     # large inputs choose the 1024 base
     h2, w2, _ = resolution.bucketed_dimensions(1024, 1024, 9)
     assert (h2, w2) == (1024, 1024)

@@ -59,6 +59,34 @@ def test_warmup_spec_off_disables():
     assert start_background_warmup(model.generator, spec="off") is None
 
 
+def test_warmup_matches_serving_output_type(monkeypatch):
+    """Warmup must compile the SAME program set the live server runs:
+    output_type follows the server's native-codec probe (yuv420 when the
+    codec is available), not the pixels default."""
+    from types import SimpleNamespace
+
+    from ltx_video_gpupoor_tpu.utils import native_codec
+
+    calls = []
+
+    class FakeGen:
+        pipeline = SimpleNamespace(
+            transformer_cfg=SimpleNamespace(caption_channels=32),
+            t5_params=None,
+        )
+
+        def generate(self, *a, **kw):
+            calls.append(kw)
+
+    monkeypatch.setattr(native_codec, "available", lambda: True)
+    warmup_shapes(FakeGen(), [(64, 64, 9)])
+    assert calls and calls[-1]["output_type"] == "yuv420"
+
+    monkeypatch.setattr(native_codec, "available", lambda: False)
+    warmup_shapes(FakeGen(), [(64, 64, 9)])
+    assert calls[-1]["output_type"] == "pixels"
+
+
 def test_warmup_survives_bad_bucket():
     model = model_zoo.build_demo_model()
     # 0 frames is invalid; warmup logs and continues instead of raising
