@@ -36,11 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# smoke / slow tiers (VERDICT r1 item 9)
+# smoke / golden / slow tiers (VERDICT r1 item 9, r2 item 9)
 #
-# `pytest -m smoke` = fast correctness sweep, < 2 min on one CPU.
-# `pytest -m slow` (or no -m) = full suite incl. torch-golden oracles,
-# virtual-mesh parallelism, tiled VAEs, training (~15 min on one CPU).
+# `pytest -m smoke` = fast correctness sweep, < 2:30 on one CPU.
+# `pytest -m golden` = every numerics-parity oracle (torch-executed or
+#   pinned reference outputs) — the "is it still bit-faithful?" tier,
+#   < 10 min on one CPU. Orthogonal to smoke/slow: golden tests keep
+#   their speed marker too.
+# `pytest -m slow` (or no -m) = full suite incl. virtual-mesh
+#   parallelism, tiled VAEs, training (~20 min on one CPU).
 # ---------------------------------------------------------------------------
 
 _SLOW_MODULES = {
@@ -64,17 +68,28 @@ _SLOW_TESTS = {
 }
 
 
+_GOLDEN_NAME_PATTERNS = (
+    "golden", "matches_reference", "matches_torch", "vs_reference",
+    "vs_torch",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
         if (
             mod in _SLOW_MODULES
             or mod.endswith("_golden")
-            or item.name.split("[")[0] in _SLOW_TESTS
+            or name in _SLOW_TESTS
         ):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.smoke)
+        if mod.endswith("_golden") or any(
+            p in name for p in _GOLDEN_NAME_PATTERNS
+        ):
+            item.add_marker(pytest.mark.golden)
 
 
 @pytest.fixture(scope="session")
