@@ -59,12 +59,16 @@ def main():
     orig_rope = t3d.apply_rotary_emb
     orig_attn = t3d.attention
     orig_packed = t3d.attention_packed
+    orig_std = t3d._std_norm
+    orig_bg = t3d._broadcast_groups
 
     def run_variant(name, rope=None, attn=None, packed=None, pad_s=False,
-                    full_freqs=False, n=8, reps=2):
+                    full_freqs=False, std=None, bg=None, n=8, reps=2):
         t3d.apply_rotary_emb = rope or orig_rope
         t3d.attention = attn or orig_attn
         t3d.attention_packed = packed or orig_packed
+        t3d._std_norm = std or orig_std
+        t3d._broadcast_groups = bg or orig_bg
         if pad_s:
             # whole model at S padded to a 128-multiple: the per-layer
             # pad/unpad copies inside attention() disappear (S % 128 == 0
@@ -104,6 +108,8 @@ def main():
             t3d.apply_rotary_emb = orig_rope
             t3d.attention = orig_attn
             t3d.attention_packed = orig_packed
+            t3d._std_norm = orig_std
+            t3d._broadcast_groups = orig_bg
 
     def rope_id(x, cos, sin):
         return x
@@ -147,6 +153,47 @@ def main():
         kw["mode"] = "pallas_hp"
         return orig_packed(q, k, v, heads, **kw)
 
+    # --- r3 candidates: adaLN prologue + rope-on-heads layout -------------
+
+    def std_id(cfg_, x):
+        return x
+
+    def bg_rowvec(vals, n_tokens):
+        # [B, 1, D] broadcast instead of materialized per-token rows:
+        # timing-only ablation bounding the modulate-broadcast cost
+        return vals[:, :1]
+
+    heads_n = cfg.num_attention_heads
+
+    def packed_rope_heads(q, k, v, heads, **kw):
+        """Rotation computed on the [B, S, H, d] view with the output
+        written directly in [B, H, S, d]: hands XLA the chance to fuse
+        the RoPE pass with the head relayout (the ~57 ms/step transposes)
+        instead of running them as separate HBM round-trips. Used with
+        rope=rope_id so rope happens HERE, after the split."""
+        b, s, hdt = q.shape
+        d = hdt // heads
+        cos, sin = freqs  # half layout: [B, S, hdt // 2]
+        c4 = cos.reshape(b, s, heads, d // 2)
+        s4 = sin.reshape(b, s, heads, d // 2)
+
+        def split_rope(t):
+            tp = t.astype(jnp.float32).reshape(b, s, heads, d // 2, 2)
+            a_, b_ = tp[..., 0], tp[..., 1]
+            out = jnp.stack(
+                [a_ * c4 - b_ * s4, b_ * c4 + a_ * s4], axis=-1
+            ).reshape(b, s, heads, d)
+            return out.astype(t.dtype).transpose(0, 2, 1, 3)
+
+        def split(t):
+            return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+        o = attn_mod.attention(
+            split_rope(q), split_rope(k), split(v),
+            scale=kw.get("scale"), mode="pallas",
+        )
+        return o.transpose(0, 2, 1, 3).reshape(b, s, hdt)
+
     variants = {
         "base": {},
         "no_rope": {"rope": rope_id},
@@ -159,6 +206,11 @@ def main():
         "rope_mm": {"rope": rope_mm, "full_freqs": True},
         "rope_mm_padded": {"rope": rope_mm, "full_freqs": True,
                            "pad_s": True},
+        # r3: adaLN prologue ceiling + components, rope-on-heads fusion
+        "no_norm_mod": {"std": std_id, "bg": bg_rowvec},
+        "norm_id": {"std": std_id},
+        "mod_rowvec": {"bg": bg_rowvec},
+        "rope_heads": {"rope": rope_id, "packed": packed_rope_heads},
     }
     want = sys.argv[1:] or list(variants)
     for name in want:
