@@ -6,6 +6,8 @@ from .mesh import (
     TENSOR_AXIS,
     MeshConfig,
     make_mesh,
+    mesh_from_env,
+    parse_mesh_spec,
     replicated,
     shard,
     single_device_mesh,

@@ -75,6 +75,52 @@ def single_device_mesh() -> Mesh:
     return make_mesh(MeshConfig(dp=1, sp=1, tp=1), devices=jax.devices()[:1])
 
 
+def parse_mesh_spec(spec: str) -> Optional[MeshConfig]:
+    """``"dp2,sp2,tp2"`` / ``"sp=4,tp=2"`` -> MeshConfig (unnamed axes
+    default to 1); ``"auto"`` -> tensor-parallel over every device
+    (numerics-identical scale-out); empty/``"off"`` -> None."""
+    spec = (spec or "").strip().lower()
+    if not spec or spec in ("off", "0", "false", "none", "1x1x1"):
+        return None
+    if spec == "auto":
+        return MeshConfig(dp=1, sp=1, tp=-1)
+    dims = {}
+    for part in spec.split(","):
+        part = part.strip().replace("=", "")
+        axis, num = part[:2], part[2:]
+        if axis not in AXIS_NAMES or not (num == "-1" or num.isdigit()):
+            raise ValueError(
+                f"bad mesh spec {spec!r}: want e.g. 'dp1,sp2,tp4' or 'auto'"
+            )
+        dims[axis] = int(num)
+    return MeshConfig(**{a: dims.get(a, 1) for a in AXIS_NAMES})
+
+
+def mesh_from_env(env_var: str = "LTXV_TPU_MESH") -> Optional[Mesh]:
+    """Build the serving mesh from ``LTXV_TPU_MESH`` (e.g. ``dp1,sp2,tp4``
+    or ``auto``), or None when unset / single-device / not satisfiable on
+    the visible devices (a mis-sized spec must not take the server down —
+    it logs and serves single-device)."""
+    import logging
+    import os
+
+    try:
+        cfg = parse_mesh_spec(os.environ.get(env_var, ""))
+        if cfg is None:
+            return None
+        mesh = make_mesh(cfg)
+        if math.prod(mesh.devices.shape) <= 1:
+            return None
+        return mesh
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            "%s=%r not usable on %d visible devices (%s) — serving "
+            "single-device", env_var, os.environ.get(env_var),
+            len(jax.devices()), e,
+        )
+        return None
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -439,6 +439,24 @@ def denoise(
     b = latents.shape[0]
     assert b == 1, "guidance streams occupy the batch dim; batch=1 per call"
 
+    if sp_mesh is not None:
+        # serving robustness: USP needs tokens, heads, and timestep groups
+        # to divide over sp — shapes that don't (odd user resolutions)
+        # fall back to the single-program path instead of erroring the
+        # request; scale-out re-engages at the next conforming shape
+        sp = sp_mesh.shape[sp_axis]
+        if (n_tokens % sp or transformer_cfg.num_attention_heads % sp
+                or num_frame_groups % sp):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "USP disabled for this call: tokens=%d / heads=%d / "
+                "frame groups=%d not all divisible by sp=%d",
+                n_tokens, transformer_cfg.num_attention_heads,
+                num_frame_groups, sp,
+            )
+            sp_mesh = None
+
     # assemble per-stream text embeddings: [uncond, cond, perturbed=cond]
     if num_conds == 1:
         ctx = prompt_embeds[-1:]

@@ -33,6 +33,33 @@ from ..pipelines.ltx_pipeline import LTXPipeline
 from ..pipelines.multiscale import MultiScalePipeline
 from .orchestrator import LTXVideoGenerator
 
+def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
+    """Engage multi-chip serving when ``LTXV_TPU_MESH`` names one (e.g.
+    ``dp1,sp2,tp4`` on a v5e-8): DiT weights shard tensor-parallel over
+    'tp' (XLA SPMD inserts the ICI collectives per jitted step), and
+    sp>1 additionally runs every denoiser evaluation under the USP
+    shard_map (Ulysses all-to-all, tokens over 'sp'). Single-device /
+    unset env returns the pipeline unchanged. The reference ships the
+    capability as dead code (``wan/distributed/xdit_context_parallel.py``
+    is imported nowhere); here it is one env var at serving time."""
+    import logging
+
+    from ..core.mesh import SEQUENCE_AXIS, mesh_from_env
+    from ..parallel.sharding import shard_pipeline
+
+    mesh = mesh_from_env()
+    if mesh is None:
+        return pipeline
+    logging.getLogger(__name__).info(
+        "serving mesh engaged: %s",
+        dict(zip(mesh.axis_names, mesh.devices.shape)),
+    )
+    pipeline = shard_pipeline(pipeline, mesh)
+    if mesh.shape[SEQUENCE_AXIS] > 1:
+        pipeline = dataclasses.replace(pipeline, sp_mesh=mesh)
+    return pipeline
+
+
 def _score_bound_opt_in() -> Optional[float]:
     """Per-deployment opt-in for the bounded-score (max-free softmax)
     attention tier: env ``LTXV_TPU_SCORE_BOUND=<float>``.  Off by default —
@@ -259,6 +286,7 @@ def load_ltxv_model(
         vae_params=vae_params, vae_cfg=vcfg,
         tokenizer=tokenizer, t5_params=t5_params, t5_cfg=t5_cfg,
     )
+    pipeline = apply_serving_mesh(pipeline)
 
     multiscale = None
     # the download layer provisions "ltxv_0.9.7_spatial_upscaler" (the hub
@@ -468,6 +496,7 @@ def build_demo_model(seed: int = 0) -> LoadedModel:
         transformer_params=tf_init(k1, tcfg), transformer_cfg=tcfg,
         vae_params=ltx_vae.init_params(k2, vcfg), vae_cfg=vcfg,
     )
+    pipeline = apply_serving_mesh(pipeline)
     up_cfg = lup.LatentUpsamplerConfig(
         in_channels=8, mid_channels=32, num_blocks_per_stage=1
     )

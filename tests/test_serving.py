@@ -95,6 +95,59 @@ def server():
     srv.shutdown()
 
 
+def test_parse_mesh_spec():
+    from ltx_video_gpupoor_tpu.core.mesh import MeshConfig, parse_mesh_spec
+
+    assert parse_mesh_spec("dp2,sp2,tp2") == MeshConfig(dp=2, sp=2, tp=2)
+    assert parse_mesh_spec("sp=4,tp=2") == MeshConfig(dp=1, sp=4, tp=2)
+    assert parse_mesh_spec("auto") == MeshConfig(dp=1, sp=1, tp=-1)
+    for off in ("", "off", "none", "0"):
+        assert parse_mesh_spec(off) is None
+    with pytest.raises(ValueError):
+        parse_mesh_spec("xx4")
+
+
+def test_serving_mesh_from_env_matches_single_device(tmp_path, monkeypatch):
+    """LTXV_TPU_MESH engages multi-chip serving at model build: DiT
+    weights tp-sharded, denoise under USP (sp>1) — and the output equals
+    the single-device demo model bit-for-bit at matching seeds. A spec
+    that doesn't fit the visible devices must degrade to single-device,
+    not take the server down."""
+    import jax
+
+    from ltx_video_gpupoor_tpu.core.mesh import mesh_from_env
+
+    emb = np.zeros((2, 16, 32), np.float32)
+    kw = dict(height=64, width=64, frame_num=9, sampling_steps=2, seed=5)
+
+    base = model_zoo.build_demo_model().generator.generate(
+        emb, np.ones((2, 16), np.int32), **kw
+    )
+
+    monkeypatch.setenv("LTXV_TPU_MESH", "dp2,sp2,tp2")
+    model = model_zoo.build_demo_model()
+    pipe = model.generator.pipeline
+    assert pipe.sp_mesh is not None
+    spec = pipe.transformer_params["blocks"]["attn1"]["to_q"]["kernel"]
+    assert spec.sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    out = model.generator.generate(emb, np.ones((2, 16), np.int32), **kw)
+    np.testing.assert_allclose(out, base, atol=2e-2, rtol=2e-2)
+
+    # a shape whose frame groups don't divide sp falls back to the
+    # single-program path for that call instead of erroring the request
+    # (17 frames -> 3 latent frame groups, sp=2)
+    out17 = model.generator.generate(
+        emb, np.ones((2, 16), np.int32),
+        height=64, width=64, frame_num=17, sampling_steps=2, seed=5,
+    )
+    assert out17.shape[0] == 17
+
+    # a mis-sized spec logs and serves single-device
+    monkeypatch.setenv("LTXV_TPU_MESH", "dp64,sp2,tp2")
+    assert mesh_from_env() is None
+    assert model_zoo.build_demo_model().generator.pipeline.sp_mesh is None
+
+
 def test_provision_required_files_cover_cold_start():
     """provision()'s file list must include everything load_ltxv_model +
     encode_prompt need: the dev int8 base for the LoRA-distilled mode,
