@@ -61,6 +61,7 @@ _SLOW_MODULES = {
 }
 _SLOW_TESTS = {
     "test_vace_encoders",
+    "test_dryrun_body_runs_on_virtual_mesh",
     # full demo-model generations (~80 s compile on one CPU)
     "test_warmup_runs_generation_for_bucket",
     "test_warmup_survives_bad_bucket",

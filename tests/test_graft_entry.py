@@ -1,0 +1,41 @@
+"""Driver-contract regression tests (__graft_entry__.py).
+
+Round 2's only red gate was this file: the dryrun outgrew the driver
+budget and nothing in the suite noticed. Pin both contract functions —
+``entry()`` must return a jittable (fn, args) fast even with a dead
+relay, and ``_dryrun_multichip_body(8)`` must compile + run its SPMD
+programs on the 8-virtual-device CPU mesh the conftest provides.
+"""
+
+import sys
+import time
+
+import jax
+import pytest
+
+
+def _entry_mod():
+    import __graft_entry__ as g
+
+    return g
+
+
+def test_entry_returns_jittable(monkeypatch):
+    # zero wait budget: a single probe (fast on the CPU test backend),
+    # then straight to building the flagship step
+    monkeypatch.setenv("GRAFT_ENTRY_WAIT_S", "0")
+    g = _entry_mod()
+    t0 = time.time()
+    fn, args = g.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (1, 256, 128)
+    assert time.time() - t0 < 120, "entry() too slow for the driver budget"
+
+
+def test_dryrun_body_runs_on_virtual_mesh():
+    g = _entry_mod()
+    t0 = time.time()
+    g._dryrun_multichip_body(8)
+    # the driver gate must stay FAR inside its ~5 min budget even on a
+    # loaded host; this single-suite run should be well under 3 min
+    assert time.time() - t0 < 180, "dryrun body outgrew the driver budget"
