@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 perf session: run the moment the relay chip answers.
+# Priority order — driver-visible artifacts first, experiments after —
+# so a relay flap mid-session still leaves the round's evidence.
+# Usage: bash tools/r3_perf_session.sh [logdir]
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/r3_perf}
+mkdir -p "$LOG"
+
+run() {
+  name=$1; shift
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
+  timeout 2400 env "$@" 2>&1 | tee "$LOG/$name.log" | tail -5
+  echo "=== $name done rc=$? ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
+}
+
+# 1. fresh on-hardware kernel parity record (decoupled gate)
+run parity BENCH_WAIT_TPU_S=120 python tools/kernel_parity_probe.py
+
+# 2. honest headline (updates BENCH_LAST_GOOD.json for the driver)
+run bench_honest BENCH_WAIT_TPU_S=120 python bench.py
+
+# 3. int8pv end-to-end (replaces the 'projected' DESIGN row)
+run bench_int8pv BENCH_WAIT_TPU_S=120 BENCH_ATTN=pallas_int8pv python bench.py
+
+# 4. marginal ablations: prologue ceiling + rope-on-heads + int8pv
+run marginal python tools/mb_marginal.py base no_norm_mod norm_id \
+  mod_rowvec rope_heads int8pv_self
+
+# 5. Wan TeaCache honest re-run (true 30-step schedule)
+run wan_teacache BENCH_WAIT_TPU_S=120 BENCH_TEACACHE=1.75 \
+  BENCH_ATTN=pallas_int8pv python bench_wan.py
+
+# 6. fused-int8 block sweep at serving shapes
+run ffn_sweep python tools/mb_ffn_sweep.py
+
+# 7. 13B distilled-serving row refresh
+run bench_13b BENCH_WAIT_TPU_S=120 BENCH_13B=1 BENCH_ATTN=pallas_int8pv \
+  python bench.py
+
+echo "session complete; logs in $LOG"
