@@ -16,7 +16,7 @@ run() {
 }
 
 # 1. fresh on-hardware kernel parity record (decoupled gate)
-run parity BENCH_WAIT_TPU_S=120 python tools/kernel_parity_probe.py
+run parity -- python tools/kernel_parity_probe.py --wait 120
 
 # 2. honest headline (updates BENCH_LAST_GOOD.json for the driver)
 run bench_honest BENCH_WAIT_TPU_S=120 python bench.py
