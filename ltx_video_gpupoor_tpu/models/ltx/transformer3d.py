@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.dtypes import DtypePolicy, DEFAULT_POLICY
+from ...ops import fused_prologue as _fp
 from ...ops.attention import attention, attention_packed, parse_sp
 from ...ops.norms import layer_norm, rms_norm
 from ...ops.rope import apply_rotary_emb, ltx_freqs_cis
@@ -267,15 +268,44 @@ def _block_forward(
         _broadcast_groups(ada_v[:, :, i], s).astype(x.dtype) for i in range(6)
     ]
 
+    # Fused adaLN prologue tier (opt-in, measured): rms-norm + modulate +
+    # act-quant + the int8 qkv / fc1 matmuls in ONE Pallas launch — h is
+    # never materialized to HBM. AttentionSkip needs h explicitly, so
+    # that (rare, perturbed-stream) combination stays on the XLA chain.
+    fused_mode = _fp.enabled_mode()
+    use_fused = (
+        fused_mode is not None
+        and cfg.standardization_norm == "rms_norm"
+        and not (skip_mask is not None
+                 and skip_strategy == SkipLayerStrategy.AttentionSkip)
+        and _fp.supports(
+            [p["attn1"]["to_q"], p["attn1"]["to_k"], p["attn1"]["to_v"]],
+            s, ada.shape[1],
+        )
+        and (fused_mode == "interpret"
+             or jax.default_backend() == "tpu")
+    )
+
     original_x = x
 
     # --- self attention -----------------------------------------------------
-    h = _std_norm(cfg, x)
-    h = h * (1 + scale_msa) + shift_msa
+    if use_fused:
+        qkv = _fp.apply_fused(
+            x, ada_v[:, :, 1], ada_v[:, :, 0],
+            [p["attn1"]["to_q"], p["attn1"]["to_k"], p["attn1"]["to_v"]],
+            eps=cfg.norm_eps, interpret=fused_mode == "interpret",
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _qk_norm(p["attn1"], "q_norm", q)
+        k = _qk_norm(p["attn1"], "k_norm", k)
+        h = None
+    else:
+        h = _std_norm(cfg, x)
+        h = h * (1 + scale_msa) + shift_msa
 
-    q = _qk_norm(p["attn1"], "q_norm", _apply_linear(p["attn1"]["to_q"], h))
-    k = _qk_norm(p["attn1"], "k_norm", _apply_linear(p["attn1"]["to_k"], h))
-    v = _apply_linear(p["attn1"]["to_v"], h)
+        q = _qk_norm(p["attn1"], "q_norm", _apply_linear(p["attn1"]["to_q"], h))
+        k = _qk_norm(p["attn1"], "k_norm", _apply_linear(p["attn1"]["to_k"], h))
+        v = _apply_linear(p["attn1"]["to_v"], h)
     cos, sin = freqs
     q = apply_rotary_emb(q, cos, sin)
     k = apply_rotary_emb(k, cos, sin)
@@ -343,9 +373,25 @@ def _block_forward(
     x = x + _apply_linear(p["attn2"]["to_out"], ca)
 
     # --- feed-forward -------------------------------------------------------
-    h = _std_norm(cfg, x)
-    h = h * (1 + scale_mlp) + shift_mlp
-    x = x + gate_mlp * _ffn(cfg, p["ff"], h)
+    if (use_fused and cfg.ffn_chunks <= 1
+            and cfg.activation_fn in ("geglu", "gelu-approximate", "gelu")
+            and _fp.supports([p["ff"]["proj_in"]], s, ada.shape[1])):
+        hp = _fp.apply_fused(
+            x, ada_v[:, :, 4], ada_v[:, :, 3], [p["ff"]["proj_in"]],
+            eps=cfg.norm_eps, interpret=fused_mode == "interpret",
+        )
+        if cfg.activation_fn == "geglu":
+            hp, gate = jnp.split(hp, 2, axis=-1)
+            hp = hp * jax.nn.gelu(gate, approximate=False)
+        elif cfg.activation_fn == "gelu-approximate":
+            hp = jax.nn.gelu(hp, approximate=True)
+        else:
+            hp = jax.nn.gelu(hp, approximate=False)
+        x = x + gate_mlp * _apply_linear(p["ff"]["proj_out"], hp)
+    else:
+        h = _std_norm(cfg, x)
+        h = h * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * _ffn(cfg, p["ff"], h)
 
     if skip_mask is not None and skip_strategy == SkipLayerStrategy.TransformerBlock:
         m = skip_mask.astype(x.dtype)[:, None, None]

@@ -63,12 +63,19 @@ def main():
     orig_bg = t3d._broadcast_groups
 
     def run_variant(name, rope=None, attn=None, packed=None, pad_s=False,
-                    full_freqs=False, std=None, bg=None, n=8, reps=2):
+                    full_freqs=False, std=None, bg=None, env=None,
+                    n=8, reps=2):
+        import os
+
         t3d.apply_rotary_emb = rope or orig_rope
         t3d.attention = attn or orig_attn
         t3d.attention_packed = packed or orig_packed
         t3d._std_norm = std or orig_std
         t3d._broadcast_groups = bg or orig_bg
+        saved_env = {}
+        for kk, vv in (env or {}).items():
+            saved_env[kk] = os.environ.get(kk)
+            os.environ[kk] = vv
         if pad_s:
             # whole model at S padded to a 128-multiple: the per-layer
             # pad/unpad copies inside attention() disappear (S % 128 == 0
@@ -110,6 +117,13 @@ def main():
             t3d.attention_packed = orig_packed
             t3d._std_norm = orig_std
             t3d._broadcast_groups = orig_bg
+            import os
+
+            for kk, vv in saved_env.items():
+                if vv is None:
+                    os.environ.pop(kk, None)
+                else:
+                    os.environ[kk] = vv
 
     def rope_id(x, cos, sin):
         return x
@@ -211,6 +225,7 @@ def main():
         "norm_id": {"std": std_id},
         "mod_rowvec": {"bg": bg_rowvec},
         "rope_heads": {"rope": rope_id, "packed": packed_rope_heads},
+        "fused_prologue": {"env": {"LTXV_TPU_FUSED_PROLOGUE": "1"}},
     }
     want = sys.argv[1:] or list(variants)
     for name in want:

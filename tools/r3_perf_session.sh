@@ -24,9 +24,9 @@ run bench_honest BENCH_WAIT_TPU_S=120 python bench.py
 # 3. int8pv end-to-end (replaces the 'projected' DESIGN row)
 run bench_int8pv BENCH_WAIT_TPU_S=120 BENCH_ATTN=pallas_int8pv python bench.py
 
-# 4. marginal ablations: prologue ceiling + rope-on-heads + int8pv
+# 4. marginal ablations: prologue ceiling + fused tier + rope-on-heads
 run marginal python tools/mb_marginal.py base no_norm_mod norm_id \
-  mod_rowvec rope_heads int8pv_self
+  mod_rowvec rope_heads int8pv_self fused_prologue
 
 # 5. Wan TeaCache honest re-run (true 30-step schedule)
 run wan_teacache BENCH_WAIT_TPU_S=120 BENCH_TEACACHE=1.75 \
