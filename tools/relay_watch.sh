@@ -1,0 +1,19 @@
+#!/bin/bash
+# Wait for the relay chip to answer, then run the r3 perf session.
+# Probes with a 20s killable subprocess every 60s (a relay that can't
+# answer a tiny matmul in 20s is down). Logs to /tmp/relay_watch.log.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/relay_watch.log
+PROBE='import jax, jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))'
+echo "watch start $(date -u +%H:%M:%S)" >> "$LOG"
+while true; do
+  if timeout 20 python -c "$PROBE" >/dev/null 2>&1; then
+    echo "relay UP $(date -u +%H:%M:%S)" >> "$LOG"
+    bash tools/r3_perf_session.sh /tmp/r3_perf >> "$LOG" 2>&1
+    echo "perf session finished $(date -u +%H:%M:%S)" >> "$LOG"
+    exit 0
+  fi
+  echo "relay down $(date -u +%H:%M:%S)" >> "$LOG"
+  sleep 60
+done
