@@ -194,11 +194,9 @@ def timestep_embedding(
 
 def _rope_heads_on() -> bool:
     """Opt-in rope-on-heads output layout (``LTXV_TPU_ROPE_HEADS=1``)."""
-    import os
+    from ...ops.rope import rope_heads_enabled
 
-    return os.environ.get(
-        "LTXV_TPU_ROPE_HEADS", ""
-    ).strip().lower() in ("1", "true", "on")
+    return rope_heads_enabled()
 
 
 def _std_norm(cfg: LTXTransformerConfig, x):

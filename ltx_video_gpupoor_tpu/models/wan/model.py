@@ -36,7 +36,12 @@ from einops import rearrange
 
 from ...ops.attention import attention, parse_sp
 from ...ops.norms import layer_norm, rms_norm
-from ...ops.rope import apply_rotary_emb
+from ...ops.rope import (
+    apply_rotary_emb,
+    apply_rotary_emb_shared_heads,
+    full_to_half,
+    rope_heads_enabled,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,14 +286,26 @@ def _self_attention(p, cfg, x, freqs, attn_mode):
     q = q.reshape(b, s, n, hd)
     k = k.reshape(b, s, n, hd)
     v = v.reshape(b, s, n, hd)
-    cos, sin = freqs  # [L, hd] fp32
-    q = apply_rotary_emb(q, cos[None, :, None, :], sin[None, :, None, :])
-    k = apply_rotary_emb(k, cos[None, :, None, :], sin[None, :, None, :])
+    cos, sin = freqs  # [L, hd] fp32 — or [L, hd/2] half layout (rope-heads)
+    if cos.shape[-1] * 2 == hd:
+        # opt-in rope-on-heads (LTXV_TPU_ROPE_HEADS=1, tables converted
+        # to half layout once in forward()): the rotation writes q/k
+        # directly in [B, N, S, hd], fusing the head relayout into the
+        # RoPE pass instead of paying it as a separate HBM round-trip
+        qh = apply_rotary_emb_shared_heads(
+            q, cos[None, :, None, :], sin[None, :, None, :]
+        )
+        kh = apply_rotary_emb_shared_heads(
+            k, cos[None, :, None, :], sin[None, :, None, :]
+        )
+    else:
+        q = apply_rotary_emb(q, cos[None, :, None, :], sin[None, :, None, :])
+        k = apply_rotary_emb(k, cos[None, :, None, :], sin[None, :, None, :])
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
     # qk-normed logits stay within the configured bound (see config)
     sb = cfg.attention_score_bound if cfg.qk_norm else None
     base_mode, sp_axis = parse_sp(attn_mode)
-    qh = q.transpose(0, 2, 1, 3)
-    kh = k.transpose(0, 2, 1, 3)
     vh = v.transpose(0, 2, 1, 3)
     if sp_axis is not None:
         # USP: tokens are sequence-sharded over `sp_axis` (caller runs
@@ -461,6 +478,12 @@ def forward(
     """
     tokens, grid = patch_embed(params["patch_embedding"], cfg, x)
     b, l, d = tokens.shape
+
+    if rope_heads_enabled() and freqs[0].shape[-1] == cfg.head_dim:
+        # one conversion per forward, outside the block scan; the blocks
+        # detect the half-width tables and take the fused rope-on-heads
+        # path (see _self_attention)
+        freqs = (full_to_half(freqs[0]), full_to_half(freqs[1]))
 
     e, e0 = time_modulation(params, cfg, t)  # [B,G,D], [B,G,6,D]
 

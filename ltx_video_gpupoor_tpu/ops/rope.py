@@ -91,6 +91,47 @@ def apply_rotary_emb_heads(
     return out.astype(x.dtype).transpose(0, 2, 1, 3)
 
 
+def rope_heads_enabled() -> bool:
+    """Opt-in rope-on-heads output layout (``LTXV_TPU_ROPE_HEADS=1``):
+    the rotation writes its result directly in head-major ``[B, H, S, d]``,
+    fusing the head relayout into the RoPE pass instead of paying the
+    rotation and the ``[B,S,..]->[B,H,S,..]`` transpose as separate HBM
+    round-trips. One knob for both model families (LTX packed tables,
+    Wan shared-per-head tables)."""
+    import os
+
+    return os.environ.get(
+        "LTXV_TPU_ROPE_HEADS", ""
+    ).strip().lower() in ("1", "true", "on")
+
+
+def full_to_half(tab: jax.Array) -> jax.Array:
+    """Pair-duplicated RoPE table ``[..., d]`` -> half layout ``[..., d/2]``
+    (one entry per rotation pair; entries within a pair are equal)."""
+    return tab.reshape(*tab.shape[:-1], -1, 2)[..., 0]
+
+
+def apply_rotary_emb_shared_heads(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """Interleaved-pair RoPE for per-head tensors with ONE table shared
+    across heads (the Wan layout): ``x`` is ``[B, S, N, d]``, ``cos/sin``
+    HALF layout broadcastable to ``[B, S, N, d/2]`` (e.g.
+    ``[1, S, 1, d/2]``). The output is written head-major ``[B, N, S, d]``
+    — the separate post-rope transpose becomes the rotation's output
+    write. Numerically identical to ``apply_rotary_emb`` (full tables)
+    + transpose: same products, same adds, different layout."""
+    b, s, n, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, n, d // 2, 2)
+    a, b2 = xf[..., 0], xf[..., 1]
+    c = cos[..., None, :] if cos.ndim != 4 else cos
+    sn = sin[..., None, :] if sin.ndim != 4 else sin
+    out = jnp.stack(
+        [a * c - b2 * sn, b2 * c + a * sn], axis=-1
+    ).reshape(b, s, n, d)
+    return out.astype(x.dtype).transpose(0, 2, 1, 3)
+
+
 # ---------------------------------------------------------------------------
 # LTX fractional-coordinate RoPE
 # ---------------------------------------------------------------------------

@@ -92,6 +92,36 @@ def test_rope_heads_layout_exact(monkeypatch):
     )
 
 
+def test_wan_rope_heads_layout_exact(monkeypatch):
+    """Same gate for the Wan family: forward() converts the shared
+    [L, hd] tables to half layout once and the blocks write rope output
+    head-major; numerics must match the packed-rope path."""
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.ops.rope import wan_rope_freqs
+
+    cfg = wan_model.WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=8, in_dim=4,
+        dim=64, ffn_dim=128, freq_dim=32, text_dim=16, out_dim=4,
+        num_heads=2, num_layers=2,
+    )
+    params = wan_model.init_params(jax.random.key(0), cfg)
+    b, f, h, w = 2, 4, 4, 4
+    x = jax.random.normal(jax.random.key(1), (b, f, h, w, cfg.in_dim))
+    ctx = jax.random.normal(jax.random.key(2), (b, 8, cfg.text_dim))
+    cmask = jnp.ones((b, 8), jnp.int32)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    freqs = wan_rope_freqs((f, h // 2, w // 2), cfg.head_dim)
+
+    base, _ = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs,
+                                attn_mode="xla")
+    monkeypatch.setenv("LTXV_TPU_ROPE_HEADS", "1")
+    out, _ = wan_model.forward(params, cfg, x, t, ctx, cmask, freqs,
+                               attn_mode="xla")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_model_forward_matches_unfused(monkeypatch):
     """Whole-block parity: LTXTransformer forward with the fused tier
     (interpret) equals the unfused int8-dynamic forward."""

@@ -59,3 +59,12 @@ bench("bf16 + exact", params_bf16, "pallas")
 bench("bf16 + int8pv", params_bf16, "pallas_int8pv")
 bench("int8dyn + exact", params_int8, "pallas")
 bench("int8dyn + int8pv", params_int8, "pallas_int8pv")
+
+# rope-on-heads layout (env read at trace time; each bench() builds a
+# fresh jit, so flipping between rows is safe)
+import os
+
+os.environ["LTXV_TPU_ROPE_HEADS"] = "1"
+bench("bf16 + int8pv + ropeheads", params_bf16, "pallas_int8pv")
+bench("int8dyn + int8pv + ropeheads", params_int8, "pallas_int8pv")
+del os.environ["LTXV_TPU_ROPE_HEADS"]

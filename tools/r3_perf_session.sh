@@ -32,10 +32,13 @@ run marginal python tools/mb_marginal.py base no_norm_mod norm_id \
 run wan_teacache BENCH_WAIT_TPU_S=120 BENCH_TEACACHE=1.75 \
   BENCH_ATTN=pallas_int8pv python bench_wan.py
 
-# 6. fused-int8 block sweep at serving shapes
+# 6. Wan tier A/B (incl. rope-on-heads rows)
+run wan_tiers python tools/mb_wan_tiers.py
+
+# 7. fused-int8 block sweep at serving shapes
 run ffn_sweep python tools/mb_ffn_sweep.py
 
-# 7. 13B distilled-serving row refresh
+# 8. 13B distilled-serving row refresh
 run bench_13b BENCH_WAIT_TPU_S=120 BENCH_13B=1 BENCH_ATTN=pallas_int8pv \
   python bench.py
 
