@@ -106,8 +106,6 @@ def _emit_unavailable(history: list) -> "int":
     ``stale: true`` as the final (driver-parsed) line, so an outage
     degrades the evidence to 'stale' instead of zeroing it (round-2
     failure mode). Returns the exit code."""
-    print(json.dumps({"probe_history": history,
-                      "error": "device backend unavailable"}))
     last = None
     try:
         with open(LAST_GOOD_PATH) as fh:
@@ -115,10 +113,13 @@ def _emit_unavailable(history: list) -> "int":
     except Exception:
         pass
     if last and isinstance(last.get("result"), dict):
+        # ONE JSON line (the driver contract): fold the probe history into
+        # the stale row instead of printing it as a separate object
         row = dict(last["result"])
         row["stale"] = True
         row["measured_at"] = last.get("measured_at")
         row["error"] = "device backend unavailable; last-known-good shown"
+        row["probe_history"] = history
         print(json.dumps(row))
         return 0
     print(json.dumps({
@@ -126,6 +127,7 @@ def _emit_unavailable(history: list) -> "int":
         "value": None, "unit": "s", "vs_baseline": None,
         "error": "device backend unavailable after wait budget; "
                  "no last-known-good row",
+        "probe_history": history,
     }))
     return 1
 # 2 cfg streams for the 2B dev-mode config; the 13B serving mode is the
