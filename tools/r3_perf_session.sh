@@ -8,8 +8,25 @@ cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/r3_perf}
 mkdir -p "$LOG"
 
+probe_relay() {
+  # 20s killable probe; waits up to 10 min for a flapping relay to return
+  for _ in $(seq 1 12); do
+    if timeout 20 python -c 'import jax, jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))' >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "relay down, waiting ($(date -u +%H:%M:%S))" | tee -a "$LOG/session.log"
+    sleep 30
+  done
+  return 1
+}
+
 run() {
   name=$1; shift
+  if ! probe_relay; then
+    echo "=== $name SKIPPED: relay down ($(date -u +%H:%M:%S)) ===" \
+      | tee -a "$LOG/session.log"
+    return
+  fi
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
   timeout 2400 env "$@" 2>&1 | tee "$LOG/$name.log" | tail -5
   echo "=== $name done rc=$? ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
