@@ -320,6 +320,149 @@ def tiled_decode(
     return jnp.concatenate(result, axis=1)
 
 
+def _parallel_spatial_decode(
+    mesh, params, cfg, z, tile_in, tile_out, overlap_factor,
+    timestep, noise_key,
+):
+    """One temporal slab's spatial tile grid decoded in PARALLEL over
+    every device of ``mesh`` (flat shard_map over the stacked tile
+    axis), then blended exactly like :func:`tiled_spatial`.
+
+    Tail tiles are made uniform by edge-replicate padding the latent
+    (the sequential path's ragged tails see conv truncation instead;
+    both are artificial context, and outputs agree with the untiled
+    decode to the same seam tolerance). Each device runs its share of
+    tiles sequentially (``lax.map``) so per-device peak memory stays at
+    one tile's intermediates."""
+    from jax.sharding import PartitionSpec as P
+
+    overlap_in = int(tile_in * (1 - overlap_factor))
+    blend_extent = int(tile_out * overlap_factor)
+    limit = tile_out - blend_extent
+    b, f, h, w, c = z.shape
+    starts_h = list(range(0, h, overlap_in))
+    starts_w = list(range(0, w, overlap_in))
+    pad_h = max(0, starts_h[-1] + tile_in - h)
+    pad_w = max(0, starts_w[-1] + tile_in - w)
+    zp = jnp.pad(
+        z, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge"
+    )
+    tiles = jnp.stack(
+        [zp[:, :, i: i + tile_in, j: j + tile_in]
+         for i in starts_h for j in starts_w]
+    )  # [T, B, F, tile_in, tile_in, C]
+    n_tiles = tiles.shape[0]
+    ndev = mesh.devices.size
+    pad_t = (-n_tiles) % ndev
+    if pad_t:
+        tiles = jnp.concatenate([tiles] + [tiles[-1:]] * pad_t)
+
+    has_t = timestep is not None
+    has_k = noise_key is not None
+    t_arg = timestep if has_t else jnp.zeros((), jnp.float32)
+    k_arg = noise_key if has_k else jax.random.key(0)
+
+    def local(params, tiles, t_arg, k_arg):
+        def one(tile):
+            return ltx_vae.decode(
+                params, cfg, tile,
+                t_arg if has_t else None,
+                k_arg if has_k else None,
+            )
+
+        return jax.lax.map(one, tiles)
+
+    tile_spec = P(mesh.axis_names)  # flat: every mesh axis takes tiles
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), tile_spec, P(), P()),
+        out_specs=tile_spec,
+    )(params, tiles, t_arg, k_arg)[:n_tiles]
+
+    nw = len(starts_w)
+    grid = [[out[r * nw + cix] for cix in range(nw)]
+            for r in range(len(starts_h))]
+    result_rows = []
+    for i, row in enumerate(grid):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend(grid[i - 1][j], tile, blend_extent, 2)
+            if j > 0:
+                tile = blend(row[j - 1], tile, blend_extent, 3)
+            row[j] = tile
+            result_row.append(tile[:, :, :limit, :limit])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    full = jnp.concatenate(result_rows, axis=2)
+    sf = cfg.spatial_downscale_factor
+    return full[:, :, : h * sf, : w * sf]
+
+
+def parallel_tiled_decode(
+    mesh,
+    params: dict,
+    cfg: ltx_vae.VAEConfig,
+    latents: jax.Array,          # [B, F', H', W', z]
+    z_tile: int = 4,
+    hw_tile: int = 0,
+    overlap_factor: float = 0.25,
+    timestep: Optional[jax.Array] = None,
+    noise_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Tiled decode with the spatial tile grid fanned out over every
+    device of the serving mesh — the multi-chip counterpart of
+    :func:`tiled_decode` (which the reference runs on one GPU,
+    ``vae.py:357-413``). Temporal tiles stay sequential (one-frame
+    causal overlap + memory bound); each one's spatial grid is decoded
+    by all devices at once. Falls back to the sequential path when no
+    mesh / one device / spatial tiling not engaged."""
+    sf = cfg.spatial_downscale_factor
+    tile_lat = hw_tile // sf if hw_tile else 0
+    b, t, h, w, c = latents.shape
+    spatial = bool(tile_lat) and (h > tile_lat or w > tile_lat)
+    if mesh is None or mesh.devices.size == 1 or not spatial:
+        return tiled_decode(params, cfg, latents, z_tile, hw_tile,
+                            overlap_factor, timestep, noise_key)
+
+    def decode_hw(zz):
+        return _parallel_spatial_decode(
+            mesh, params, cfg, zz, tile_lat, hw_tile, overlap_factor,
+            timestep, noise_key,
+        )
+
+    use_z = z_tile > 1 and t > z_tile + 1
+    if not use_z:
+        return decode_hw(latents)
+
+    tf = cfg.temporal_downscale_factor
+    tile_sample_t = z_tile * tf
+    overlap = int(z_tile * (1 - overlap_factor))
+    blend_extent = int(tile_sample_t * overlap_factor)
+    t_limit = tile_sample_t - blend_extent
+
+    row = []
+    prev = None
+    for i in range(0, t, overlap):
+        tile = latents[:, i: i + z_tile + 1]
+        if prev is not None:
+            # sequence temporal slabs (see tiled_spatial) so peak memory
+            # stays at one slab's grid
+            tile = tile + (jnp.nan_to_num(prev[(0,) * prev.ndim]) * 0).astype(tile.dtype)
+        prev = decode_hw(tile)
+        dec = prev
+        if i > 0:
+            dec = dec[:, 1:]
+        row.append(dec)
+    result = []
+    for i, tile in enumerate(row):
+        if i > 0:
+            tile = blend(row[i - 1], tile, blend_extent, 1)
+            result.append(tile[:, :t_limit])
+        else:
+            result.append(tile[:, : t_limit + 1])
+    return jnp.concatenate(result, axis=1)
+
+
 # Fused whole-call jits: the host tile loops unroll at TRACE time, so the
 # entire tiled encode/decode — every per-tile model call, slice, and
 # blend — compiles into ONE XLA program. Through a remote-device relay

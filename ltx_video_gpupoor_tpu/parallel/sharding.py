@@ -83,6 +83,10 @@ def shard_pipeline(pipeline, mesh: Mesh):
     extra = {}
     if getattr(pipeline, "t5_params", None) is not None:
         extra["t5_params"] = repl(pipeline.t5_params)
+    if hasattr(pipeline, "mesh"):
+        # full mesh (also when sp == 1): tiled VAE decodes fan their
+        # spatial tile grid over every device (pipelines/ltx_pipeline.py)
+        extra["mesh"] = mesh
     return dataclasses.replace(
         pipeline,
         transformer_params=shard_params(mesh, pipeline.transformer_params),

@@ -108,7 +108,8 @@ _jit_vae_decode = jax.jit(vae_decode, static_argnums=(1, 5))
 
 def _decode_full(vae_params: dict, vae_cfg, latent_grid: jax.Array,
                  decode_timestep: jax.Array, decode_noise_scale: jax.Array,
-                 key: jax.Array, z_tile: int, hw_tile: int) -> jax.Array:
+                 key: jax.Array, z_tile: int, hw_tile: int,
+                 mesh=None) -> jax.Array:
     """Full decode path as one traceable program: latent un-normalize,
     decode-timestep noising (``pipeline_ltx_video.py:1269-1298``), then
     the (tiled) causal VAE decode. Tiling loops unroll at trace time, so
@@ -130,6 +131,15 @@ def _decode_full(vae_params: dict, vae_cfg, latent_grid: jax.Array,
         z = z * (1 - s) + noise * s
         t = decode_timestep
     if z_tile or hw_tile:
+        if mesh is not None:
+            # multi-chip serving: the spatial tile grid fans out over
+            # every mesh device instead of running sequentially on one
+            from ..models.ltx.vae_tiling import parallel_tiled_decode
+
+            return parallel_tiled_decode(
+                mesh, vae_params, vae_cfg, z, z_tile=z_tile,
+                hw_tile=hw_tile, timestep=t, noise_key=kd,
+            )
         from ..models.ltx.vae_tiling import tiled_decode
 
         return tiled_decode(
@@ -140,7 +150,8 @@ def _decode_full(vae_params: dict, vae_cfg, latent_grid: jax.Array,
 
 
 _jit_decode_full = jax.jit(
-    _decode_full, static_argnums=(1,), static_argnames=("z_tile", "hw_tile")
+    _decode_full, static_argnums=(1,),
+    static_argnames=("z_tile", "hw_tile", "mesh"),
 )
 
 
@@ -663,6 +674,9 @@ class LTXPipeline:
     # usp_ltx_forward under one shard_map over `sp_axis`
     sp_mesh: object = None
     sp_axis: str = "sp"
+    # the FULL serving mesh (dp*sp*tp — also set when sp == 1): tiled
+    # VAE decodes fan their spatial tile grid over every device
+    mesh: object = None
     # (z_tile latent frames, hw_tile pixels) for the VAE decode; None =
     # size-based auto: untiled below the measured 16 GiB-HBM envelope
     # (704x480x121f decodes untiled in 0.49 s), tiled above it — the
@@ -898,4 +912,5 @@ class LTXPipeline:
             jnp.asarray(decode_timestep, jnp.float32),
             jnp.asarray(decode_noise_scale, jnp.float32),
             key, z_tile=z_tile, hw_tile=hw_tile,
+            mesh=self.mesh if hw_tile else None,
         )

@@ -82,6 +82,62 @@ def test_z_tiled_decode_shapes(params):
     assert np.isfinite(np.asarray(tiled)).all()
 
 
+def test_parallel_tiled_decode_matches_sequential(params):
+    """parallel_tiled_decode (tile grid fanned over the 8-device mesh)
+    agrees with the sequential tiled decode everywhere except the
+    edge-replicate-padded tail tiles, and with the untiled decode to the
+    usual seam tolerance."""
+    from ltx_video_gpupoor_tpu.core import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    z = jax.random.normal(jax.random.key(1), (1, 2, 16, 16, 4)) * 0.5
+    seq = vae_tiling.tiled_decode(params, CFG, z, z_tile=0, hw_tile=32)
+    par = vae_tiling.parallel_tiled_decode(
+        mesh, params, CFG, z, z_tile=0, hw_tile=32
+    )
+    assert par.shape == seq.shape
+    # interior tiles are bit-comparable (same decode, same blend); only
+    # the padded tails differ (replicate padding vs ragged truncation)
+    np.testing.assert_allclose(
+        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        atol=1e-4, rtol=1e-4,
+    )
+    full = ltx_vae.decode(params, CFG, z)
+    diff = np.abs(np.asarray(par) - np.asarray(full))
+    # slightly looser than the sequential bar (0.1): the padded tails
+    # see replicate context instead of ragged truncation, and random
+    # weights exaggerate the seams
+    assert np.median(diff) < 0.15, np.median(diff)
+    assert np.isfinite(np.asarray(par)).all()
+
+
+def test_parallel_tiled_decode_z_and_spatial(params):
+    """Temporal tiles sequential, each slab's spatial grid parallel."""
+    from ltx_video_gpupoor_tpu.core import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1, sp=8, tp=1))
+    z = jax.random.normal(jax.random.key(5), (1, 9, 16, 16, 4)) * 0.5
+    seq = vae_tiling.tiled_decode(params, CFG, z, z_tile=4, hw_tile=32)
+    par = vae_tiling.parallel_tiled_decode(
+        mesh, params, CFG, z, z_tile=4, hw_tile=32
+    )
+    assert par.shape == seq.shape
+    np.testing.assert_allclose(
+        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_parallel_tiled_decode_falls_back(params):
+    """No mesh / tiling not engaged -> identical to tiled_decode."""
+    z = jax.random.normal(jax.random.key(6), (1, 2, 8, 8, 4))
+    seq = vae_tiling.tiled_decode(params, CFG, z, z_tile=0, hw_tile=64)
+    par = vae_tiling.parallel_tiled_decode(
+        None, params, CFG, z, z_tile=0, hw_tile=64
+    )
+    np.testing.assert_allclose(np.asarray(par), np.asarray(seq))
+
+
 def test_wide_frame_triggers_spatial_tiling(params):
     """A frame wide in W but short in H must still tile (the trigger
     previously checked only the H axis) and match the untiled decode."""
