@@ -121,6 +121,13 @@ class WanPipeline:
 
     def _vae_decode(self, latents):
         if self.vae_tile_size:
+            if self.sp_mesh is not None and self.sp_mesh.devices.size > 1:
+                # multi-chip: tile grid fans out over every mesh device
+                # (one fused compile, amortized by the persistent cache)
+                return wan_vae.parallel_spatial_tiled_decode_fused(
+                    self.sp_mesh, self.vae_params, self.vae_cfg, latents,
+                    tile_size=self.vae_tile_size,
+                )
             # host tile loop, NOT the fused jit: the Wan decode is
             # compute-bound (measured 8.04 s eager vs 7.96 s fused at
             # 832x480x81f) and the fused graph costs a 264 s cold

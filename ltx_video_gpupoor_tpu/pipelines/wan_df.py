@@ -286,6 +286,12 @@ class WanDFPipeline:
         if output_type == "latent":
             return latents
         if self.vae_tile_size:
+            if self.sp_mesh is not None and self.sp_mesh.devices.size > 1:
+                # multi-chip: tile grid fans out over every mesh device
+                return wan_vae.parallel_spatial_tiled_decode_fused(
+                    self.sp_mesh, self.vae_params, self.vae_cfg, latents,
+                    tile_size=self.vae_tile_size,
+                )
             return wan_vae.spatial_tiled_decode(
                 self.vae_params, self.vae_cfg, latents,
                 tile_size=self.vae_tile_size,

@@ -152,6 +152,37 @@ def test_spatial_tiled_decode_matches_reference(pair8):
     np.testing.assert_allclose(mine, ref_out, atol=2e-4, rtol=2e-4)
 
 
+def test_parallel_spatial_tiled_decode_matches_sequential(pair8):
+    """Tile grid fanned over the 8-device mesh: interior tiles match the
+    sequential path (same decode, same blend); only padded tails differ."""
+    from ltx_video_gpupoor_tpu.core import MeshConfig, make_mesh
+
+    _, params = pair8
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    rng = np.random.RandomState(9)
+    z = jnp.asarray(
+        np.transpose(rng.randn(1, 4, 2, 16, 16).astype(np.float32),
+                     (0, 2, 3, 4, 1))
+    )
+    seq = wvae.spatial_tiled_decode(params, CFG8, z, tile_size=64,
+                                    normalized=False)
+    par = wvae.parallel_spatial_tiled_decode(
+        mesh, params, CFG8, z, tile_size=64, normalized=False
+    )
+    assert par.shape == seq.shape
+    np.testing.assert_allclose(
+        np.asarray(par[:, :, :96, :96]), np.asarray(seq[:, :, :96, :96]),
+        atol=1e-4, rtol=1e-4,
+    )
+    assert np.isfinite(np.asarray(par)).all()
+
+    # fallback: no mesh -> identical to sequential
+    same = wvae.parallel_spatial_tiled_decode(
+        None, params, CFG8, z, tile_size=64, normalized=False
+    )
+    np.testing.assert_allclose(np.asarray(same), np.asarray(seq))
+
+
 def test_spatial_tiled_encode_matches_reference(pair8):
     ref, params = pair8
     rng = np.random.RandomState(8)
