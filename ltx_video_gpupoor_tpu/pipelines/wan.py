@@ -210,6 +210,22 @@ class WanPipeline:
             enable_riflex=enable_riflex,
         )
 
+        # per-request single-device fallback (the LTX pipeline's serving
+        # contract): shapes that don't divide the sequence mesh run this
+        # request unsharded instead of raising
+        sp_mesh = self.sp_mesh
+        if sp_mesh is not None:
+            sp = sp_mesh.shape[self.sp_axis]
+            if cfg.patch_size[0] != 1 or f_all % sp or cfg.num_heads % sp:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sp-mesh fallback: frames=%d heads=%d patch_t=%d do "
+                    "not divide sp=%d; running this request single-device",
+                    f_all, cfg.num_heads, cfg.patch_size[0], sp,
+                )
+                sp_mesh = None
+
         # SLG keep-mask per step: cond stream index 0, uncond index 1 — the
         # reference skips slg layers for the UNCOND stream only
         # (``model.py:1077-1080``: x_id != 0 path)
@@ -272,11 +288,11 @@ class WanPipeline:
                 else jnp.concatenate([vace_ctx] * num_streams, axis=0)
             )
             t = jnp.full((num_streams,), t_scalar)
-            if self.sp_mesh is not None:
+            if sp_mesh is not None:
                 from ..parallel.usp import usp_wan_forward
 
                 out, new_res = usp_wan_forward(
-                    self.sp_mesh, self.model_params, cfg, xs, t, ctx,
+                    sp_mesh, self.model_params, cfg, xs, t, ctx,
                     cmask, freqs, axis_name=self.sp_axis,
                     attn_mode=attn_mode, clip_features=clip,
                     slg_keep=keep, previous_residual=residual,

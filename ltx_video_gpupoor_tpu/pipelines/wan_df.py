@@ -187,6 +187,21 @@ class WanDFPipeline:
         num_streams = 2 if guide_scale != 1 else 1
         do_cfg = num_streams == 2
 
+        # per-request single-device fallback (same contract as WanPipeline):
+        # shapes that don't divide the sequence mesh run unsharded
+        sp_mesh = self.sp_mesh
+        if sp_mesh is not None:
+            sp = sp_mesh.shape[self.sp_axis]
+            if cfg.patch_size[0] != 1 or f_lat % sp or cfg.num_heads % sp:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sp-mesh fallback: frames=%d heads=%d patch_t=%d do "
+                    "not divide sp=%d; running this request single-device",
+                    f_lat, cfg.num_heads, cfg.patch_size[0], sp,
+                )
+                sp_mesh = None
+
         # vmapped per-frame UniPC state (every leaf carries a leading F axis)
         frame_shape = (1, h_lat, w_lat, self.vae_cfg.z_dim)
         z = jnp.zeros((f_lat,) + frame_shape, jnp.float32)
@@ -234,11 +249,11 @@ class WanDFPipeline:
             fps_kw = fps_idx if cfg.inject_sample_info else None
 
             def _fwd(xs, ts, ctx, ctx_mask):
-                if self.sp_mesh is not None:
+                if sp_mesh is not None:
                     from ..parallel.usp import usp_wan_forward
 
                     out, _ = usp_wan_forward(
-                        self.sp_mesh, self.model_params, cfg, xs, ts,
+                        sp_mesh, self.model_params, cfg, xs, ts,
                         ctx, ctx_mask, freqs, axis_name=self.sp_axis,
                         attn_mode=attn_mode, fps_idx=fps_kw,
                     )

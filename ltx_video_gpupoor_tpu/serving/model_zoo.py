@@ -455,12 +455,39 @@ def load_wan_model(
             clip_tensors, extras["clip_cfg"].num_layers
         )
 
-    return WanPipeline(
+    pipeline = WanPipeline(
         model_params=model_params, model_cfg=cfg,
         vae_params=vae_params, vae_cfg=vae_cfg,
         vae_stride=tuple(spec["vae_stride"]),
         **extras,
     )
+    return apply_wan_serving_mesh(pipeline)
+
+
+def apply_wan_serving_mesh(pipeline):
+    """``LTXV_TPU_MESH`` with sp > 1 engages USP for Wan serving: weights
+    replicate over the mesh (Wan USP runs them replicated — the DiT is
+    1.3B/14B and the sequence is the long axis) and every denoiser
+    evaluation runs under the Ulysses shard_map. Requests whose shapes
+    don't divide the mesh fall back per-request (pipelines/wan.py)."""
+    import dataclasses as _dc
+    import logging
+
+    from ..core.mesh import SEQUENCE_AXIS, mesh_from_env
+    from ..parallel.sharding import replicated
+
+    mesh = mesh_from_env()
+    if mesh is None or mesh.shape.get(SEQUENCE_AXIS, 1) <= 1:
+        return pipeline
+    logging.getLogger(__name__).info(
+        "wan serving mesh engaged: %s",
+        dict(zip(mesh.axis_names, mesh.devices.shape)),
+    )
+    repl = replicated(mesh)
+    placed = jax.tree.map(
+        lambda x: jax.device_put(x, repl), pipeline.model_params
+    )
+    return _dc.replace(pipeline, model_params=placed, sp_mesh=mesh)
 
 
 def build_demo_model(seed: int = 0) -> LoadedModel:

@@ -248,6 +248,43 @@ def test_usp_wan_pipeline_matches_single_device(sp_mesh):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_usp_wan_pipeline_fallback_on_indivisible_shapes(sp_mesh):
+    """Serving contract: a request whose frames don't divide sp runs
+    single-device (bit-identical to the no-mesh run) instead of raising."""
+    import dataclasses as dc
+
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.models.wan import vae as wvae
+    from ltx_video_gpupoor_tpu.pipelines.wan import WanPipeline
+    from ltx_video_gpupoor_tpu.schedulers import unipc
+
+    cfg = wan_model.WanConfig(
+        dim=256, ffn_dim=512, num_heads=8, num_layers=2, text_dim=128,
+    )
+    vcfg = wvae.WanVAEConfig(
+        dim=8, z_dim=16, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,),
+    )
+    pipe = WanPipeline(
+        model_params=wan_model.init_params(jax.random.key(0), cfg),
+        model_cfg=cfg,
+        vae_params=wvae.init_params(jax.random.key(1), vcfg),
+        vae_cfg=vcfg, vae_tile_size=0,
+    )
+    lat = jax.random.normal(jax.random.key(2), (1, 7, 8, 12, 16))  # 7 % 8 != 0
+    ctx = jax.random.normal(jax.random.key(3), (2, 32, cfg.text_dim))
+    cmask = jnp.ones((2, 32), jnp.int32)
+    sigmas = unipc.unipc_sigmas(2, shift=5.0)
+    kwargs = dict(guide_scale=5.0, solver="unipc", key=jax.random.key(4))
+    ref = np.asarray(pipe.denoise(lat, ctx, cmask, sigmas, **kwargs))
+    out = np.asarray(
+        dc.replace(pipe, sp_mesh=sp_mesh).denoise(
+            lat, ctx, cmask, sigmas, **kwargs
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_usp_ltx_pipeline_matches_single_device(mesh8):
     """LTX flagship under USP (sp=2 of the dp2/sp2/tp2 mesh): generate()
     with sp_mesh set equals the single-device run — CFG + STG + per-group
