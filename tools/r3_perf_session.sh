@@ -43,7 +43,7 @@ run bench_int8pv BENCH_WAIT_TPU_S=120 BENCH_ATTN=pallas_int8pv python bench.py
 
 # 4. marginal ablations: prologue ceiling + fused tier + rope-on-heads
 run marginal python tools/mb_marginal.py base no_norm_mod norm_id \
-  mod_rowvec rope_heads int8pv_self fused_prologue
+  mod_rowvec rope_heads int8pv_self fused_prologue fused_all
 
 # 5. Wan TeaCache honest re-run (true 30-step schedule)
 run wan_teacache BENCH_WAIT_TPU_S=120 BENCH_TEACACHE=1.75 \
