@@ -36,6 +36,47 @@ _TRANSFORMER_RULES = [
 ]
 
 
+# flat-key substring -> PartitionSpec for the Wan DiT tree (scanned
+# blocks carry a leading L axis). qk-norm weights stay replicated: they
+# scale the packed head dim whose rms reduction XLA turns into a psum.
+_WAN_RULES = [
+    ("self_attn.q.kernel", P(None, None, "tp")),
+    ("self_attn.k.kernel", P(None, None, "tp")),
+    ("self_attn.v.kernel", P(None, None, "tp")),
+    ("self_attn.q.bias", P(None, "tp")),
+    ("self_attn.k.bias", P(None, "tp")),
+    ("self_attn.v.bias", P(None, "tp")),
+    ("self_attn.o.kernel", P(None, "tp", None)),
+    ("cross_attn.q.kernel", P(None, None, "tp")),
+    ("cross_attn.k.kernel", P(None, None, "tp")),
+    ("cross_attn.v.kernel", P(None, None, "tp")),
+    ("cross_attn.q.bias", P(None, "tp")),
+    ("cross_attn.k.bias", P(None, "tp")),
+    ("cross_attn.v.bias", P(None, "tp")),
+    ("cross_attn.o.kernel", P(None, "tp", None)),
+    ("ffn.fc1.kernel", P(None, None, "tp")),
+    ("ffn.fc1.bias", P(None, "tp")),
+    ("ffn.fc2.kernel", P(None, "tp", None)),
+]
+
+
+def wan_param_shardings(mesh: Mesh, params: dict) -> dict:
+    """NamedSharding pytree for the Wan DiT: attention heads and FFN
+    hidden dims split over 'tp', everything else replicated. The
+    pure-SPMD twin of :func:`transformer_param_shardings` — for tp-style
+    serving meshes (sp == 1); the USP path runs weights replicated."""
+    flat = flatten(params)
+    out: dict[str, Any] = {}
+    for key, value in flat.items():
+        spec = P()
+        for pattern, rule in _WAN_RULES:
+            if pattern in key and value.ndim == len(rule):
+                spec = rule
+                break
+        out[key] = NamedSharding(mesh, spec)
+    return unflatten(out)
+
+
 def transformer_param_shardings(mesh: Mesh, params: dict) -> dict:
     """NamedSharding pytree matching the transformer param tree."""
     flat = flatten(params)

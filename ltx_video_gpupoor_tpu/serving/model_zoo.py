@@ -465,29 +465,44 @@ def load_wan_model(
 
 
 def apply_wan_serving_mesh(pipeline):
-    """``LTXV_TPU_MESH`` with sp > 1 engages USP for Wan serving: weights
-    replicate over the mesh (Wan USP runs them replicated — the DiT is
-    1.3B/14B and the sequence is the long axis) and every denoiser
-    evaluation runs under the Ulysses shard_map. Requests whose shapes
-    don't divide the mesh fall back per-request (pipelines/wan.py)."""
+    """``LTXV_TPU_MESH`` engages multi-chip Wan serving.
+
+    sp > 1 (USP style): weights replicate over the mesh (the Ulysses
+    shard_map runs them replicated — the sequence is the long axis) and
+    every denoiser evaluation runs under the sp shard_map; requests
+    whose shapes don't divide fall back per-request (pipelines/wan.py).
+
+    sp == 1, tp > 1 (tensor-parallel style): weights shard over 'tp'
+    (``wan_param_shardings``) and XLA SPMD partitions every jitted
+    denoise step — the memory path for 14B-class checkpoints."""
     import dataclasses as _dc
     import logging
 
     from ..core.mesh import SEQUENCE_AXIS, mesh_from_env
-    from ..parallel.sharding import replicated
+    from ..parallel.sharding import replicated, wan_param_shardings
 
     mesh = mesh_from_env()
-    if mesh is None or mesh.shape.get(SEQUENCE_AXIS, 1) <= 1:
+    if mesh is None:
+        return pipeline
+    sp = mesh.shape.get(SEQUENCE_AXIS, 1)
+    tp = mesh.shape.get("tp", 1)
+    if sp <= 1 and tp <= 1:
         return pipeline
     logging.getLogger(__name__).info(
         "wan serving mesh engaged: %s",
         dict(zip(mesh.axis_names, mesh.devices.shape)),
     )
-    repl = replicated(mesh)
+    if sp > 1:
+        repl = replicated(mesh)
+        placed = jax.tree.map(
+            lambda x: jax.device_put(x, repl), pipeline.model_params
+        )
+        return _dc.replace(pipeline, model_params=placed, sp_mesh=mesh)
     placed = jax.tree.map(
-        lambda x: jax.device_put(x, repl), pipeline.model_params
+        jax.device_put, pipeline.model_params,
+        wan_param_shardings(mesh, pipeline.model_params),
     )
-    return _dc.replace(pipeline, model_params=placed, sp_mesh=mesh)
+    return _dc.replace(pipeline, model_params=placed)
 
 
 def build_demo_model(seed: int = 0) -> LoadedModel:
