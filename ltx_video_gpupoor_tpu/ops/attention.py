@@ -78,6 +78,7 @@ def attention(
     causal: bool = False,
     mode: AttentionMode = "auto",
     score_bound: float | None = None,
+    headpar: bool | None = None,
 ) -> jax.Array:
     """Multi-head attention over ``[B, H, S, D]`` tensors.
 
@@ -88,6 +89,12 @@ def attention(
     guarantee (e.g. RMS qk-normed attention). Enables the kernel's
     max-free streaming-softmax fast path; logits beyond the bound are
     clamped (softmax is saturated there anyway). Ignored on the XLA path.
+
+    ``headpar``: wrap the kernel in the SPMD head/q-token partitioning
+    rule (ops/headpar.py) so a tensor-parallel jit runs each device's
+    heads locally instead of all-gathering. None = the
+    ``LTXV_TPU_ATTN_HEADPAR`` env gate. Must be False inside a manual
+    ``shard_map`` (the USP paths pass it explicitly).
     """
     if mode == "auto":
         mode = _FORCED_MODE
@@ -128,13 +135,31 @@ def attention(
         # int8 P needs the online running max (a fixed exponent offset
         # would zero low-max rows); the tier subsumes the bounded path.
         score_bound = None
-    out = flash_attention(
-        q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
-        kv_valid=kv_valid,
-        qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
-        pv_int8=pv_int8,
-        score_bound=score_bound,
-    )
+    if headpar is None:
+        from . import headpar as _hp
+
+        headpar = _hp.enabled()
+    if headpar and jax.sharding.get_abstract_mesh().manual_axes:
+        # inside a manual shard_map (USP local kernel, ring attention):
+        # the SPMD partitioning wrapper must not nest under manual axes
+        headpar = False
+    if headpar:
+        from .headpar import headpar_flash_attention
+
+        out = headpar_flash_attention(
+            q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
+            causal=causal, kv_valid=kv_valid,
+            qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
+            pv_int8=pv_int8, score_bound=score_bound,
+        )
+    else:
+        out = flash_attention(
+            q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
+            causal=causal, kv_valid=kv_valid,
+            qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
+            pv_int8=pv_int8,
+            score_bound=score_bound,
+        )
     return unpad_axis(out, 2, sq)
 
 

@@ -67,7 +67,10 @@ def ulysses_attention(
     qh = _heads_to_seq(q, axis_name)
     kh = _heads_to_seq(k, axis_name)
     vh = _heads_to_seq(v, axis_name)
-    out = attention(qh, kh, vh, mode=attn_mode, score_bound=score_bound)
+    # headpar=False: this call runs INSIDE the manual shard_map — the
+    # SPMD partitioning wrapper must not nest under manual axes
+    out = attention(qh, kh, vh, mode=attn_mode, score_bound=score_bound,
+                    headpar=False)
     return _seq_to_heads(out, axis_name)
 
 

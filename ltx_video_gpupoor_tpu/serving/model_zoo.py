@@ -57,6 +57,12 @@ def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
     pipeline = shard_pipeline(pipeline, mesh)
     if mesh.shape[SEQUENCE_AXIS] > 1:
         pipeline = dataclasses.replace(pipeline, sp_mesh=mesh)
+    elif mesh.shape.get("tp", 1) > 1:
+        # tp-style mesh: partition the attention kernel over heads
+        # instead of letting XLA all-gather around the opaque Pallas
+        # call (ops/headpar.py); the attention dispatch ignores the gate
+        # inside manual shard_maps, so sp-style serving is unaffected
+        os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
     return pipeline
 
 
@@ -502,6 +508,9 @@ def apply_wan_serving_mesh(pipeline):
         jax.device_put, pipeline.model_params,
         wan_param_shardings(mesh, pipeline.model_params),
     )
+    # tp-style mesh: partition the attention kernel over heads instead of
+    # letting XLA all-gather around the opaque Pallas call (ops/headpar.py)
+    os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
     return _dc.replace(pipeline, model_params=placed)
 
 

@@ -248,6 +248,68 @@ def test_usp_wan_pipeline_matches_single_device(sp_mesh):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_headpar_attention_matches_unsharded(mesh8):
+    """The SPMD head-partitioning rule (ops/headpar.py): head-sharded
+    q/k/v run the kernel per-shard with numerics equal to the unsharded
+    call, and the output keeps the head sharding (no all-gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ltx_video_gpupoor_tpu.ops.headpar import headpar_flash_attention
+
+    b, h, s, d = 2, 8, 256, 32
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+
+    ref = headpar_flash_attention(q, k, v, interpret=True)
+
+    sh = NamedSharding(mesh8, P(None, "tp", None, None))
+    out = jax.jit(
+        lambda a, bb, c: headpar_flash_attention(a, bb, c, interpret=True)
+    )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+    assert "tp" in tuple(out.sharding.spec)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+    # q-token sharding is also legal (rows are independent; kv replicates)
+    sh_s = NamedSharding(mesh8, P(None, None, "sp", None))
+    out_s = jax.jit(
+        lambda a, bb, c: headpar_flash_attention(a, bb, c, interpret=True)
+    )(jax.device_put(q, sh_s), jax.device_put(k, sh_s),
+      jax.device_put(v, sh_s))
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_headpar_gate_ignored_inside_shard_map(sp_mesh, monkeypatch):
+    """The env gate must not wrap the kernel under manual axes: USP's
+    local attention still runs (and matches) with the gate set."""
+    from ltx_video_gpupoor_tpu.parallel.ulysses import ulysses_attention
+    from ltx_video_gpupoor_tpu.ops.attention import attention
+    from jax.sharding import PartitionSpec as P
+
+    monkeypatch.setenv("LTXV_TPU_ATTN_HEADPAR", "1")
+    b, h, s, d = 1, 8, 128, 16
+    kq, kk, kv = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    ref = attention(q, k, v, mode="xla")
+    fn = jax.shard_map(
+        lambda a, bb, c: ulysses_attention(a, bb, c, axis_name="sp",
+                                           attn_mode="xla"),
+        mesh=sp_mesh, in_specs=P(None, None, "sp", None),
+        out_specs=P(None, None, "sp", None), check_vma=False,
+    )
+    out = fn(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_wan_tp_sharded_forward_matches_single_device(mesh8):
     """Pure-SPMD tensor parallelism for Wan: weights sharded over 'tp'
     (wan_param_shardings), the jitted forward partitioned by XLA —
