@@ -128,6 +128,27 @@ def test_parallel_tiled_decode_z_and_spatial(params):
     )
 
 
+def test_parallel_tiled_decode_edge_grids(params):
+    """Fewer tiles than devices (tile-axis padding) and a single-axis
+    grid (W fits in one tile) both produce the sequential result."""
+    from ltx_video_gpupoor_tpu.core import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1, sp=8, tp=1))
+    # narrow W: 16x8 latent -> 3x2 = 6 tiles < 8 devices (tile-axis pad)
+    z = jax.random.normal(jax.random.key(7), (1, 2, 16, 8, 4)) * 0.5
+    seq = vae_tiling.tiled_decode(params, CFG, z, z_tile=0, hw_tile=32)
+    par = vae_tiling.parallel_tiled_decode(
+        mesh, params, CFG, z, z_tile=0, hw_tile=32
+    )
+    assert par.shape == seq.shape
+    # interior (full first tiles); padded tails differ by construction
+    np.testing.assert_allclose(
+        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        atol=1e-4, rtol=1e-4,
+    )
+    assert np.isfinite(np.asarray(par)).all()
+
+
 def test_parallel_tiled_decode_falls_back(params):
     """No mesh / tiling not engaged -> identical to tiled_decode."""
     z = jax.random.normal(jax.random.key(6), (1, 2, 8, 8, 4))
