@@ -320,26 +320,32 @@ def tiled_decode(
     return jnp.concatenate(result, axis=1)
 
 
-def _parallel_spatial_decode(
-    mesh, params, cfg, z, tile_in, tile_out, overlap_factor,
-    timestep, noise_key,
+def parallel_spatial_map(
+    mesh, tile_fn, z, tile_in, tile_out, overlap_factor, extra_args=(),
 ):
-    """One temporal slab's spatial tile grid decoded in PARALLEL over
-    every device of ``mesh`` (flat shard_map over the stacked tile
-    axis), then blended exactly like :func:`tiled_spatial`.
+    """Generic overlapping-tile spatial map with the tile grid decoded
+    in PARALLEL over every device of ``mesh`` (flat shard_map over the
+    stacked tile axis), then blended exactly like :func:`tiled_spatial`.
+    Shared by both VAE families (LTX here, Wan in ``wan/vae.py``).
 
-    Tail tiles are made uniform by edge-replicate padding the latent
-    (the sequential path's ragged tails see conv truncation instead;
-    both are artificial context, and outputs agree with the untiled
-    decode to the same seam tolerance). Each device runs its share of
-    tiles sequentially (``lax.map``) so per-device peak memory stays at
-    one tile's intermediates."""
+    ``tile_fn(tile, *extra_args)`` maps one ``[B, F, tile_in, tile_in,
+    C]`` latent tile to its ``[B, F', tile_out', tile_out', C']`` pixels
+    (``extra_args`` — params, decode timestep, … — are passed replicated;
+    do NOT close over traced arrays). Tail tiles are made uniform by
+    edge-replicate padding the latent (the sequential path's ragged
+    tails see conv truncation instead; both are artificial context, and
+    outputs agree with the untiled decode to the same seam tolerance).
+    Each device runs its share of tiles sequentially (``lax.map``) so
+    per-device peak memory stays at one tile's intermediates.
+
+    Returns the blended output UNCROPPED along H/W (callers crop to
+    ``h * sf`` / ``w * sf``)."""
     from jax.sharding import PartitionSpec as P
 
     overlap_in = int(tile_in * (1 - overlap_factor))
     blend_extent = int(tile_out * overlap_factor)
     limit = tile_out - blend_extent
-    b, f, h, w, c = z.shape
+    h, w = z.shape[2], z.shape[3]
     starts_h = list(range(0, h, overlap_in))
     starts_w = list(range(0, w, overlap_in))
     pad_h = max(0, starts_h[-1] + tile_in - h)
@@ -352,32 +358,19 @@ def _parallel_spatial_decode(
          for i in starts_h for j in starts_w]
     )  # [T, B, F, tile_in, tile_in, C]
     n_tiles = tiles.shape[0]
-    ndev = mesh.devices.size
-    pad_t = (-n_tiles) % ndev
+    pad_t = (-n_tiles) % mesh.devices.size
     if pad_t:
         tiles = jnp.concatenate([tiles] + [tiles[-1:]] * pad_t)
 
-    has_t = timestep is not None
-    has_k = noise_key is not None
-    t_arg = timestep if has_t else jnp.zeros((), jnp.float32)
-    k_arg = noise_key if has_k else jax.random.key(0)
-
-    def local(params, tiles, t_arg, k_arg):
-        def one(tile):
-            return ltx_vae.decode(
-                params, cfg, tile,
-                t_arg if has_t else None,
-                k_arg if has_k else None,
-            )
-
-        return jax.lax.map(one, tiles)
+    def local(tiles, *extra):
+        return jax.lax.map(lambda tl: tile_fn(tl, *extra), tiles)
 
     tile_spec = P(mesh.axis_names)  # flat: every mesh axis takes tiles
     out = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), tile_spec, P(), P()),
+        in_specs=(tile_spec,) + (P(),) * len(extra_args),
         out_specs=tile_spec,
-    )(params, tiles, t_arg, k_arg)[:n_tiles]
+    )(tiles, *extra_args)[:n_tiles]
 
     nw = len(starts_w)
     grid = [[out[r * nw + cix] for cix in range(nw)]
@@ -393,9 +386,32 @@ def _parallel_spatial_decode(
             row[j] = tile
             result_row.append(tile[:, :, :limit, :limit])
         result_rows.append(jnp.concatenate(result_row, axis=3))
-    full = jnp.concatenate(result_rows, axis=2)
+    return jnp.concatenate(result_rows, axis=2)
+
+
+def _parallel_spatial_decode(
+    mesh, params, cfg, z, tile_in, tile_out, overlap_factor,
+    timestep, noise_key,
+):
+    """LTX wrapper over :func:`parallel_spatial_map`."""
+    has_t = timestep is not None
+    has_k = noise_key is not None
+    t_arg = timestep if has_t else jnp.zeros((), jnp.float32)
+    k_arg = noise_key if has_k else jax.random.key(0)
+
+    def tile_fn(tile, params, t_arg, k_arg):
+        return ltx_vae.decode(
+            params, cfg, tile,
+            t_arg if has_t else None,
+            k_arg if has_k else None,
+        )
+
+    full = parallel_spatial_map(
+        mesh, tile_fn, z, tile_in, tile_out, overlap_factor,
+        extra_args=(params, t_arg, k_arg),
+    )
     sf = cfg.spatial_downscale_factor
-    return full[:, :, : h * sf, : w * sf]
+    return full[:, :, : z.shape[2] * sf, : z.shape[3] * sf]
 
 
 def parallel_tiled_decode(

@@ -505,9 +505,7 @@ def parallel_spatial_tiled_decode(mesh, params, cfg: WanVAEConfig,
     deployment where the one-time fused compile amortizes (the
     single-chip path deliberately stays an eager host loop — see
     ``pipelines/wan.py::_vae_decode``)."""
-    from jax.sharding import PartitionSpec as P
-
-    from ..ltx.vae_tiling import blend
+    from ..ltx.vae_tiling import parallel_spatial_map
 
     sf = 2 ** (len(cfg.dim_mult) - 1)
     lat_tile = tile_size // sf
@@ -516,57 +514,17 @@ def parallel_spatial_tiled_decode(mesh, params, cfg: WanVAEConfig,
             or (h_lat <= lat_tile and w_lat <= lat_tile)):
         return spatial_tiled_decode(params, cfg, z, tile_size, normalized,
                                     any_end_frame)
-    overlap = int(lat_tile * 0.75)
-    blend_extent = int(tile_size * 0.25)
-    row_limit = tile_size - blend_extent
-
     if normalized:
         mean = jnp.asarray(WAN_LATENT_MEAN[: cfg.z_dim]).astype(z.dtype)
         std = jnp.asarray(WAN_LATENT_STD[: cfg.z_dim]).astype(z.dtype)
         z = z * std + mean
 
-    starts_h = list(range(0, h_lat, overlap))
-    starts_w = list(range(0, w_lat, overlap))
-    pad_h = max(0, starts_h[-1] + lat_tile - h_lat)
-    pad_w = max(0, starts_w[-1] + lat_tile - w_lat)
-    zp = jnp.pad(
-        z, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge"
+    def tile_fn(tile, params):
+        return decode(params, cfg, tile, False, any_end_frame, False)
+
+    full = parallel_spatial_map(
+        mesh, tile_fn, z, lat_tile, tile_size, 0.25, extra_args=(params,),
     )
-    tiles = jnp.stack(
-        [zp[:, :, i: i + lat_tile, j: j + lat_tile]
-         for i in starts_h for j in starts_w]
-    )
-    n_tiles = tiles.shape[0]
-    pad_t = (-n_tiles) % mesh.devices.size
-    if pad_t:
-        tiles = jnp.concatenate([tiles] + [tiles[-1:]] * pad_t)
-
-    def local(params, tiles):
-        return jax.lax.map(
-            lambda tl: decode(params, cfg, tl, False, any_end_frame, False),
-            tiles,
-        )
-
-    tile_spec = P(mesh.axis_names)
-    out = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(), tile_spec), out_specs=tile_spec,
-    )(params, tiles)[:n_tiles]
-
-    nw = len(starts_w)
-    grid = [[out[r * nw + cix] for cix in range(nw)]
-            for r in range(len(starts_h))]
-    result_rows = []
-    for i, row in enumerate(grid):
-        out_row = []
-        for j, tile in enumerate(row):
-            if i > 0:
-                tile = blend(grid[i - 1][j], tile, blend_extent, axis=2)
-            if j > 0:
-                tile = blend(row[j - 1], tile, blend_extent, axis=3)
-            row[j] = tile
-            out_row.append(tile[:, :, :row_limit, :row_limit])
-        result_rows.append(jnp.concatenate(out_row, axis=3))
-    full = jnp.concatenate(result_rows, axis=2)
     return jnp.clip(full[:, :, : h_lat * sf, : w_lat * sf], -1.0, 1.0)
 
 

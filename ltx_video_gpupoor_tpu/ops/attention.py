@@ -144,22 +144,16 @@ def attention(
         # the SPMD partitioning wrapper must not nest under manual axes
         headpar = False
     if headpar:
-        from .headpar import headpar_flash_attention
-
-        out = headpar_flash_attention(
-            q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
-            causal=causal, kv_valid=kv_valid,
-            qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
-            pv_int8=pv_int8, score_bound=score_bound,
-        )
+        from .headpar import headpar_flash_attention as kernel
     else:
-        out = flash_attention(
-            q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
-            causal=causal, kv_valid=kv_valid,
-            qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
-            pv_int8=pv_int8,
-            score_bound=score_bound,
-        )
+        kernel = flash_attention
+    out = kernel(
+        q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
+        kv_valid=kv_valid,
+        qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
+        pv_int8=pv_int8,
+        score_bound=score_bound,
+    )
     return unpad_axis(out, 2, sq)
 
 

@@ -60,16 +60,10 @@ def _build(has_segments: bool, scale, causal: bool, kv_valid,
 
     def infer(mesh, arg_infos, result_infos):
         b_ax, h_ax, s_ax, _ = _q_spec(arg_infos)
-        if causal:
-            s_ax = None  # causal masks index blocks globally
         return NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
 
     def partition(mesh, arg_infos, result_infos):
         b_ax, h_ax, s_ax, _ = _q_spec(arg_infos)
-        if causal:
-            # a q-token shard would see LOCAL block indices in the causal
-            # mask; only batch/head partitioning is safe
-            s_ax = None
         qs = NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
         kvs = NamedSharding(mesh, P(b_ax, h_ax, None, None))
         args = (qs, kvs, kvs)
@@ -98,7 +92,18 @@ def headpar_flash_attention(
     score_bound=None, interpret=False,
 ):
     """``flash_attention`` with the SPMD head/q-token partitioning rule.
-    Single-device (or unsharded) calls lower to the plain kernel."""
+    Single-device (or unsharded) calls lower to the plain kernel.
+
+    Causal calls bypass the rule entirely: a q-token shard would see
+    LOCAL block indices in the causal mask, and the Shardy propagation
+    rule cannot express per-flag replication — neither model family
+    uses causal attention, so the plain kernel is the honest path."""
+    if causal:
+        return flash_attention(
+            q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
+            causal=True, kv_valid=kv_valid, qk_int8=qk_int8,
+            pv_int8=pv_int8, score_bound=score_bound, interpret=interpret,
+        )
     fa = _build(q_segment_ids is not None, scale, causal, kv_valid,
                 qk_int8, pv_int8, score_bound, interpret)
     if q_segment_ids is not None:

@@ -887,6 +887,18 @@ class LTXPipeline:
         tf = self.vae_cfg.temporal_downscale_factor
         h, w = z.shape[2] * sf, z.shape[3] * sf
         frames = (z.shape[1] - 1) * tf + 1
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if n_dev > 1:
+            # multi-chip: prefer spatial tiles so the decode fans over
+            # the mesh (parallel_tiled_decode) — the ~1.3-1.8x overlap
+            # recompute is far below the n_dev-way parallelism. 256 px
+            # tiles give >= n_dev tiles at serving shapes; 512 when the
+            # device count is small (fewer seams).
+            hw = 256 if n_dev >= 4 else 512
+            if (z.shape[2] > hw // sf or z.shape[3] > hw // sf):
+                envelope = 704 * 480 * 121
+                zt = 0 if h * w * frames <= envelope else 4
+                return (zt, hw)
         # voxel budget: the measured 16 GiB untiled envelope
         envelope = 704 * 480 * 121
         if h * w * frames <= envelope:

@@ -108,6 +108,9 @@ class WanPipeline:
     # Ulysses all-to-all self-attention) — the xDiT USP serving mode
     sp_mesh: object = None
     sp_axis: str = "sp"
+    # the FULL serving mesh (set for BOTH sp- and tp-style meshes):
+    # tiled VAE decodes fan their tile grid over every device
+    mesh: object = None
     # pixel tile size for VAE decode/encode; 0 = untiled
     # (reference get_VAE_tile_size policy, ``wan/modules/vae.py:790-811``)
     vae_tile_size: int = 256
@@ -121,11 +124,12 @@ class WanPipeline:
 
     def _vae_decode(self, latents):
         if self.vae_tile_size:
-            if self.sp_mesh is not None and self.sp_mesh.devices.size > 1:
+            mesh = self.mesh if self.mesh is not None else self.sp_mesh
+            if mesh is not None and mesh.devices.size > 1:
                 # multi-chip: tile grid fans out over every mesh device
                 # (one fused compile, amortized by the persistent cache)
                 return wan_vae.parallel_spatial_tiled_decode_fused(
-                    self.sp_mesh, self.vae_params, self.vae_cfg, latents,
+                    mesh, self.vae_params, self.vae_cfg, latents,
                     tile_size=self.vae_tile_size,
                 )
             # host tile loop, NOT the fused jit: the Wan decode is

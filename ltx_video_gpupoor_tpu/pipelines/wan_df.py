@@ -114,6 +114,9 @@ class WanDFPipeline:
     # timestep-matrix scan stays host-level/global
     sp_mesh: object = None
     sp_axis: str = "sp"
+    # the FULL serving mesh (set for BOTH sp- and tp-style meshes):
+    # tiled VAE decodes fan their tile grid over every device
+    mesh: object = None
 
     def generate(
         self,
@@ -301,10 +304,11 @@ class WanDFPipeline:
         if output_type == "latent":
             return latents
         if self.vae_tile_size:
-            if self.sp_mesh is not None and self.sp_mesh.devices.size > 1:
+            vmesh = self.mesh if self.mesh is not None else self.sp_mesh
+            if vmesh is not None and vmesh.devices.size > 1:
                 # multi-chip: tile grid fans out over every mesh device
                 return wan_vae.parallel_spatial_tiled_decode_fused(
-                    self.sp_mesh, self.vae_params, self.vae_cfg, latents,
+                    vmesh, self.vae_params, self.vae_cfg, latents,
                     tile_size=self.vae_tile_size,
                 )
             return wan_vae.spatial_tiled_decode(

@@ -503,15 +503,19 @@ def apply_wan_serving_mesh(pipeline):
         placed = jax.tree.map(
             lambda x: jax.device_put(x, repl), pipeline.model_params
         )
-        return _dc.replace(pipeline, model_params=placed, sp_mesh=mesh)
+        return _dc.replace(
+            pipeline, model_params=placed, sp_mesh=mesh, mesh=mesh
+        )
     placed = jax.tree.map(
         jax.device_put, pipeline.model_params,
         wan_param_shardings(mesh, pipeline.model_params),
     )
     # tp-style mesh: partition the attention kernel over heads instead of
-    # letting XLA all-gather around the opaque Pallas call (ops/headpar.py)
+    # letting XLA all-gather around the opaque Pallas call (ops/headpar.py).
+    # Process-scoped on purpose: one serving process hosts one model mode,
+    # and the dispatch refuses the wrapper under manual shard_map axes.
     os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
-    return _dc.replace(pipeline, model_params=placed)
+    return _dc.replace(pipeline, model_params=placed, mesh=mesh)
 
 
 def build_demo_model(seed: int = 0) -> LoadedModel:

@@ -148,6 +148,51 @@ def test_serving_mesh_from_env_matches_single_device(tmp_path, monkeypatch):
     assert model_zoo.build_demo_model().generator.pipeline.sp_mesh is None
 
 
+def test_wan_serving_mesh_styles(monkeypatch):
+    """apply_wan_serving_mesh routes by mesh style: sp>1 -> USP with
+    replicated weights (sp_mesh AND mesh set); sp==1/tp>1 -> tp-sharded
+    weights, mesh set for the parallel decode, headpar gate defaulted."""
+    import jax
+
+    from ltx_video_gpupoor_tpu.models.wan import model as wan_model
+    from ltx_video_gpupoor_tpu.models.wan import vae as wvae
+    from ltx_video_gpupoor_tpu.pipelines.wan import WanPipeline
+
+    cfg = wan_model.WanConfig(
+        dim=64, ffn_dim=128, num_heads=2, num_layers=2, text_dim=16,
+        in_dim=4, out_dim=4, freq_dim=32, text_len=8,
+        patch_size=(1, 2, 2), model_type="t2v",
+    )
+    vcfg = wvae.WanVAEConfig(
+        dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,),
+    )
+    pipe = WanPipeline(
+        model_params=wan_model.init_params(jax.random.key(0), cfg),
+        model_cfg=cfg,
+        vae_params=wvae.init_params(jax.random.key(1), vcfg),
+        vae_cfg=vcfg,
+    )
+
+    monkeypatch.setenv("LTXV_TPU_MESH", "dp2,sp2,tp2")
+    sp_style = model_zoo.apply_wan_serving_mesh(pipe)
+    assert sp_style.sp_mesh is not None
+    assert sp_style.mesh is not None
+
+    monkeypatch.setenv("LTXV_TPU_MESH", "dp1,sp1,tp8")
+    monkeypatch.delenv("LTXV_TPU_ATTN_HEADPAR", raising=False)
+    tp_style = model_zoo.apply_wan_serving_mesh(pipe)
+    assert tp_style.sp_mesh is None
+    assert tp_style.mesh is not None  # parallel decode engages
+    kern = tp_style.model_params["blocks"]["self_attn"]["q"]["kernel"]
+    assert kern.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "tp"
+    )
+    import os
+
+    assert os.environ.get("LTXV_TPU_ATTN_HEADPAR") == "1"
+
+
 def test_provision_required_files_cover_cold_start():
     """provision()'s file list must include everything load_ltxv_model +
     encode_prompt need: the dev int8 base for the LoRA-distilled mode,

@@ -96,10 +96,12 @@ def test_parallel_tiled_decode_matches_sequential(params):
         mesh, params, CFG, z, z_tile=0, hw_tile=32
     )
     assert par.shape == seq.shape
-    # interior tiles are bit-comparable (same decode, same blend); only
-    # the padded tails differ (replicate padding vs ragged truncation)
+    # the full-tile region INCLUDING the tile0/tile1 blends must match
+    # (starts 0/6/12 over 16: tiles 0 and 1 are unpadded, so rows/cols
+    # < 2*limit=48 involve no padded tail); a blend-order or grid-index
+    # regression would corrupt this region
     np.testing.assert_allclose(
-        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        np.asarray(par[:, :, :48, :48]), np.asarray(seq[:, :, :48, :48]),
         atol=1e-4, rtol=1e-4,
     )
     full = ltx_vae.decode(params, CFG, z)
@@ -123,7 +125,7 @@ def test_parallel_tiled_decode_z_and_spatial(params):
     )
     assert par.shape == seq.shape
     np.testing.assert_allclose(
-        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        np.asarray(par[:, :, :48, :48]), np.asarray(seq[:, :, :48, :48]),
         atol=1e-4, rtol=1e-4,
     )
 
@@ -141,9 +143,10 @@ def test_parallel_tiled_decode_edge_grids(params):
         mesh, params, CFG, z, z_tile=0, hw_tile=32
     )
     assert par.shape == seq.shape
-    # interior (full first tiles); padded tails differ by construction
+    # H tiles 0/1 are unpadded (blend included); the narrow W axis has
+    # its second tile padded, so only W < limit is comparable
     np.testing.assert_allclose(
-        np.asarray(par[:, :, :24, :24]), np.asarray(seq[:, :, :24, :24]),
+        np.asarray(par[:, :, :48, :24]), np.asarray(seq[:, :, :48, :24]),
         atol=1e-4, rtol=1e-4,
     )
     assert np.isfinite(np.asarray(par)).all()
