@@ -36,6 +36,30 @@ _TRANSFORMER_RULES = [
 ]
 
 
+_QUANT_SUFFIXES = ("w_int8_dyn", "w_int8", "w_int4")
+
+
+def _with_quantized(rules):
+    """Extend kernel rules to the quantized leaf names (ops/quant.py):
+    the int8/int4 weight splits exactly like its bf16 kernel (the int4
+    nibble packing halves the contraction dim — still divisible), and
+    the per-out-channel scale shards with the out dim when the kernel
+    splits on out, else replicates (the contraction-split matmul psums
+    partial products BEFORE the scale multiply — XLA SPMD handles it).
+    This covers pre-quantized checkpoints (``*_quanto_*_int8``), where
+    the mesh is applied to already-quantized trees."""
+    out = list(rules)
+    for pat, spec in rules:
+        if not pat.endswith(".kernel"):
+            continue
+        stem = pat[: -len("kernel")]
+        for suf in _QUANT_SUFFIXES:
+            out.append((stem + suf, spec))
+        if spec[-1] == "tp":  # out-split: scale [..., out] follows
+            out.append((stem + "scale", P(*spec[:-2], "tp")))
+    return out
+
+
 # flat-key substring -> PartitionSpec for the Wan DiT tree (scanned
 # blocks carry a leading L axis). qk-norm weights stay replicated: they
 # scale the packed head dim whose rms reduction XLA turns into a psum.
@@ -66,10 +90,11 @@ def wan_param_shardings(mesh: Mesh, params: dict) -> dict:
     pure-SPMD twin of :func:`transformer_param_shardings` — for tp-style
     serving meshes (sp == 1); the USP path runs weights replicated."""
     flat = flatten(params)
+    rules = _with_quantized(_WAN_RULES)
     out: dict[str, Any] = {}
     for key, value in flat.items():
         spec = P()
-        for pattern, rule in _WAN_RULES:
+        for pattern, rule in rules:
             if pattern in key and value.ndim == len(rule):
                 spec = rule
                 break
@@ -78,12 +103,14 @@ def wan_param_shardings(mesh: Mesh, params: dict) -> dict:
 
 
 def transformer_param_shardings(mesh: Mesh, params: dict) -> dict:
-    """NamedSharding pytree matching the transformer param tree."""
+    """NamedSharding pytree matching the transformer param tree
+    (bf16 kernels AND quantized leaves — see ``_with_quantized``)."""
     flat = flatten(params)
+    rules = _with_quantized(_TRANSFORMER_RULES)
     out: dict[str, Any] = {}
     for key, value in flat.items():
         spec = P()
-        for pattern, rule in _TRANSFORMER_RULES:
+        for pattern, rule in rules:
             if pattern in key and value.ndim == len(rule):
                 spec = rule
                 break

@@ -343,6 +343,54 @@ def test_wan_tp_sharded_forward_matches_single_device(mesh8):
     )
 
 
+def test_quantized_tp_shardings_match_single_device(mesh8):
+    """Pre-quantized trees (the production checkpoint format) shard over
+    'tp' too: int8 weights split like their bf16 kernels, out-split
+    scales follow, and the SPMD forward matches the unsharded run."""
+    from jax.sharding import PartitionSpec as P
+
+    from ltx_video_gpupoor_tpu.models.ltx import transformer3d as t3d
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+    from ltx_video_gpupoor_tpu.parallel.sharding import (
+        transformer_param_shardings,
+    )
+
+    cfg = t3d.LTXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=16,
+        out_channels=16, num_layers=2, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        t3d.init_params(jax.random.key(0), cfg),
+    )
+    params = quantize_params(params, mode="dynamic")
+    sh = transformer_param_shardings(mesh8, params)
+    attn1 = sh["blocks"]["attn1"]
+    assert attn1["to_q"]["w_int8_dyn"].spec == P(None, None, "tp")
+    assert attn1["to_q"]["scale"].spec == P(None, "tp")
+    assert attn1["to_out"]["w_int8_dyn"].spec == P(None, "tp", None)
+    assert attn1["to_out"]["scale"].spec == P()
+
+    b, s, sc = 2, 32, 8
+    lat = jax.random.normal(jax.random.key(1), (b, s, 16), jnp.bfloat16)
+    coords = jnp.tile(
+        jax.random.uniform(jax.random.key(2), (1, 3, s), jnp.float32, 0, 8),
+        (b, 1, 1),
+    )
+    cap = jax.random.normal(jax.random.key(3), (b, sc, 32), jnp.bfloat16)
+    cmask = jnp.ones((b, sc), jnp.int32)
+    t = jnp.full((b,), 0.4, jnp.float32)
+    fn = jax.jit(lambda p: t3d.forward(p, cfg, lat, coords, t, cap, cmask,
+                                       attn_mode="xla"))
+    ref = fn(params)
+    out = fn(jax.tree.map(jax.device_put, params, sh))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_usp_wan_pipeline_fallback_on_indivisible_shapes(sp_mesh):
     """Serving contract: a request whose frames don't divide sp runs
     single-device (bit-identical to the no-mesh run) instead of raising."""
