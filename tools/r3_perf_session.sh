@@ -59,4 +59,9 @@ run ffn_sweep python tools/mb_ffn_sweep.py
 run bench_13b BENCH_WAIT_TPU_S=120 BENCH_13B=1 BENCH_ATTN=pallas_int8pv \
   python bench.py
 
+# 9. combined best-tier candidate (all opt-in fusions + int8pv) — the
+# marginal table (step 4) arbitrates if any tier regresses the combo
+run bench_combo BENCH_WAIT_TPU_S=120 BENCH_ATTN=pallas_int8pv \
+  LTXV_TPU_ROPE_HEADS=1 LTXV_TPU_FUSED_PROLOGUE=1 python bench.py
+
 echo "session complete; logs in $LOG"
