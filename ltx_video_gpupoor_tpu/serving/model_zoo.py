@@ -61,8 +61,13 @@ def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
         # tp-style mesh: partition the attention kernel over heads
         # instead of letting XLA all-gather around the opaque Pallas
         # call (ops/headpar.py); the attention dispatch ignores the gate
-        # inside manual shard_maps, so sp-style serving is unaffected
+        # inside manual shard_maps, so sp-style serving is unaffected.
+        # rope-heads routes the LTX self-attention through the head-split
+        # dispatch (numerics exact vs the packed path) so the rule
+        # actually reaches it — the packed hp kernel has no
+        # partitioning rule.
         os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
+        os.environ.setdefault("LTXV_TPU_ROPE_HEADS", "1")
     return pipeline
 
 
