@@ -102,6 +102,37 @@ def wan_param_shardings(mesh: Mesh, params: dict) -> dict:
     return unflatten(out)
 
 
+# T5/UMT5 encoder (models/t5.py): heads and FFN hidden over tp.
+# T5-XXL is 4.7B params (9.4 GB bf16) — on a tp mesh, sharding the text
+# encoder frees the HBM the replicated copy would burn on every chip.
+_T5_RULES = [
+    ("attn.q.kernel", P(None, None, "tp")),
+    ("attn.k.kernel", P(None, None, "tp")),
+    ("attn.v.kernel", P(None, None, "tp")),
+    ("attn.o.kernel", P(None, "tp", None)),
+    ("ffn.fc1.kernel", P(None, None, "tp")),
+    ("ffn.gate.kernel", P(None, None, "tp")),
+    ("ffn.fc2.kernel", P(None, "tp", None)),
+]
+
+
+def t5_param_shardings(mesh: Mesh, params: dict) -> dict:
+    """NamedSharding pytree for the T5/UMT5 encoder tree (bf16 and
+    quantized leaves). Relative-position biases and embeddings
+    replicate (tiny next to the matmuls)."""
+    flat = flatten(params)
+    rules = _with_quantized(_T5_RULES)
+    out: dict[str, Any] = {}
+    for key, value in flat.items():
+        spec = P()
+        for pattern, rule in rules:
+            if pattern in key and value.ndim == len(rule):
+                spec = rule
+                break
+        out[key] = NamedSharding(mesh, spec)
+    return unflatten(out)
+
+
 def transformer_param_shardings(mesh: Mesh, params: dict) -> dict:
     """NamedSharding pytree matching the transformer param tree
     (bf16 kernels AND quantized leaves — see ``_with_quantized``)."""
@@ -138,7 +169,8 @@ def shard_pipeline(pipeline, mesh: Mesh):
     the ICI collectives — the HBM-resident replacement for the reference's
     mmgp offload profiles (``/root/reference/inference.py:442-496``).
 
-    VAE/T5 weights are replicated (they are small next to the DiT)."""
+    VAE weights replicate (small next to the DiT); T5 shards over 'tp'
+    (see ``t5_param_shardings``)."""
     import dataclasses
 
     replicated_s = replicated(mesh)
@@ -150,7 +182,13 @@ def shard_pipeline(pipeline, mesh: Mesh):
 
     extra = {}
     if getattr(pipeline, "t5_params", None) is not None:
-        extra["t5_params"] = repl(pipeline.t5_params)
+        # T5 encodes under a plain SPMD jit (never inside the USP
+        # shard_map), so tp-sharding it is safe on every mesh style and
+        # frees ~9 GB/chip of replicated T5-XXL weights when tp > 1
+        extra["t5_params"] = jax.tree.map(
+            jax.device_put, pipeline.t5_params,
+            t5_param_shardings(mesh, pipeline.t5_params),
+        )
     if hasattr(pipeline, "mesh"):
         # full mesh (also when sp == 1): tiled VAE decodes fan their
         # spatial tile grid over every device (pipelines/ltx_pipeline.py)

@@ -490,7 +490,11 @@ def apply_wan_serving_mesh(pipeline):
     import logging
 
     from ..core.mesh import SEQUENCE_AXIS, mesh_from_env
-    from ..parallel.sharding import replicated, wan_param_shardings
+    from ..parallel.sharding import (
+        replicated,
+        t5_param_shardings,
+        wan_param_shardings,
+    )
 
     mesh = mesh_from_env()
     if mesh is None:
@@ -503,6 +507,16 @@ def apply_wan_serving_mesh(pipeline):
         "wan serving mesh engaged: %s",
         dict(zip(mesh.axis_names, mesh.devices.shape)),
     )
+    if getattr(pipeline, "t5_params", None) is not None:
+        # the UMT5 encode runs under a plain SPMD jit on every mesh
+        # style — tp-sharding it frees the replicated-XXL HBM
+        pipeline = _dc.replace(
+            pipeline,
+            t5_params=jax.tree.map(
+                jax.device_put, pipeline.t5_params,
+                t5_param_shardings(mesh, pipeline.t5_params),
+            ),
+        )
     if sp > 1:
         repl = replicated(mesh)
         placed = jax.tree.map(

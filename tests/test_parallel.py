@@ -343,6 +343,31 @@ def test_wan_tp_sharded_forward_matches_single_device(mesh8):
     )
 
 
+def test_t5_tp_sharded_encode_matches_single_device(mesh8):
+    """T5/UMT5 weights shard over 'tp' (the 9.4 GB XXL replication was
+    pure HBM waste on tp meshes); the SPMD encode matches unsharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from ltx_video_gpupoor_tpu.models import t5 as jt5
+    from ltx_video_gpupoor_tpu.parallel.sharding import t5_param_shardings
+
+    cfg = jt5.T5Config(vocab_size=100, dim=64, dim_attn=64, dim_ffn=128,
+                       num_heads=4, num_layers=2)
+    params = jt5.init_params(jax.random.key(0), cfg)
+    sh = t5_param_shardings(mesh8, params)
+    assert sh["blocks"]["attn"]["q"]["kernel"].spec == P(None, None, "tp")
+    assert sh["blocks"]["ffn"]["fc2"]["kernel"].spec == P(None, "tp", None)
+
+    ids = jax.random.randint(jax.random.key(1), (2, 16), 0, 100)
+    mask = jnp.ones((2, 16), jnp.int32)
+    ref = jt5.encode(params, cfg, ids, mask)
+    out = jt5.encode(jax.tree.map(jax.device_put, params, sh), cfg, ids,
+                     mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_quantized_tp_shardings_match_single_device(mesh8):
     """Pre-quantized trees (the production checkpoint format) shard over
     'tp' too: int8 weights split like their bf16 kernels, out-split
