@@ -394,9 +394,18 @@ def main():
     _emit_parity()
     print(json.dumps(result), flush=True)
     # default (headline-config) runs refresh the stale-fallback row;
-    # variant runs (13B / TeaCache / attn-tier sweeps) don't, so the
-    # fallback always shows the driver metric
-    if not (os.environ.get("BENCH_13B") or os.environ.get("BENCH_TEACACHE")):
+    # variant runs (13B / TeaCache / attn tiers / bf16 / fusion envs)
+    # don't, so the fallback always shows the DEFAULT-config driver metric
+    variant = (
+        os.environ.get("BENCH_13B")
+        or os.environ.get("BENCH_TEACACHE")
+        or os.environ.get("BENCH_BF16")
+        or os.environ.get("BENCH_ATTN", "auto") not in ("", "auto")
+        or os.environ.get("LTXV_TPU_ROPE_HEADS")
+        or os.environ.get("LTXV_TPU_FUSED_PROLOGUE")
+        or os.environ.get("LTXV_TPU_SCORE_BOUND")
+    )
+    if not variant:
         _save_last_good(result, detail)
 
 

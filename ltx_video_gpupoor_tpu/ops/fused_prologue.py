@@ -162,8 +162,16 @@ def norm_mod_int8_matmul(
         return best
 
     bm = fit(block_m, rows_per_group, 16)   # block inside ONE group
-    if m % bm:
-        bm = fit(bm, m, 16)                 # degenerate tiny-M fallback
+    if rows_per_group % bm:
+        # no 16-multiple divides the group: a block would straddle two
+        # adaLN groups and the index_map would hand its tail rows the
+        # WRONG group's scale/shift — refuse like the shape checks above
+        # (the model path never hits this: supports() requires
+        # rows_per_group % 16 == 0, which guarantees a valid divisor)
+        raise ValueError(
+            f"rows_per_group={rows_per_group} has no 16-multiple block "
+            f"divisor; blocks would straddle adaLN groups"
+        )
     # VMEM budget: x block (bf16) + w block (int8) + fp32 acc, double-
     # buffered by Mosaic — keep the working set ~12 MB so wide-K calls
     # (FFN dims) don't OOM the compiler

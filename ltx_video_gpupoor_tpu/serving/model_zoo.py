@@ -68,6 +68,15 @@ def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
         # partitioning rule.
         os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
         os.environ.setdefault("LTXV_TPU_ROPE_HEADS", "1")
+        if os.environ.get("LTXV_TPU_FUSED_PROLOGUE"):
+            # the fused adaLN-prologue pallas_call has no SPMD
+            # partitioning rule: on tp-sharded weights XLA would gather
+            # every DiT weight each step (or fail to compile)
+            logging.getLogger(__name__).warning(
+                "LTXV_TPU_FUSED_PROLOGUE disabled: no partitioning rule "
+                "for the fused kernel on a tp-sharded mesh"
+            )
+            os.environ.pop("LTXV_TPU_FUSED_PROLOGUE", None)
     return pipeline
 
 

@@ -49,6 +49,23 @@ def test_kernel_matches_unfused_chain(groups, bias):
     )
 
 
+def test_rejects_group_straddling_blocks():
+    """rows_per_group with no 16-multiple divisor must raise: a block
+    straddling two adaLN groups would silently apply the wrong group's
+    scale/shift to its tail rows (found by review: m=48, groups=2 ->
+    rows 24-31 got group 0's modulation, max err ~40)."""
+    m, k, n = 48, 64, 64
+    x = jnp.ones((m, k), jnp.bfloat16)
+    q = quantize_weights(jnp.ones((k, n), jnp.bfloat16))
+    scale = jnp.zeros((2, k), jnp.bfloat16)
+    shift = jnp.zeros((2, k), jnp.bfloat16)
+    with pytest.raises(ValueError, match="straddle"):
+        fp.norm_mod_int8_matmul(
+            x, scale, shift, q.w_int8, q.scale, None,
+            rows_per_group=24, eps=1e-5, interpret=True,
+        )
+
+
 def test_supports_gates_shapes():
     q = quantize_weights(jnp.ones((8, 16), jnp.bfloat16))
     good = {"w_int8_dyn": q.w_int8, "scale": q.scale}

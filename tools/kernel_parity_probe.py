@@ -54,8 +54,20 @@ def main() -> int:
            "--json", tmp]
     if not args.no_stress:
         cmd.insert(2, "--stress")
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                          timeout=900)
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                              text=True, timeout=900)
+    except subprocess.TimeoutExpired as e:
+        # a mid-run relay stall must still emit the JSON contract line
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        tail = ((e.stdout or b"")[-400:] if isinstance(e.stdout, bytes)
+                else (e.stdout or "")[-400:])
+        print(json.dumps({"ok": None,
+                          "error": "parity run timed out (900s); "
+                                   "record untouched",
+                          "tail": str(tail)}))
+        return 2
     try:
         with open(tmp) as fh:
             res = json.load(fh)

@@ -29,7 +29,8 @@ run() {
   fi
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
   timeout 2400 env "$@" 2>&1 | tee "$LOG/$name.log" | tail -5
-  echo "=== $name done rc=$? ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
+  rc=${PIPESTATUS[0]}   # the command's status, not tail's (always 0)
+  echo "=== $name done rc=$rc ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG/session.log"
 }
 
 # 1. fresh on-hardware kernel parity record (decoupled gate)
