@@ -396,14 +396,21 @@ def main():
     # default (headline-config) runs refresh the stale-fallback row;
     # variant runs (13B / TeaCache / attn tiers / bf16 / fusion envs)
     # don't, so the fallback always shows the DEFAULT-config driver metric
+    def _on(name):
+        # mirror the feature gates' own parsing: "0"/"off"/"false"/""
+        # mean DISABLED, i.e. still the default config
+        return os.environ.get(name, "").strip().lower() not in (
+            "", "0", "off", "none", "false",
+        )
+
     variant = (
-        os.environ.get("BENCH_13B")
-        or os.environ.get("BENCH_TEACACHE")
-        or os.environ.get("BENCH_BF16")
+        _on("BENCH_13B")
+        or _on("BENCH_TEACACHE")
+        or _on("BENCH_BF16")
         or os.environ.get("BENCH_ATTN", "auto") not in ("", "auto")
-        or os.environ.get("LTXV_TPU_ROPE_HEADS")
-        or os.environ.get("LTXV_TPU_FUSED_PROLOGUE")
-        or os.environ.get("LTXV_TPU_SCORE_BOUND")
+        or _on("LTXV_TPU_ROPE_HEADS")
+        or _on("LTXV_TPU_FUSED_PROLOGUE")
+        or _on("LTXV_TPU_SCORE_BOUND")
     )
     if not variant:
         _save_last_good(result, detail)

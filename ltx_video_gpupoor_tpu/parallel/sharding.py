@@ -89,17 +89,7 @@ def wan_param_shardings(mesh: Mesh, params: dict) -> dict:
     hidden dims split over 'tp', everything else replicated. The
     pure-SPMD twin of :func:`transformer_param_shardings` — for tp-style
     serving meshes (sp == 1); the USP path runs weights replicated."""
-    flat = flatten(params)
-    rules = _with_quantized(_WAN_RULES)
-    out: dict[str, Any] = {}
-    for key, value in flat.items():
-        spec = P()
-        for pattern, rule in rules:
-            if pattern in key and value.ndim == len(rule):
-                spec = rule
-                break
-        out[key] = NamedSharding(mesh, spec)
-    return unflatten(out)
+    return _apply_rules(mesh, params, _with_quantized(_WAN_RULES))
 
 
 # T5/UMT5 encoder (models/t5.py): heads and FFN hidden over tp.
@@ -116,12 +106,9 @@ _T5_RULES = [
 ]
 
 
-def t5_param_shardings(mesh: Mesh, params: dict) -> dict:
-    """NamedSharding pytree for the T5/UMT5 encoder tree (bf16 and
-    quantized leaves). Relative-position biases and embeddings
-    replicate (tiny next to the matmuls)."""
+def _apply_rules(mesh: Mesh, params: dict, rules) -> dict:
+    """First substring+ndim rule match wins; unmatched leaves replicate."""
     flat = flatten(params)
-    rules = _with_quantized(_T5_RULES)
     out: dict[str, Any] = {}
     for key, value in flat.items():
         spec = P()
@@ -131,22 +118,19 @@ def t5_param_shardings(mesh: Mesh, params: dict) -> dict:
                 break
         out[key] = NamedSharding(mesh, spec)
     return unflatten(out)
+
+
+def t5_param_shardings(mesh: Mesh, params: dict) -> dict:
+    """NamedSharding pytree for the T5/UMT5 encoder tree (bf16 and
+    quantized leaves). Relative-position biases and embeddings
+    replicate (tiny next to the matmuls)."""
+    return _apply_rules(mesh, params, _with_quantized(_T5_RULES))
 
 
 def transformer_param_shardings(mesh: Mesh, params: dict) -> dict:
     """NamedSharding pytree matching the transformer param tree
     (bf16 kernels AND quantized leaves — see ``_with_quantized``)."""
-    flat = flatten(params)
-    rules = _with_quantized(_TRANSFORMER_RULES)
-    out: dict[str, Any] = {}
-    for key, value in flat.items():
-        spec = P()
-        for pattern, rule in rules:
-            if pattern in key and value.ndim == len(rule):
-                spec = rule
-                break
-        out[key] = NamedSharding(mesh, spec)
-    return unflatten(out)
+    return _apply_rules(mesh, params, _with_quantized(_TRANSFORMER_RULES))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

@@ -55,6 +55,18 @@ def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
         dict(zip(mesh.axis_names, mesh.devices.shape)),
     )
     pipeline = shard_pipeline(pipeline, mesh)
+    if mesh.shape.get("tp", 1) > 1 and os.environ.get(
+        "LTXV_TPU_FUSED_PROLOGUE"
+    ):
+        # shard_pipeline tp-shards the DiT weights on EVERY mesh style,
+        # and the fused adaLN-prologue pallas_call has no SPMD
+        # partitioning rule: on tp-sharded weights XLA would gather
+        # every DiT weight each step (or fail to compile)
+        logging.getLogger(__name__).warning(
+            "LTXV_TPU_FUSED_PROLOGUE disabled: no partitioning rule "
+            "for the fused kernel on a tp-sharded mesh"
+        )
+        os.environ.pop("LTXV_TPU_FUSED_PROLOGUE", None)
     if mesh.shape[SEQUENCE_AXIS] > 1:
         pipeline = dataclasses.replace(pipeline, sp_mesh=mesh)
     elif mesh.shape.get("tp", 1) > 1:
@@ -68,15 +80,6 @@ def apply_serving_mesh(pipeline: LTXPipeline) -> LTXPipeline:
         # partitioning rule.
         os.environ.setdefault("LTXV_TPU_ATTN_HEADPAR", "1")
         os.environ.setdefault("LTXV_TPU_ROPE_HEADS", "1")
-        if os.environ.get("LTXV_TPU_FUSED_PROLOGUE"):
-            # the fused adaLN-prologue pallas_call has no SPMD
-            # partitioning rule: on tp-sharded weights XLA would gather
-            # every DiT weight each step (or fail to compile)
-            logging.getLogger(__name__).warning(
-                "LTXV_TPU_FUSED_PROLOGUE disabled: no partitioning rule "
-                "for the fused kernel on a tp-sharded mesh"
-            )
-            os.environ.pop("LTXV_TPU_FUSED_PROLOGUE", None)
     return pipeline
 
 
@@ -516,9 +519,11 @@ def apply_wan_serving_mesh(pipeline):
         "wan serving mesh engaged: %s",
         dict(zip(mesh.axis_names, mesh.devices.shape)),
     )
-    if getattr(pipeline, "t5_params", None) is not None:
+    if tp > 1 and getattr(pipeline, "t5_params", None) is not None:
         # the UMT5 encode runs under a plain SPMD jit on every mesh
-        # style — tp-sharding it frees the replicated-XXL HBM
+        # style — tp-sharding it frees the replicated-XXL HBM. Gated on
+        # tp > 1: on a tp==1 mesh the specs degenerate to replication,
+        # which would COPY 9.4 GB of XXL onto every chip for nothing
         pipeline = _dc.replace(
             pipeline,
             t5_params=jax.tree.map(

@@ -181,16 +181,23 @@ def test_wan_serving_mesh_styles(monkeypatch):
 
     monkeypatch.setenv("LTXV_TPU_MESH", "dp1,sp1,tp8")
     monkeypatch.delenv("LTXV_TPU_ATTN_HEADPAR", raising=False)
-    tp_style = model_zoo.apply_wan_serving_mesh(pipe)
-    assert tp_style.sp_mesh is None
-    assert tp_style.mesh is not None  # parallel decode engages
-    kern = tp_style.model_params["blocks"]["self_attn"]["q"]["kernel"]
-    assert kern.sharding.spec == jax.sharding.PartitionSpec(
-        None, None, "tp"
-    )
     import os
 
-    assert os.environ.get("LTXV_TPU_ATTN_HEADPAR") == "1"
+    try:
+        tp_style = model_zoo.apply_wan_serving_mesh(pipe)
+        assert tp_style.sp_mesh is None
+        assert tp_style.mesh is not None  # parallel decode engages
+        kern = tp_style.model_params["blocks"]["self_attn"]["q"]["kernel"]
+        assert kern.sharding.spec == jax.sharding.PartitionSpec(
+            None, None, "tp"
+        )
+        assert os.environ.get("LTXV_TPU_ATTN_HEADPAR") == "1"
+    finally:
+        # the function sets the gate via os.environ.setdefault (NOT
+        # monkeypatch), so undo it here or every later test in the
+        # process runs with headpar globally enabled
+        os.environ.pop("LTXV_TPU_ATTN_HEADPAR", None)
+        os.environ.pop("LTXV_TPU_ROPE_HEADS", None)
 
 
 def test_provision_required_files_cover_cold_start():
