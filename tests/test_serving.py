@@ -148,6 +148,47 @@ def test_serving_mesh_from_env_matches_single_device(tmp_path, monkeypatch):
     assert model_zoo.build_demo_model().generator.pipeline.sp_mesh is None
 
 
+def test_serving_mesh_tp_style_matches_single_device(monkeypatch):
+    """tp-style LTX serving (sp==1): weights shard over 'tp', XLA SPMD
+    partitions the jitted denoise, output equals single-device. The env
+    gates the tp branch sets are undone so later tests stay clean."""
+    import os
+
+    import jax
+
+    emb = np.zeros((2, 16, 32), np.float32)
+    kw = dict(height=64, width=64, frame_num=9, sampling_steps=2, seed=7)
+    base = model_zoo.build_demo_model().generator.generate(
+        emb, np.ones((2, 16), np.int32), **kw
+    )
+
+    monkeypatch.setenv("LTXV_TPU_MESH", "dp1,sp1,tp8")
+    monkeypatch.delenv("LTXV_TPU_ATTN_HEADPAR", raising=False)
+    monkeypatch.delenv("LTXV_TPU_ROPE_HEADS", raising=False)
+    try:
+        model = model_zoo.build_demo_model()
+        pipe = model.generator.pipeline
+        assert pipe.sp_mesh is None
+        assert pipe.mesh is not None
+        spec = pipe.transformer_params["blocks"]["attn1"]["to_q"]["kernel"]
+        assert spec.sharding.spec == jax.sharding.PartitionSpec(
+            None, None, "tp"
+        )
+        # rope-heads rerouting is numerics-exact; headpar is inert in
+        # the CPU xla mode, engaged on TPU pallas modes
+        assert os.environ.get("LTXV_TPU_ROPE_HEADS") == "1"
+        out = model.generator.generate(emb, np.ones((2, 16), np.int32),
+                                       **kw)
+        # uint8 frames: SPMD fusion order can flip a half-ULP at the
+        # quantize boundary — allow off-by-one
+        np.testing.assert_allclose(
+            out.astype(np.int16), base.astype(np.int16), atol=1
+        )
+    finally:
+        os.environ.pop("LTXV_TPU_ATTN_HEADPAR", None)
+        os.environ.pop("LTXV_TPU_ROPE_HEADS", None)
+
+
 def test_wan_serving_mesh_styles(monkeypatch):
     """apply_wan_serving_mesh routes by mesh style: sp>1 -> USP with
     replicated weights (sp_mesh AND mesh set); sp==1/tp>1 -> tp-sharded
