@@ -12,6 +12,14 @@ while true; do
     echo "relay UP $(date -u +%H:%M:%S)" >> "$LOG"
     bash tools/r3_perf_session.sh /tmp/r3_perf >> "$LOG" 2>&1
     echo "perf session finished $(date -u +%H:%M:%S)" >> "$LOG"
+    # land the evidence in git even if the build session is gone:
+    # session logs + the refreshed last-good/parity records
+    mkdir -p perf_logs/r3
+    cp /tmp/r3_perf/*.log perf_logs/r3/ 2>/dev/null
+    git add perf_logs/r3 BENCH_LAST_GOOD.json PARITY_KERNEL.json \
+      2>/dev/null
+    git commit -q -m "Record the r3 on-hardware perf session logs" \
+      2>/dev/null
     exit 0
   fi
   echo "relay down $(date -u +%H:%M:%S)" >> "$LOG"
