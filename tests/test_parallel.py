@@ -273,6 +273,17 @@ def test_headpar_attention_matches_unsharded(mesh8):
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
 
+    # the quantized tier shares the wrapper (static args): int8-QK under
+    # head partitioning must also match its unsharded self
+    ref8 = headpar_flash_attention(q, k, v, qk_int8=True, interpret=True)
+    out8 = jax.jit(
+        lambda a, bb, c: headpar_flash_attention(a, bb, c, qk_int8=True,
+                                                 interpret=True)
+    )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+    np.testing.assert_allclose(
+        np.asarray(out8), np.asarray(ref8), atol=1e-5, rtol=1e-5
+    )
+
     # q-token sharding is also legal (rows are independent; kv replicates)
     sh_s = NamedSharding(mesh8, P(None, None, "sp", None))
     out_s = jax.jit(
