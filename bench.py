@@ -72,9 +72,13 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
     probe = ("import jax, jax.numpy as jnp;"
              "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]))")
     while True:
+        # clamp the per-probe timeout to the remaining budget (floor 10 s
+        # so a probe can still succeed) — a 20 s budget should cost ~20 s,
+        # not one full 60 s probe
+        probe_timeout = max(10.0, min(60.0, deadline - time.time()))
         try:
             rc = subprocess.run(
-                [sys.executable, "-c", probe], timeout=60,
+                [sys.executable, "-c", probe], timeout=probe_timeout,
                 capture_output=True,
             ).returncode
         except Exception:
