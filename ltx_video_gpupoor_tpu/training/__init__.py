@@ -1,3 +1,4 @@
+from .checkpoint import TrainCheckpointer  # noqa: F401
 from .trainer import (  # noqa: F401
     TrainBatch,
     TrainConfig,

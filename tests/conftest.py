@@ -50,6 +50,7 @@ import pytest  # noqa: E402
 _SLOW_MODULES = {
     # virtual-mesh / multi-device
     "test_parallel", "test_ring_rdma", "test_training",
+    "test_training_checkpoint",
     # heavy model / pipeline sweeps
     "test_wan_vae", "test_ltx_pipeline", "test_quant_lora",
     "test_wan_model", "test_wan_pipeline", "test_wan_df",
