@@ -65,4 +65,14 @@ run bench_13b BENCH_WAIT_TPU_S=120 BENCH_13B=1 BENCH_ATTN=pallas_int8pv \
 run bench_combo BENCH_WAIT_TPU_S=120 BENCH_ATTN=pallas_int8pv \
   LTXV_TPU_ROPE_HEADS=1 LTXV_TPU_FUSED_PROLOGUE=1 python bench.py
 
+# 10. production-best headline: TeaCache 1.75x stacked on the combined
+# tier (the serving mode a reference user actually runs)
+run bench_combo_tc BENCH_WAIT_TPU_S=120 BENCH_TEACACHE=1.75 \
+  BENCH_ATTN=pallas_int8pv LTXV_TPU_ROPE_HEADS=1 \
+  LTXV_TPU_FUSED_PROLOGUE=1 python bench.py
+
+# 11. 13B TeaCache row refresh on the best tier
+run bench_13b_tc BENCH_WAIT_TPU_S=120 BENCH_13B=1 BENCH_TEACACHE=1.75 \
+  BENCH_ATTN=pallas_int8pv python bench.py
+
 echo "session complete; logs in $LOG"
