@@ -57,16 +57,24 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
     A failed TPU backend init is cached for the whole process, so probe
     in SUBPROCESSES and only let this process touch a device once a
     probe succeeds — a transient relay outage at bench time then costs
-    minutes of waiting instead of the round's benchmark. Probes are
-    short (60 s timeout, 15 s gap) and continuous so the first relay
-    recovery inside the budget is caught within ~1 min; ``history``
-    (if given) collects one ``[elapsed_s, rc]`` entry per probe for the
-    failure diagnostic. ``BENCH_WAIT_TPU_S`` overrides the wait budget
-    (0 = single probe, no wait)."""
+    minutes of waiting instead of the round's benchmark.
+
+    The shared relay behaves as a FIFO queue under pool contention
+    (measured r3: a 20 s probe times out for an hour straight while a
+    single patient attempt succeeds after ~626 s) — and a killed probe
+    loses its place in that queue, so short continuous probes can NEVER
+    get through. Probe in LONG slices instead: each slice waits up to
+    ``BENCH_PROBE_SLICE_S`` (default 900 s, clamped to the remaining
+    budget); a fresh slice still catches a dead-then-restarted relay
+    whose pending connections hang. ``history`` (if given) collects one
+    ``[elapsed_s, rc]`` entry per probe for the failure diagnostic.
+    ``BENCH_WAIT_TPU_S`` overrides the wait budget (0 = single short
+    probe, no wait)."""
     import subprocess
     import sys
 
     max_wait_s = float(os.environ.get("BENCH_WAIT_TPU_S", max_wait_s))
+    slice_s = float(os.environ.get("BENCH_PROBE_SLICE_S", "900"))
     start = time.time()
     deadline = start + max_wait_s
     probe = ("import jax, jax.numpy as jnp;"
@@ -74,8 +82,8 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
     while True:
         # clamp the per-probe timeout to the remaining budget (floor 10 s
         # so a probe can still succeed) — a 20 s budget should cost ~20 s,
-        # not one full 60 s probe
-        probe_timeout = max(10.0, min(60.0, deadline - time.time()))
+        # not one full slice
+        probe_timeout = max(10.0, min(slice_s, deadline - time.time()))
         try:
             rc = subprocess.run(
                 [sys.executable, "-c", probe], timeout=probe_timeout,
@@ -89,7 +97,7 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
             return True
         if time.time() >= deadline:
             return False
-        time.sleep(15)
+        time.sleep(5)
 
 
 def _save_last_good(result: dict, detail: dict) -> None:

@@ -1,14 +1,16 @@
 #!/bin/bash
 # Wait for the relay chip to answer, then run the r3 perf session.
-# Probes with a 20s killable subprocess every 60s (a relay that can't
-# answer a tiny matmul in 20s is down). Logs to /tmp/relay_watch.log.
+# Probes with a PATIENT 900s killable subprocess (the relay is a FIFO
+# queue under pool contention — a killed short probe loses its place
+# and can never get through; measured r3: one patient attempt succeeds
+# after ~626s while 20s probes starve). Logs to /tmp/relay_watch.log.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/relay_watch.log
 PROBE='import jax, jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))'
 echo "watch start $(date -u +%H:%M:%S)" >> "$LOG"
 while true; do
-  if timeout 20 python -c "$PROBE" >/dev/null 2>&1; then
+  if timeout 900 python -c "$PROBE" >/dev/null 2>&1; then
     echo "relay UP $(date -u +%H:%M:%S)" >> "$LOG"
     bash tools/r3_perf_session.sh /tmp/r3_perf >> "$LOG" 2>&1
     echo "perf session finished $(date -u +%H:%M:%S)" >> "$LOG"
