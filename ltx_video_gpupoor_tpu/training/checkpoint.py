@@ -44,8 +44,30 @@ def _pack_rng(rng: jax.Array) -> jax.Array:
     return rng
 
 
-def _unpack_rng(data: jax.Array, typed: bool) -> jax.Array:
-    return jax.random.wrap_key_data(data) if typed else data
+def _rng_impl_name(rng_like) -> Optional[str]:
+    """PRNG impl name carried by a typed key (concrete array OR
+    ``jax.ShapeDtypeStruct``) — the impl travels in the dtype."""
+    try:
+        return rng_like.dtype._impl.name
+    except Exception:
+        try:
+            return str(jax.random.key_impl(rng_like))
+        except Exception:
+            return None
+
+
+def _unpack_rng(data: jax.Array, impl: Optional[str]) -> jax.Array:
+    """Raw uint32 key data -> typed key under the TARGET's impl.
+
+    ``impl=None`` means the target rng is untyped raw data. Passing the
+    impl explicitly (instead of relying on ``jax_default_prng_impl``)
+    keeps resume bit-exact when the process default differs from the
+    impl the run trains with (e.g. ``rbg`` on TPU): cross-impl restores
+    with different key widths fail loudly on the shape instead of
+    silently reinterpreting the bits."""
+    if impl is None:
+        return data
+    return jax.random.wrap_key_data(data, impl=impl)
 
 
 @dataclasses.dataclass
@@ -102,6 +124,7 @@ class TrainCheckpointer:
                 f"no checkpoint under {self.directory!r}"
             )
         rng_typed = jnp.issubdtype(rng_like.dtype, jax.dtypes.prng_key)
+        rng_impl = _rng_impl_name(rng_like) if rng_typed else None
 
         def abstract(x):
             x = jax.ShapeDtypeStruct(
@@ -110,10 +133,18 @@ class TrainCheckpointer:
             )
             return x
 
+        # packed-rng structure via eval_shape: works whether rng_like is
+        # a concrete key array or an abstract ShapeDtypeStruct (key_data
+        # on an abstract value would raise)
+        rng_packed = jax.eval_shape(_pack_rng, rng_like)
+        rng_packed = jax.ShapeDtypeStruct(
+            rng_packed.shape, rng_packed.dtype,
+            sharding=getattr(rng_like, "sharding", None),
+        )
         target = {
             "params": jax.tree.map(abstract, params_like),
             "opt_state": jax.tree.map(abstract, opt_state_like),
-            "rng": abstract(_pack_rng(rng_like)),
+            "rng": rng_packed,
         }
         state = self._mgr.restore(
             int(step), args=ocp.args.StandardRestore(target)
@@ -122,7 +153,7 @@ class TrainCheckpointer:
             int(step),
             state["params"],
             state["opt_state"],
-            _unpack_rng(state["rng"], rng_typed),
+            _unpack_rng(state["rng"], rng_impl),
         )
 
     def close(self) -> None:

@@ -149,3 +149,56 @@ def test_restore_without_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         ckpt.restore(params, opt, jax.random.key(0))
     ckpt.close()
+
+
+def test_restore_with_abstract_rng_target(tmp_path):
+    """The resume-from-scratch flow builds its target via jax.eval_shape,
+    so rng_like arrives as a ShapeDtypeStruct with a typed key dtype —
+    restore must not require a concrete key (review fix)."""
+    params = init_params(jax.random.key(0), CFG)
+    opt = init_train_state(params, TC)
+    key = jax.random.key(7)
+    ckpt = TrainCheckpointer(str(tmp_path / "run"))
+    ckpt.save(1, params, opt, key)
+
+    params_sds = jax.eval_shape(lambda: params)
+    opt_sds = jax.eval_shape(lambda: opt)
+    rng_sds = jax.eval_shape(lambda: key)
+    assert isinstance(rng_sds, jax.ShapeDtypeStruct)
+
+    step, p2, o2, key2 = ckpt.restore(params_sds, opt_sds, rng_sds)
+    assert step == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)),
+        np.asarray(jax.random.key_data(key2)),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        params, p2,
+    )
+    ckpt.close()
+
+
+def test_restore_rng_impl_follows_target_not_process_default(tmp_path):
+    """A checkpoint saved under a non-default PRNG impl (e.g. rbg on
+    TPU) restores under the TARGET rng's impl, not the process default
+    — otherwise wrap_key_data silently reinterprets the bits and the
+    'resume is bit-exact' guarantee breaks (review fix)."""
+    params = init_params(jax.random.key(0), CFG)
+    opt = init_train_state(params, TC)
+    with jax.default_prng_impl("rbg"):
+        key = jax.random.key(3)
+    assert jax.random.key_data(key).shape == (4,)
+
+    ckpt = TrainCheckpointer(str(tmp_path / "run"))
+    ckpt.save(0, params, opt, key)
+    # process default here is threefry2x32; the target key carries rbg
+    _, _, _, key2 = ckpt.restore(params, opt, key)
+    assert key2.dtype == key.dtype, (key2.dtype, key.dtype)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)),
+        np.asarray(jax.random.key_data(key2)),
+    )
+    ckpt.close()

@@ -57,3 +57,25 @@ def timeit_rep(fn, *args, n=30):
         o = fn(*args)
     sync_scalar(o)
     return (time.time() - t0) / n
+
+
+def require_backend() -> None:
+    """Wait for the relay chip BEFORE the first in-process device touch.
+
+    Honors ``BENCH_WAIT_TPU_S`` (same contract as bench.py) and exits
+    non-zero when the relay never answers — so a perf-session step is
+    skipped in minutes instead of hanging on an in-process backend init
+    until the step's outer ``timeout`` kills it (a failed init is also
+    cached for the whole process, which would poison the run anyway).
+    """
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from bench import wait_for_backend
+
+    if not wait_for_backend():
+        print("backend unavailable after wait budget; skipping", flush=True)
+        raise SystemExit(3)

@@ -27,7 +27,7 @@ from ltx_video_gpupoor_tpu.ops.quant import (
 )
 from ltx_video_gpupoor_tpu.ops.int8_matmul import int8_dynamic_matmul_fused
 
-from _bench_util import timeit_loop  # noqa: E402  (script-dir import)
+from _bench_util import require_backend, timeit_loop  # noqa: E402
 
 M = 2 * 5280
 SHAPES = (
@@ -42,6 +42,7 @@ BLOCKS = (
 
 
 def main():
+    require_backend()
     for name, k, n in SHAPES:
         kx, kw = jax.random.split(jax.random.key(hash(name) % 2**31), 2)
         x = jax.random.normal(kx, (M, k), jnp.bfloat16)

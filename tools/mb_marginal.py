@@ -30,10 +30,11 @@ from ltx_video_gpupoor_tpu.ops.quant import quantize_params
 B, S, SC, STEPS = 2, 5280, 256, 30
 
 
-from _bench_util import sync_scalar as _sync  # noqa: E402
+from _bench_util import require_backend, sync_scalar as _sync  # noqa: E402
 
 
 def main():
+    require_backend()
     cfg = t3d.LTXTransformerConfig(
         num_attention_heads=32, attention_head_dim=64, in_channels=128,
         out_channels=128, num_layers=28, cross_attention_dim=2048,

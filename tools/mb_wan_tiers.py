@@ -6,6 +6,9 @@ exact vs int8pv attention. Denoise only (no VAE decode). Real TPU.
 import sys, time
 
 sys.path.insert(0, ".")
+from _bench_util import require_backend  # noqa: E402  (script-dir import)
+
+require_backend()  # module-level device work below; gate the relay first
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,10 +18,14 @@ while true; do
     # session logs + the refreshed last-good/parity records
     mkdir -p perf_logs/r3
     cp /tmp/r3_perf/*.log perf_logs/r3/ 2>/dev/null
-    git add perf_logs/r3 BENCH_LAST_GOOD.json PARITY_KERNEL.json \
-      2>/dev/null
+    # scope the commit to these paths only (never sweep in whatever the
+    # build session has staged) and never stage a deletion of the parity
+    # record if a failed refresh removed it
+    git add perf_logs/r3 2>/dev/null
+    paths="perf_logs/r3 BENCH_LAST_GOOD.json"
+    [ -f PARITY_KERNEL.json ] && paths="$paths PARITY_KERNEL.json"
     git commit -q -m "Record the r3 on-hardware perf session logs" \
-      2>/dev/null
+      -- $paths 2>/dev/null
     exit 0
   fi
   echo "relay down $(date -u +%H:%M:%S)" >> "$LOG"
