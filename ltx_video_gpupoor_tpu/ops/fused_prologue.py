@@ -186,16 +186,21 @@ def norm_mod_int8_matmul(
         # leading singleton keeps the (sublane, lane) block tile-legal
         pl.BlockSpec((1, bm, k), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i, j: (0, (i * bm) // gs, 0),
+        # scale/shift select ONE group row per block: the group axis must
+        # be the LEADING (untiled) dim — Mosaic requires the last-two
+        # block dims be (8,128)-multiples or equal to the array dims, so
+        # [G, K] with a (1, K) block is illegal for G > 1 while
+        # [G, 1, K] with a (1, 1, K) block is exact
+        pl.BlockSpec((1, 1, k), lambda i, j: ((i * bm) // gs, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i, j: (0, (i * bm) // gs, 0),
+        pl.BlockSpec((1, 1, k), lambda i, j: ((i * bm) // gs, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((k, bn), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bn), lambda i, j: (0, 0, j),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x[None], scale[None], shift[None], w_int8,
+    args = [x[None], scale[:, None, :], shift[:, None, :], w_int8,
             w_scale.astype(jnp.float32)[None, None, :]]
     if has_bias:
         in_specs.append(
