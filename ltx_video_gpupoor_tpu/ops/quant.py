@@ -121,20 +121,29 @@ def int8_dynamic_matmul_dispatch(
     s8xs8 MXU dot + dequant epilogue in one program — see
     ops/int8_matmul.py; numerics pinned by tests/test_int8_matmul.py),
     XLA path otherwise. Opt-in (LTXV_TPU_FUSED_INT8=1) because measured
-    v5e rates so far do NOT beat XLA's in-graph overlap of the unfused
-    chain (~70 vs ~72 TF/s standalone; XLA reaches ~190 effective when
-    several dots share a graph)."""
+    v5e rates at the old 512x512 blocks did NOT beat XLA's in-graph
+    overlap of the unfused chain. The r3 block sweep
+    (tools/mb_ffn_sweep.py, S=5280) found the fused kernel wins ONLY at
+    projection-ish shapes (K and N <= 4096: 1.75 vs 2.06 ms at
+    2048->2048 with 1024x1024 blocks) and still loses at the wide FFN
+    shapes — so the opt-in routes just those, with the winning blocks,
+    and leaves FFN matmuls on XLA."""
     import os
 
+    k, n = q.w_int8.shape
     if (
         os.environ.get("LTXV_TPU_FUSED_INT8", "").lower()
         in ("1", "true", "on")
         and jax.default_backend() == "tpu"
-        and q.w_int8.shape[1] % 256 == 0
+        and n % 256 == 0
+        and k <= 4096
+        and n <= 4096
     ):
         from .int8_matmul import int8_dynamic_matmul_fused
 
-        return int8_dynamic_matmul_fused(x, q.w_int8, q.scale, bias)
+        return int8_dynamic_matmul_fused(
+            x, q.w_int8, q.scale, bias, block_m=1024, block_n=1024
+        )
     return int8_dynamic_matmul(x, q, bias)
 
 
