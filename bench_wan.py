@@ -98,6 +98,10 @@ def main():
         tier += f"+bound{sb}"
     if am:
         tier += f"+{am}"
+    from ltx_video_gpupoor_tpu.ops.rope import rope_heads_enabled
+
+    if rope_heads_enabled(default=True):  # Wan family default since r3
+        tier += "+ropeheads"
 
     x = jax.random.normal(
         key, (1, f_lat, h_lat, w_lat, cfg.in_dim), jnp.bfloat16

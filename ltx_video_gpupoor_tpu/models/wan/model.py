@@ -479,7 +479,8 @@ def forward(
     tokens, grid = patch_embed(params["patch_embedding"], cfg, x)
     b, l, d = tokens.shape
 
-    if rope_heads_enabled() and freqs[0].shape[-1] == cfg.head_dim:
+    if (rope_heads_enabled(default=True)
+            and freqs[0].shape[-1] == cfg.head_dim):
         # one conversion per forward, outside the block scan; the blocks
         # detect the half-width tables and take the fused rope-on-heads
         # path (see _self_attention)

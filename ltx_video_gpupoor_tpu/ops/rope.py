@@ -91,18 +91,23 @@ def apply_rotary_emb_heads(
     return out.astype(x.dtype).transpose(0, 2, 1, 3)
 
 
-def rope_heads_enabled() -> bool:
-    """Opt-in rope-on-heads output layout (``LTXV_TPU_ROPE_HEADS=1``):
-    the rotation writes its result directly in head-major ``[B, H, S, d]``,
+def rope_heads_enabled(default: bool = False) -> bool:
+    """Rope-on-heads output layout (``LTXV_TPU_ROPE_HEADS``): the
+    rotation writes its result directly in head-major ``[B, H, S, d]``,
     fusing the head relayout into the RoPE pass instead of paying the
     rotation and the ``[B,S,..]->[B,H,S,..]`` transpose as separate HBM
-    round-trips. One knob for both model families (LTX packed tables,
-    Wan shared-per-head tables)."""
+    round-trips. One knob for both model families, but the measured
+    default is per-family (r3 on-hardware A/B): Wan (d=128) passes
+    ``default=True`` (−8.3% step), LTX (d=64) ``default=False`` (+0.6%
+    — the narrower lane blocks lose more to the strided store than the
+    saved transpose). The env var overrides both ways; unset keeps the
+    family default."""
     import os
 
-    return os.environ.get(
-        "LTXV_TPU_ROPE_HEADS", ""
-    ).strip().lower() in ("1", "true", "on")
+    raw = os.environ.get("LTXV_TPU_ROPE_HEADS", "").strip().lower()
+    if not raw:
+        return default
+    return raw in ("1", "true", "on")
 
 
 def full_to_half(tab: jax.Array) -> jax.Array:

@@ -3,6 +3,7 @@
 Isolates where bench_wan's step time goes: bf16 vs int8-dyn linears,
 exact vs int8pv attention. Denoise only (no VAE decode). Real TPU.
 """
+import os
 import sys, time
 
 sys.path.insert(0, ".")
@@ -58,6 +59,9 @@ def bench(name, params, mode):
           flush=True)
 
 
+# rope-on-heads is the Wan DEFAULT since the r3 A/B below adopted it;
+# pin it OFF for the non-ropeheads rows so the labels stay honest
+os.environ["LTXV_TPU_ROPE_HEADS"] = "0"
 bench("bf16 + exact", params_bf16, "pallas")
 bench("bf16 + int8pv", params_bf16, "pallas_int8pv")
 bench("int8dyn + exact", params_int8, "pallas")
@@ -65,9 +69,7 @@ bench("int8dyn + int8pv", params_int8, "pallas_int8pv")
 
 # rope-on-heads layout (env read at trace time; each bench() builds a
 # fresh jit, so flipping between rows is safe)
-import os
-
 os.environ["LTXV_TPU_ROPE_HEADS"] = "1"
 bench("bf16 + int8pv + ropeheads", params_bf16, "pallas_int8pv")
 bench("int8dyn + int8pv + ropeheads", params_int8, "pallas_int8pv")
-del os.environ["LTXV_TPU_ROPE_HEADS"]
+del os.environ["LTXV_TPU_ROPE_HEADS"]  # back to the family default
