@@ -233,11 +233,16 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
-    # BENCH_ATTN=pallas|pallas_int8|pallas_int8pv|xla: attention tier
-    # (pallas_int8pv is the sage2-equivalent int8 QK+PV tier — measured
-    # wins at the 13B/Wan d=128 shapes AND at d=64 since the
-    # quantize-after-sum-col reorder)
+    # BENCH_ATTN=pallas|pallas_int8|pallas_int8pv|xla: attention tier.
+    # "auto" resolves to pallas_int8pv — the sage2-equivalent int8 QK+PV
+    # tier, which is what the reference's get_auto_attention picks when
+    # sageattention is installed (inference.py:87-93), and the best
+    # measured tier at BOTH head dims (r3: 13.28 vs 13.75 s/video at
+    # d=64; −272 ms/step at the 13B d=128 shape). The exact-softmax
+    # honest row stays one env away (BENCH_ATTN=pallas).
     attn_mode = os.environ.get("BENCH_ATTN", "auto")
+    if attn_mode in ("", "auto"):
+        attn_mode = "pallas_int8pv"
     vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 
     f_lat = (FRAMES - 1) // vae_cfg.temporal_downscale_factor + 1

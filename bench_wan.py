@@ -133,29 +133,46 @@ def main():
     tc_mask_j = jnp.asarray(tc_mask)
     exec_frac = float(tc_mask.mean())
 
-    @jax.jit
-    def denoise(params, lat):
-        res0 = jnp.zeros((2, n_tokens, cfg.dim), jnp.bfloat16)
+    # One denoise segment (SEG_LEN steps) per device execution: a single
+    # 30-step scan is a ~110 s XLA execution at these token counts, and
+    # the shared relay's worker watchdog kills it ("TPU worker process
+    # crashed or restarted" — reproduced 3x on the 30-step TeaCache run
+    # while the 4-step run was fine). Host-chaining equal-shape segments
+    # keeps one compile, stays async (no host fetch between segments),
+    # and bounds every execution under ~20 s.
+    seg_len = next(
+        (s for s in (5, 6, 4, 3, 2) if timed_steps % s == 0), 1
+    ) if timed_steps > 8 else timed_steps
+    sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)  # [steps, 2]
 
-        def body(carry, i):
+    @jax.jit
+    def denoise_seg(params, lat, res, pairs, mask):
+        def body(carry, step):
             lat, res = carry
-            t = sigmas[i] * 1000.0
+            pair, comp = step
+            t = pair[0] * 1000.0
             xs = jnp.concatenate([lat, lat], axis=0)
             v, res = forward(
                 params, cfg, xs, jnp.full((2,), t), ctx, cmask, freqs,
-                previous_residual=res, compute=tc_mask_j[i],
+                previous_residual=res, compute=comp,
             )
             un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
             pred = un + 5.0 * (co - un)
             # plain Euler between sigma levels (timing-equivalent to UniPC)
             lat = (
-                lat.astype(jnp.float32)
-                + (sigmas[i + 1] - sigmas[i]) * pred
+                lat.astype(jnp.float32) + (pair[1] - pair[0]) * pred
             ).astype(lat.dtype)
             return (lat, res), None
 
-        (lat, _), _ = jax.lax.scan(body, (lat, res0),
-                                   jnp.arange(timed_steps))
+        return jax.lax.scan(body, (lat, res), (pairs, mask))[0]
+
+    def denoise(params, lat):
+        res = jnp.zeros((2, n_tokens, cfg.dim), jnp.bfloat16)
+        for s in range(0, timed_steps, seg_len):
+            lat, res = denoise_seg(
+                params, lat, res,
+                sig_pairs[s:s + seg_len], tc_mask_j[s:s + seg_len],
+            )
         return lat[0, 0, 0, 0, 0].astype(jnp.float32)
 
     t0 = time.time()
