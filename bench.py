@@ -63,10 +63,10 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
     (measured r3: a 20 s probe times out for an hour straight while a
     single patient attempt succeeds after ~626 s) — and a killed probe
     loses its place in that queue, so short continuous probes can NEVER
-    get through. Probe in LONG slices instead: each slice waits up to
-    ``BENCH_PROBE_SLICE_S`` (default 900 s, clamped to the remaining
-    budget); a fresh slice still catches a dead-then-restarted relay
-    whose pending connections hang. ``history`` (if given) collects one
+    get through. Probe in ONE budget-spanning slice by default (set
+    ``BENCH_PROBE_SLICE_S`` to probe in shorter slices, each clamped to
+    the remaining budget — a fresh slice catches a dead-then-restarted
+    relay whose pending connections hang, but re-enters the queue). ``history`` (if given) collects one
     ``[elapsed_s, rc]`` entry per probe for the failure diagnostic.
     ``BENCH_WAIT_TPU_S`` overrides the wait budget (0 = single short
     probe, no wait)."""
@@ -74,7 +74,14 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
     import sys
 
     max_wait_s = float(os.environ.get("BENCH_WAIT_TPU_S", max_wait_s))
-    slice_s = float(os.environ.get("BENCH_PROBE_SLICE_S", "900"))
+    # default slice = the WHOLE budget (one patient probe): a killed
+    # probe loses its FIFO queue place, so slicing makes any queue
+    # longer than one slice impassable no matter how large the budget.
+    # Set BENCH_PROBE_SLICE_S to slice anyway (catches a relay that died
+    # mid-hang and restarted, at the cost of re-queueing per slice).
+    slice_s = float(os.environ.get("BENCH_PROBE_SLICE_S", "0") or 0)
+    if slice_s <= 0:
+        slice_s = max(max_wait_s, 10.0)
     start = time.time()
     deadline = start + max_wait_s
     probe = ("import jax, jax.numpy as jnp;"
@@ -403,6 +410,13 @@ def main():
         "vae_decode_s": round(decode_s, 3),
         "compile_s": round(compile_s + decode_compile_s, 1),
         "tokens": n_tokens,
+        # record the resolved attention tier: the metric name is stable
+        # across rounds, so the tier must be auditable from the artifact
+        # (the "auto" default flipped exact-softmax -> int8pv in r3)
+        "attn_tier": attn_mode,
+        "quant": ("int4_wo" if os.environ.get("BENCH_13B")
+                  else "bf16" if os.environ.get("BENCH_BF16")
+                  else "int8_dynamic"),
     }
     # detail + parity lines FIRST: the driver's artifact parses the LAST
     # JSON line of the output tail (observed in BENCH_r01.json, where the
@@ -425,9 +439,12 @@ def main():
         or _on("BENCH_TEACACHE")
         or _on("BENCH_BF16")
         or os.environ.get("BENCH_ATTN", "auto") not in ("", "auto")
+        or _on("BENCH_SCORE_BOUND")
         or _on("LTXV_TPU_ROPE_HEADS")
         or _on("LTXV_TPU_FUSED_PROLOGUE")
         or _on("LTXV_TPU_SCORE_BOUND")
+        or _on("LTXV_TPU_FUSED_INT8")
+        or _on("LTXV_TPU_MESH")
     )
     if not variant:
         _save_last_good(result, detail)
@@ -452,10 +469,16 @@ def _emit_parity():
     # a fresh trip through the relay queue.
     fresh_s = float(os.environ.get("BENCH_PARITY_FRESH_S", "1800"))
     try:
+        import socket
+
         with open(out) as fh:
             prev = json.load(fh)
         checked = prev.get("checked_at")
-        if checked and prev.get("ok"):
+        # a record is only "this session's" if THIS host wrote it: a
+        # committed record from another machine whose local clock falls
+        # in the window must not masquerade as this hardware's verdict
+        same_host = prev.get("host") == socket.gethostname()
+        if checked and prev.get("ok") and same_host:
             age = time.time() - time.mktime(
                 time.strptime(checked, "%Y-%m-%dT%H:%M:%S"))
             if 0 <= age < fresh_s:
@@ -481,8 +504,11 @@ def _emit_parity():
         )
         with open(tmp) as fh:
             res = json.load(fh)
+        import socket
+
         res["parity_rc"] = proc.returncode
         res["checked_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        res["host"] = socket.gethostname()
         with open(tmp, "w") as fh:
             json.dump(res, fh, indent=1)
         os.replace(tmp, out)

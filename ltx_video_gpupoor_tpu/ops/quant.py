@@ -123,11 +123,12 @@ def int8_dynamic_matmul_dispatch(
     XLA path otherwise. Opt-in (LTXV_TPU_FUSED_INT8=1) because measured
     v5e rates at the old 512x512 blocks did NOT beat XLA's in-graph
     overlap of the unfused chain. The r3 block sweep
-    (tools/mb_ffn_sweep.py, S=5280) found the fused kernel wins ONLY at
-    projection-ish shapes (K and N <= 4096: 1.75 vs 2.06 ms at
-    2048->2048 with 1024x1024 blocks) and still loses at the wide FFN
-    shapes — so the opt-in routes just those, with the winning blocks,
-    and leaves FFN matmuls on XLA."""
+    (tools/mb_ffn_sweep.py, S=5280) measured a win ONLY at 2048->2048
+    (1.75 vs 2.06 ms with 1024x1024 blocks) and losses at the wide FFN
+    shapes (2048->8192, 8192->2048) — so the opt-in routes exactly the
+    swept win region (K and N <= 2048; the 13B 4096->4096 projections
+    are UNSWEPT and stay on XLA until measured) and leaves FFN matmuls
+    on XLA."""
     import os
 
     k, n = q.w_int8.shape
@@ -136,8 +137,8 @@ def int8_dynamic_matmul_dispatch(
         in ("1", "true", "on")
         and jax.default_backend() == "tpu"
         and n % 256 == 0
-        and k <= 4096
-        and n <= 4096
+        and k <= 2048
+        and n <= 2048
     ):
         from .int8_matmul import int8_dynamic_matmul_fused
 

@@ -77,8 +77,13 @@ def main() -> int:
                           "tail": proc.stdout[-400:] + proc.stderr[-400:]}))
         return 1
     os.remove(tmp)
+    import socket
+
     res["checked_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     res["parity_rc"] = proc.returncode
+    # reuse (bench.py::_emit_parity) is host-pinned: a committed record
+    # from another machine must never pass as this hardware's verdict
+    res["host"] = socket.gethostname()
     with open(OUT, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res))
