@@ -11,6 +11,7 @@ elsewhere (tests / CPU dry-runs).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal
 
 import jax
@@ -25,7 +26,17 @@ from .padding import pad_axis, round_up, unpad_axis
 AttentionMode = Literal["auto", "pallas", "pallas_hp", "pallas_int8",
                         "pallas_int8pv", "xla"]
 
-_FORCED_MODE: AttentionMode = "auto"
+_VALID_MODES = ("auto", "pallas", "pallas_hp", "pallas_int8",
+                "pallas_int8pv", "xla")
+
+# Process-wide override. Initialized from LTXV_TPU_ATTN so deployments
+# can pin a tier without code (the CLI's --attention flag and
+# set_attention_mode() still take precedence when called).
+_FORCED_MODE: AttentionMode = os.environ.get("LTXV_TPU_ATTN", "auto")
+if _FORCED_MODE not in _VALID_MODES:
+    raise ValueError(
+        f"LTXV_TPU_ATTN={_FORCED_MODE!r}: expected one of {_VALID_MODES}"
+    )
 
 
 def parse_sp(mode: str) -> tuple[str, str | None]:
@@ -49,8 +60,7 @@ def set_attention_mode(mode: AttentionMode) -> None:
     CLI flag / sage tiers, ``/root/reference/inference.py:87-93, 592``).
     ``pallas_int8`` is the SageAttention-equivalent int8-QK tier."""
     global _FORCED_MODE
-    if mode not in ("auto", "pallas", "pallas_hp", "pallas_int8",
-                    "pallas_int8pv", "xla"):
+    if mode not in _VALID_MODES:
         raise ValueError(f"unknown attention mode {mode!r}")
     _FORCED_MODE = mode
 
@@ -65,6 +75,27 @@ def _default_backend_is_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def resolve_mode(mode: AttentionMode) -> AttentionMode:
+    """Resolve ``"auto"`` to a concrete tier.
+
+    Mirrors the reference's ``get_auto_attention`` policy
+    (``/root/reference/inference.py:87-93``): its serving default is the
+    best installed tier — SageAttention2 when available — not exact
+    softmax. Our sage2-equivalent is ``pallas_int8pv`` (int8 QK and PV on
+    the MXU, per-kv-block K scales; stress-gated by the on-hardware
+    parity probe at <1% relative error and measured faster at BOTH head
+    dims: 13.28 vs 13.75 s/video at d=64, −272 ms/step at the 13B
+    d=128 shape). Exact softmax stays one knob away:
+    ``LTXV_TPU_ATTN=pallas`` or ``set_attention_mode("pallas")``.
+    Off-TPU, ``auto`` is the XLA reference path (Pallas kernels would
+    run interpreted)."""
+    if mode == "auto":
+        mode = _FORCED_MODE
+    if mode == "auto":
+        mode = "pallas_int8pv" if _default_backend_is_tpu() else "xla"
+    return mode
 
 
 def attention(
@@ -96,10 +127,7 @@ def attention(
     ``LTXV_TPU_ATTN_HEADPAR`` env gate. Must be False inside a manual
     ``shard_map`` (the USP paths pass it explicitly).
     """
-    if mode == "auto":
-        mode = _FORCED_MODE
-    if mode == "auto":
-        mode = "pallas" if _default_backend_is_tpu() else "xla"
+    mode = resolve_mode(mode)
     if mode == "pallas_hp":
         # hp applies only to head-packed callers (attention_packed);
         # head-split callers get the classic kernel
@@ -182,10 +210,7 @@ def attention_packed(
     """
     b, s, hd_total = q.shape
     d = hd_total // heads
-    if mode == "auto":
-        mode = _FORCED_MODE
-    if mode == "auto":
-        mode = "pallas" if _default_backend_is_tpu() else "xla"
+    mode = resolve_mode(mode)
     if (mode == "pallas_hp" and _default_backend_is_tpu()
             and d in (64, 128) and score_bound is None
             and (d == 128 or heads % 2 == 0)):

@@ -366,3 +366,53 @@ def test_causal_with_kv_valid_tail():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_auto_mode_resolution_policy():
+    """`auto` mirrors the reference's get_auto_attention policy
+    (/root/reference/inference.py:87-93): the sage2-equivalent int8pv
+    tier on TPU, the XLA reference path elsewhere; a forced mode (the
+    CLI --attention flag / set_attention_mode) always wins."""
+    from ltx_video_gpupoor_tpu.ops import attention as am
+
+    orig_backend, orig_forced = am._default_backend_is_tpu, am._FORCED_MODE
+    try:
+        am._default_backend_is_tpu = lambda: True
+        am._FORCED_MODE = "auto"
+        assert am.resolve_mode("auto") == "pallas_int8pv"
+        am._default_backend_is_tpu = lambda: False
+        assert am.resolve_mode("auto") == "xla"
+        am.set_attention_mode("pallas")
+        assert am.resolve_mode("auto") == "pallas"
+        # explicit modes pass through untouched
+        assert am.resolve_mode("pallas_int8") == "pallas_int8"
+    finally:
+        am._default_backend_is_tpu = orig_backend
+        am._FORCED_MODE = orig_forced
+
+
+def test_attn_env_knob_initializes_forced_mode():
+    """LTXV_TPU_ATTN pins the process-wide tier at import (deployment
+    knob); an invalid value fails fast with the valid set."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, LTXV_TPU_ATTN="pallas",
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from ltx_video_gpupoor_tpu.ops.attention import "
+         "get_attention_mode; print(get_attention_mode())"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == "pallas"
+
+    env["LTXV_TPU_ATTN"] = "sage3"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import ltx_video_gpupoor_tpu.ops.attention"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode != 0 and "LTXV_TPU_ATTN" in out.stderr
