@@ -183,14 +183,34 @@ def causal_conv3d(
             x = jnp.pad(x, pads, mode="edge")
         else:
             x = jnp.pad(x, pads)
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["kernel"].astype(x.dtype),
-        window_strides=stride,
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if stride[0] == 1:
+        # kt temporally shifted framewise 2-D convs summed in fp32 —
+        # identical math (fp32-exact, ``tools/mb_conv3d.py``) but XLA
+        # lowers batched NHWC 2-D convs onto the matrix unit far better
+        # than NDHWC 3-D convs (~5x at the Wan decoder's shapes, CPU
+        # backend; TPU numbers in docs/DESIGN.md).
+        b = x.shape[0]
+        f_out = x.shape[1] - (kt - 1)
+        k = p["kernel"].astype(x.dtype)
+        acc = None
+        for dt in range(kt):
+            flat = x[:, dt:dt + f_out].reshape((b * f_out,) + x.shape[2:])
+            y2 = jax.lax.conv_general_dilated(
+                flat, k[dt], (stride[1], stride[2]), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y2 if acc is None else acc + y2
+        y = acc.astype(x.dtype).reshape((b, f_out) + acc.shape[1:])
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            p["kernel"].astype(x.dtype),
+            window_strides=stride,
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y

@@ -62,8 +62,33 @@ WAN_LATENT_STD = np.array([
 # ---------------------------------------------------------------------------
 
 def causal_conv3d(p, x, stride=(1, 1, 1)):
-    """Wan CausalConv3d: zero-pad 2*(kt//2) front in time, same pad space."""
+    """Wan CausalConv3d: zero-pad 2*(kt//2) front in time, same pad space.
+
+    Stride-1 convs (every call site in this VAE) are computed as ``kt``
+    temporally shifted framewise 2-D convs summed in fp32 — identical
+    math (fp32-exact, ``tools/mb_conv3d.py``), but XLA lowers the
+    batched NHWC 2-D convs onto the matrix unit far better than NDHWC
+    3-D convs (~5x faster at the Wan decoder's serving shapes on the
+    CPU backend; TPU numbers in docs/DESIGN.md).
+    """
     kt, kh, kw = p["kernel"].shape[:3]
+    if stride == (1, 1, 1):
+        b, f = x.shape[:2]
+        k = p["kernel"].astype(x.dtype)
+        xp = jnp.pad(x, [(0, 0), (2 * (kt // 2), 0), (0, 0), (0, 0),
+                         (0, 0)])
+        acc = None
+        for dt in range(kt):
+            flat = xp[:, dt:dt + f].reshape((b * f,) + x.shape[2:])
+            y = jax.lax.conv_general_dilated(
+                flat, k[dt], (1, 1), [(kh // 2, kh // 2),
+                                      (kw // 2, kw // 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+        y = acc.astype(x.dtype).reshape((b, f) + acc.shape[1:])
+        return y + p["bias"].astype(y.dtype)
     pads = [(0, 0), (2 * (kt // 2), 0), (kh // 2, kh // 2),
             (kw // 2, kw // 2), (0, 0)]
     x = jnp.pad(x, pads)
