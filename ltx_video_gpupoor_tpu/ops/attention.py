@@ -175,12 +175,19 @@ def attention(
         from .headpar import headpar_flash_attention as kernel
     else:
         kernel = flash_attention
+    qk_int8 = mode in ("pallas_int8", "pallas_int8pv")
+    extra = {}
+    if qk_int8:
+        from .flash_attention import int8_pipe_enabled
+
+        extra["int8_pipe"] = int8_pipe_enabled()
     out = kernel(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
         kv_valid=kv_valid,
-        qk_int8=mode in ("pallas_int8", "pallas_int8pv"),
+        qk_int8=qk_int8,
         pv_int8=pv_int8,
         score_bound=score_bound,
+        **extra,
     )
     return unpad_axis(out, 2, sq)
 

@@ -43,6 +43,15 @@ LOG2E = 1.4426950408889634
 LOG2_127 = 6.9886846867721655  # log2(127) — the int8-PV exponent fold
 
 
+def int8_pipe_enabled() -> bool:
+    """Opt-in sub-block pipelining for the int8 tiers
+    (``LTXV_TPU_INT8_PIPE=1``; read by the dispatch layer at trace time)."""
+    import os
+
+    return os.environ.get("LTXV_TPU_INT8_PIPE", "").strip().lower() in (
+        "1", "true", "yes")
+
+
 def _flash_kernel(
     q_ref,       # [1, 1, Bq, D]   bf16 — or int8 when qk_int8
     k_ref,       # [1, 1, Bkv, D]  bf16 — or int8 when qk_int8
@@ -68,6 +77,7 @@ def _flash_kernel(
     pv_int8: bool = False,
     sum_col: int | None = None,
     score_bound: float | None = None,
+    int8_pipe: bool = False,
 ):
     kv_idx = pl.program_id(3)
 
@@ -89,12 +99,18 @@ def _flash_kernel(
     # independent matrix work to interleave with the exp pass. Measured
     # −4.8% kernel time at the LTX-2B shape on v5e. Row (sublane) slices
     # only need 8-alignment, so any 128-multiple block halves cleanly.
-    nsub = (
-        2
-        if (not qk_int8 and not pv_int8 and score_bound is None
-            and block_kv % 256 == 0)
-        else 1
-    )
+    pipe_ok = score_bound is None and block_kv % 256 == 0
+    if qk_int8 or pv_int8:
+        # Opt-in (``int8_pipe``, env knob LTXV_TPU_INT8_PIPE=1 at the
+        # dispatch layer): the same interleave on the int8 tiers. The
+        # int8 QK matmul runs at 2x the bf16 MXU rate, so the exp pass is
+        # an even larger share of the kv-block critical path there — but
+        # the int8 tiers also add a per-sub-block round+cast (PV quant),
+        # so whether the overlap wins is an on-hardware question
+        # (tools/mb_attn_int8.py A/B).
+        nsub = 2 if (pipe_ok and int8_pipe) else 1
+    else:
+        nsub = 2 if pipe_ok else 1
     bsub = block_kv // nsub
 
     def _scores(qs, t, mask_kv_tail):
@@ -291,7 +307,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
-        "qk_int8", "pv_int8", "score_bound",
+        "qk_int8", "pv_int8", "score_bound", "int8_pipe",
     ),
 )
 def flash_attention(
@@ -310,6 +326,7 @@ def flash_attention(
     qk_int8: bool = False,
     pv_int8: bool = False,
     score_bound: float | None = None,
+    int8_pipe: bool = False,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -492,6 +509,7 @@ def flash_attention(
         pv_int8=pv_int8,
         sum_col=sum_col,
         score_bound=score_bound,
+        int8_pipe=int8_pipe,
     )
 
     def kernel(*refs):

@@ -226,6 +226,31 @@ def test_int8pv_with_kv_tail_close_to_fp():
     assert err < 0.03, err
 
 
+def test_int8_pipe_close_to_fp():
+    """The opt-in sub-block pipelined int8 tiers (LTXV_TPU_INT8_PIPE)
+    stay within the tier's quantization tolerance of the exact oracle —
+    the interleave reorders the online-softmax sub-block updates, which
+    must not change the math beyond int8 noise."""
+    k1, k2, k3 = jax.random.split(jax.random.key(12), 3)
+    b, h, s, d = 1, 2, 384, 64
+    valid = 300
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    kv_seg = jnp.asarray(
+        np.where(np.arange(s) < valid, 1, 0)[None, :], jnp.int32
+    )
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ref = reference_attention(q, k, v, q_seg, kv_seg)
+    for pv in (False, True):
+        out = flash_attention(
+            q, k, v, qk_int8=True, pv_int8=pv, kv_valid=valid,
+            block_kv=256, interpret=True, int8_pipe=True,
+        )
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        assert err < 0.03, (pv, err)
+
+
 def test_int8pv_rejects_score_bound():
     """A fixed exponent offset would zero whole p rows under int8 — the
     combination must be rejected, not silently wrong."""

@@ -1,21 +1,40 @@
-import time, functools
-import sys; sys.path.insert(0, ".")
-import jax, jax.numpy as jnp, numpy as np
+"""A/B the int8 attention tiers (and their opt-in sub-block pipelined
+variants, LTXV_TPU_INT8_PIPE) against the bf16 exact kernel at the two
+serving shapes. Real TPU: python tools/mb_attn_int8.py [wan|ltx]"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from ltx_video_gpupoor_tpu.ops.flash_attention import flash_attention
 
-B, H, S, D = 2, 12, 32768, 128
-KV_VALID = 32760
+shape = sys.argv[1] if len(sys.argv) > 1 else "wan"
+if shape == "wan":
+    B, H, S, D = 2, 12, 32768, 128
+    KV_VALID = 32760
+else:  # LTX-2B headline: 5280 tokens padded to 5376, d=64
+    B, H, S, D = 2, 32, 5376, 64
+    KV_VALID = 5280
 REPS = 8
 key = jax.random.key(0)
 q = jax.random.normal(key, (B, H, S, D), jnp.bfloat16)
 k = jax.random.normal(jax.random.key(1), (B, H, S, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.bfloat16)
 
+
 def bench(name, **kw):
     @jax.jit
     def run(q, k, v):
         def body(c, _):
-            o = flash_attention(q, k + c * 0, v, kv_valid=KV_VALID, **kw)
+            # cast the carry into k's dtype BEFORE the CSE-defeating add:
+            # a f32 scalar would promote k to f32, which doubles the
+            # kernel's VMEM blocks (scoped-vmem OOM at the Wan shape) and
+            # silently benches an f32-K kernel
+            o = flash_attention(q, k + c.astype(k.dtype) * 0, v,
+                                kv_valid=KV_VALID, **kw)
             return o[0, 0, 0, 0].astype(jnp.float32), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
         return c
@@ -23,8 +42,12 @@ def bench(name, **kw):
     t0 = time.time(); float(np.asarray(run(q, k, v))); el = time.time() - t0
     per = el / REPS
     fl = 4 * B * H * S * S * D
-    print(f"{name:24s} {per*1e3:8.2f} ms/call  {fl/per/1e12:7.1f} TF/s  (compile {comp:.0f}s)")
+    print(f"{name:24s} {per*1e3:8.2f} ms/call  {fl/per/1e12:7.1f} TF/s"
+          f"  (compile {comp:.0f}s)", flush=True)
+
 
 bench("bf16")
 bench("int8_qk", qk_int8=True)
+bench("int8_qk pipe", qk_int8=True, int8_pipe=True)
 bench("int8_qk_pv", qk_int8=True, pv_int8=True)
+bench("int8_qk_pv pipe", qk_int8=True, pv_int8=True, int8_pipe=True)
