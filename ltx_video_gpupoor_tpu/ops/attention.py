@@ -30,9 +30,10 @@ _VALID_MODES = ("auto", "pallas", "pallas_hp", "pallas_int8",
                 "pallas_int8pv", "xla")
 
 # Process-wide override. Initialized from LTXV_TPU_ATTN so deployments
-# can pin a tier without code (the CLI's --attention flag and
-# set_attention_mode() still take precedence when called).
-_FORCED_MODE: AttentionMode = os.environ.get("LTXV_TPU_ATTN", "auto")
+# can pin a tier without code (an explicit CLI --attention flag and
+# set_attention_mode() still take precedence). Empty means unset, like
+# every other env knob in this repo.
+_FORCED_MODE: AttentionMode = os.environ.get("LTXV_TPU_ATTN") or "auto"
 if _FORCED_MODE not in _VALID_MODES:
     raise ValueError(
         f"LTXV_TPU_ATTN={_FORCED_MODE!r}: expected one of {_VALID_MODES}"

@@ -99,7 +99,19 @@ def _flash_kernel(
     # independent matrix work to interleave with the exp pass. Measured
     # −4.8% kernel time at the LTX-2B shape on v5e. Row (sublane) slices
     # only need 8-alignment, so any 128-multiple block halves cleanly.
-    pipe_ok = score_bound is None and block_kv % 256 == 0
+    # Sub-block alignment: the k/v loads slice VMEM rows (sublane tiling
+    # 8 for bf16, 32 for int8 — cheap), but the segment-id and per-row
+    # K-scale vectors ride the kv positions on the LANE dim, so slicing
+    # them needs 128-aligned sub-blocks. The serving hot paths (exact
+    # bf16 and int8pv, tail-masked, per-BLOCK K scales in SMEM) have no
+    # lane-sliced vector and split at the row granularity.
+    if use_segments or (qk_int8 and not pv_int8):
+        align = 256    # kseg / per-row ks lane slices need bsub % 128
+    elif qk_int8 or pv_int8:
+        align = 64     # int8 k/v sublane tiling (32, 128)
+    else:
+        align = 16     # bf16 sublane tiling (8, 128)
+    pipe_ok = score_bound is None and block_kv % align == 0
     if qk_int8 or pv_int8:
         # Opt-in (``int8_pipe``, env knob LTXV_TPU_INT8_PIPE=1 at the
         # dispatch layer): the same interleave on the int8 tiers. The

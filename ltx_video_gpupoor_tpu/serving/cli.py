@@ -72,7 +72,10 @@ def parse_args(argv=None):
                         "are HBM-resident on TPU)")
     # TPU-native additions
     p.add_argument("--ckpt-dir", type=str, default="ckpts")
-    p.add_argument("--attention", type=str, default="auto",
+    # default None = flag not given: leave the process-wide mode alone so
+    # an LTXV_TPU_ATTN env pin survives; an explicit flag (incl. an
+    # explicit --attention auto) always wins
+    p.add_argument("--attention", type=str, default=None,
                    choices=["auto", "pallas", "pallas_hp", "pallas_int8",
                             "pallas_int8pv", "xla"])
     p.add_argument("--demo", action="store_true",
@@ -113,7 +116,8 @@ def infer(args) -> str:
     from ..utils import media as media_utils
     from . import model_zoo
 
-    set_attention_mode(args.attention)
+    if args.attention is not None:
+        set_attention_mode(args.attention)
 
     if args.demo:
         model = model_zoo.build_demo_model(args.seed)

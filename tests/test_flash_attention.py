@@ -230,10 +230,12 @@ def test_int8_pipe_close_to_fp():
     """The opt-in sub-block pipelined int8 tiers (LTXV_TPU_INT8_PIPE)
     stay within the tier's quantization tolerance of the exact oracle —
     the interleave reorders the online-softmax sub-block updates, which
-    must not change the math beyond int8 noise."""
+    must not change the math beyond int8 noise. s=512/block_kv=256 so
+    the pipe gate actually engages (nsub=2): 256 is 256-aligned for the
+    per-row-K-scale qk-only tier and 64-aligned for int8pv."""
     k1, k2, k3 = jax.random.split(jax.random.key(12), 3)
-    b, h, s, d = 1, 2, 384, 64
-    valid = 300
+    b, h, s, d = 1, 2, 512, 64
+    valid = 400
     q = _rand(k1, (b, h, s, d))
     k = _rand(k2, (b, h, s, d))
     v = _rand(k3, (b, h, s, d))
@@ -249,6 +251,39 @@ def test_int8_pipe_close_to_fp():
         )
         err = np.abs(np.asarray(out) - np.asarray(ref)).max()
         assert err < 0.03, (pv, err)
+
+
+def test_pipe_sub_blocks_at_row_alignment():
+    """The LTX serving shape resolves block_kv=2688 — NOT a 256
+    multiple. The pipe gate only needs lane alignment for the
+    lane-sliced vectors (segment ids, per-row K scales); the tail-masked
+    serving paths split at k/v ROW granularity (bsub=1344: 8-aligned for
+    bf16, 32-aligned for int8). Exercise exactly that: exact-bf16 nsub=2
+    must stay bit-close to the oracle, int8pv within tier noise."""
+    k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
+    b, h, s, d = 1, 1, 2688, 64
+    valid = 2640  # LTX-style tail mask
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    kv_seg = jnp.asarray(
+        np.where(np.arange(s) < valid, 1, 0)[None, :], jnp.int32
+    )
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ref = reference_attention(q, k, v, q_seg, kv_seg)
+    exact = flash_attention(
+        q, k, v, kv_valid=valid, block_q=128, block_kv=2688,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+    piped = flash_attention(
+        q, k, v, qk_int8=True, pv_int8=True, kv_valid=valid,
+        block_q=128, block_kv=2688, interpret=True, int8_pipe=True,
+    )
+    err = np.abs(np.asarray(piped) - np.asarray(ref)).max()
+    assert err < 0.03, err
 
 
 def test_int8pv_rejects_score_bound():

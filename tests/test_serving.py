@@ -63,6 +63,16 @@ def test_cli_demo_end_to_end(tmp_path):
     assert video.shape[1:3] == (64, 64)
 
 
+def test_cli_attention_flag_defaults_to_none():
+    """Without --attention the CLI must leave the process-wide attention
+    mode alone, so an LTXV_TPU_ATTN env pin survives into serving
+    (review finding: the old default \"auto\" clobbered the env knob)."""
+    args = parse_args(["--prompt", "a cat"])
+    assert args.attention is None
+    args = parse_args(["--prompt", "a cat", "--attention", "pallas"])
+    assert args.attention == "pallas"
+
+
 def test_cli_demo_i2v(tmp_path):
     from PIL import Image
 
