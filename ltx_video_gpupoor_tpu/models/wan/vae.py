@@ -66,10 +66,12 @@ def causal_conv3d(p, x, stride=(1, 1, 1)):
 
     Stride-1 convs (every call site in this VAE) are computed as ``kt``
     temporally shifted framewise 2-D convs summed in fp32 — identical
-    math (fp32-exact, ``tools/mb_conv3d.py``), but XLA lowers the
-    batched NHWC 2-D convs onto the matrix unit far better than NDHWC
-    3-D convs (~5x faster at the Wan decoder's serving shapes on the
-    CPU backend; TPU numbers in docs/DESIGN.md).
+    math (fp32-exact, ``tools/mb_conv3d.py``), and XLA tiles the batched
+    NHWC 2-D convs onto the matrix unit better than NDHWC 3-D convs:
+    measured on v5e, 47.5→52.2 TF/s at the decoder's C96 full-res shape
+    and 8.0 s → 5.68 s for the whole 832x480x81f tiled decode (r3e; the
+    end-to-end win exceeds the isolated-conv win because the shifted
+    framewise reads also fuse with the surrounding elementwise ops).
     """
     kt, kh, kw = p["kernel"].shape[:3]
     if stride == (1, 1, 1):

@@ -87,8 +87,8 @@ def resolve_mode(mode: AttentionMode) -> AttentionMode:
     softmax. Our sage2-equivalent is ``pallas_int8pv`` (int8 QK and PV on
     the MXU, per-kv-block K scales; stress-gated by the on-hardware
     parity probe at <1% relative error and measured faster at BOTH head
-    dims: 13.28 vs 13.75 s/video at d=64, −272 ms/step at the 13B
-    d=128 shape). Exact softmax stays one knob away:
+    dims: 13.12 vs 13.75 s/video at d=64 (r3d), −272 ms/step at the
+    13B d=128 shape). Exact softmax stays one knob away:
     ``LTXV_TPU_ATTN=pallas`` or ``set_attention_mode("pallas")``.
     Off-TPU, ``auto`` is the XLA reference path (Pallas kernels would
     run interpreted)."""
