@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
 
+from ...ops.convs import framewise_conv_sum
+
 from ...ops.norms import group_norm, layer_norm, pixel_norm, rms_norm
 from ...ops.attention import attention as mha
 
@@ -183,25 +185,12 @@ def causal_conv3d(
             x = jnp.pad(x, pads, mode="edge")
         else:
             x = jnp.pad(x, pads)
-    if stride[0] == 1:
-        # kt temporally shifted framewise 2-D convs summed in fp32 —
-        # identical math (fp32-exact, ``tools/mb_conv3d.py``) but XLA
-        # tiles batched NHWC 2-D convs onto the matrix unit better than
-        # NDHWC 3-D convs: measured on v5e, LTX 704x480x121f decode
-        # 0.49 s → 0.33 s, Wan tiled decode 8.0 s → 5.68 s (r3d/r3e).
-        b = x.shape[0]
-        f_out = x.shape[1] - (kt - 1)
-        k = p["kernel"].astype(x.dtype)
-        acc = None
-        for dt in range(kt):
-            flat = x[:, dt:dt + f_out].reshape((b * f_out,) + x.shape[2:])
-            y2 = jax.lax.conv_general_dilated(
-                flat, k[dt], (stride[1], stride[2]), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-            acc = y2 if acc is None else acc + y2
-        y = acc.astype(x.dtype).reshape((b, f_out) + acc.shape[1:])
+    if stride[0] == 1 and kt % 2 == 1:
+        # time already padded above, space below -> temporal-VALID
+        # framewise sum (see ops/convs.py for the measured rationale)
+        y = framewise_conv_sum(
+            x, p["kernel"], "VALID", (stride[1], stride[2])
+        )
     else:
         y = jax.lax.conv_general_dilated(
             x,

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
 
+from ...ops.convs import framewise_conv_sum
+
 
 @dataclasses.dataclass(frozen=True)
 class WanVAEConfig:
@@ -64,32 +66,21 @@ WAN_LATENT_STD = np.array([
 def causal_conv3d(p, x, stride=(1, 1, 1)):
     """Wan CausalConv3d: zero-pad 2*(kt//2) front in time, same pad space.
 
-    Stride-1 convs (every call site in this VAE) are computed as ``kt``
-    temporally shifted framewise 2-D convs summed in fp32 — identical
-    math (fp32-exact, ``tools/mb_conv3d.py``), and XLA tiles the batched
-    NHWC 2-D convs onto the matrix unit better than NDHWC 3-D convs:
-    measured on v5e, 47.5→52.2 TF/s at the decoder's C96 full-res shape
-    and 8.0 s → 5.68 s for the whole 832x480x81f tiled decode (r3e; the
+    Stride-1 odd-kt convs (every call site in this VAE) go through
+    :func:`ops.convs.framewise_conv_sum` — same math, measured on v5e at
+    47.5→52.2 TF/s for the decoder's C96 full-res shape and
+    8.0 s → 5.68 s for the whole 832x480x81f tiled decode (r3e; the
     end-to-end win exceeds the isolated-conv win because the shifted
     framewise reads also fuse with the surrounding elementwise ops).
     """
     kt, kh, kw = p["kernel"].shape[:3]
-    if stride == (1, 1, 1):
-        b, f = x.shape[:2]
-        k = p["kernel"].astype(x.dtype)
+    if stride == (1, 1, 1) and kt % 2 == 1:
         xp = jnp.pad(x, [(0, 0), (2 * (kt // 2), 0), (0, 0), (0, 0),
                          (0, 0)])
-        acc = None
-        for dt in range(kt):
-            flat = xp[:, dt:dt + f].reshape((b * f,) + x.shape[2:])
-            y = jax.lax.conv_general_dilated(
-                flat, k[dt], (1, 1), [(kh // 2, kh // 2),
-                                      (kw // 2, kw // 2)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-            acc = y if acc is None else acc + y
-        y = acc.astype(x.dtype).reshape((b, f) + acc.shape[1:])
+        y = framewise_conv_sum(
+            xp, p["kernel"],
+            [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        )
         return y + p["bias"].astype(y.dtype)
     pads = [(0, 0), (2 * (kt // 2), 0), (kh // 2, kh // 2),
             (kw // 2, kw // 2), (0, 0)]

@@ -78,8 +78,19 @@ def _default_backend_is_tpu() -> bool:
         return False
 
 
-def resolve_mode(mode: AttentionMode) -> AttentionMode:
+def resolve_mode(
+    mode: AttentionMode,
+    score_bound: float | None = None,
+) -> AttentionMode:
     """Resolve ``"auto"`` to a concrete tier.
+
+    A caller-supplied ``score_bound`` (the validated bounded-softmax
+    fast path, e.g. via ``LTXV_TPU_SCORE_BOUND``) takes precedence over
+    the implicit TPU default: int8 P quantization is incompatible with a
+    fixed exponent offset, so auto must not silently discard the bound
+    by picking ``pallas_int8pv``. An EXPLICIT int8pv pin (flag/env/
+    ``set_attention_mode``) still wins and nulls the bound, as
+    documented in ``attention()``.
 
     Mirrors the reference's ``get_auto_attention`` policy
     (``/root/reference/inference.py:87-93``): its serving default is the
@@ -87,14 +98,17 @@ def resolve_mode(mode: AttentionMode) -> AttentionMode:
     softmax. Our sage2-equivalent is ``pallas_int8pv`` (int8 QK and PV on
     the MXU, per-kv-block K scales; stress-gated by the on-hardware
     parity probe at <1% relative error and measured faster at BOTH head
-    dims: 13.12 vs 13.75 s/video at d=64 (r3d), −272 ms/step at the
-    13B d=128 shape). Exact softmax stays one knob away:
+    dims on like-for-like e2e runs: 13.28 vs 13.75 s/video at d=64 and
+    35.79 vs 37.0 s at the 13B d=128 shape, both same-day same-decode
+    bench configs). Exact softmax stays one knob away:
     ``LTXV_TPU_ATTN=pallas`` or ``set_attention_mode("pallas")``.
     Off-TPU, ``auto`` is the XLA reference path (Pallas kernels would
     run interpreted)."""
     if mode == "auto":
         mode = _FORCED_MODE
     if mode == "auto":
+        if score_bound is not None:
+            return "pallas" if _default_backend_is_tpu() else "xla"
         mode = "pallas_int8pv" if _default_backend_is_tpu() else "xla"
     return mode
 
@@ -128,7 +142,7 @@ def attention(
     ``LTXV_TPU_ATTN_HEADPAR`` env gate. Must be False inside a manual
     ``shard_map`` (the USP paths pass it explicitly).
     """
-    mode = resolve_mode(mode)
+    mode = resolve_mode(mode, score_bound)
     if mode == "pallas_hp":
         # hp applies only to head-packed callers (attention_packed);
         # head-split callers get the classic kernel
@@ -182,6 +196,11 @@ def attention(
         from .flash_attention import int8_pipe_enabled
 
         extra["int8_pipe"] = int8_pipe_enabled()
+    else:
+        from .flash_attention import pipe_relax_enabled
+
+        if pipe_relax_enabled():
+            extra["pipe_relax"] = True
     out = kernel(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
         kv_valid=kv_valid,
@@ -218,7 +237,7 @@ def attention_packed(
     """
     b, s, hd_total = q.shape
     d = hd_total // heads
-    mode = resolve_mode(mode)
+    mode = resolve_mode(mode, score_bound)
     if (mode == "pallas_hp" and _default_backend_is_tpu()
             and d in (64, 128) and score_bound is None
             and (d == 128 or heads % 2 == 0)):

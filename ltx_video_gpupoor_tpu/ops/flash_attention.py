@@ -52,6 +52,88 @@ def int8_pipe_enabled() -> bool:
         "1", "true", "yes")
 
 
+def pipe_relax_enabled() -> bool:
+    """Opt-in relaxed pipe alignment (``LTXV_TPU_PIPE_RELAX=1``): lets
+    the exact-bf16 kernel split kv sub-blocks at row (sublane)
+    granularity where the kv block is not a 256 multiple (e.g. the LTX
+    serving shape's block_kv=2688 → bsub=1344). Opt-in until the r3f
+    on-hardware A/B lands — the default exact kernel stays the measured
+    %256 configuration."""
+    import os
+
+    return os.environ.get("LTXV_TPU_PIPE_RELAX", "").strip().lower() in (
+        "1", "true", "yes")
+
+
+def sub_block_plan(
+    block_kv: int,
+    *,
+    use_segments: bool,
+    qk_int8: bool,
+    pv_int8: bool,
+    score_bound,
+    int8_pipe: bool = False,
+    pipe_relax: bool = False,
+) -> tuple[int, int]:
+    """The kernel's kv sub-block split: returns ``(nsub, bsub)``.
+
+    One source of truth for kernel, dispatch, and benches (the r3d A/B
+    recorded a fake "wash" because the harness could not see that the
+    gate kept nsub=1 — tools/mb_attn_int8.py now prints this plan).
+
+    Alignment: the k/v loads slice VMEM ROWS (sublane tiling 8 bf16 /
+    32 int8 — cheap), but segment ids and per-row K scales ride the kv
+    positions on the LANE dim, so slicing them needs 128-aligned
+    sub-blocks. The bounded-score path never splits (no running max to
+    hide). The int8 tiers split only under the opt-in ``int8_pipe``
+    (measured NOT a win at d=128: 84.24 piped vs 83.74 ms, r3e); the
+    exact path splits at %256 by default (measured −4.8% kernel) and at
+    row granularity under the opt-in ``pipe_relax``."""
+    if score_bound is not None:
+        return 1, block_kv
+    if use_segments or (qk_int8 and not pv_int8):
+        align = 256          # lane-sliced vectors: bsub % 128
+    elif qk_int8 or pv_int8:
+        align = 64           # int8 k/v sublane tiling (32, 128)
+    else:
+        align = 16 if pipe_relax else 256
+    if block_kv % align != 0:
+        return 1, block_kv
+    if (qk_int8 or pv_int8) and not int8_pipe:
+        return 1, block_kv
+    return 2, block_kv // 2
+
+
+def fit_blocks(
+    sq: int,
+    skv: int,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+) -> tuple[int, int]:
+    """Resolve requested block sizes to what the kernel will compile:
+    the largest 128-multiple divisor of each seq len under the cap, with
+    the kv cap further bound by the fp32 scores-tile VMEM budget.
+    Sweeps on v5e favor bq 512-768 and then the largest kv block the
+    budget allows (e.g. S=32768: bq 512 x bkv 4096 beats bkv 2048 by 4%;
+    S=5376: bq 768 x bkv 2688, within 0.7% of the sweep optimum).
+    Exported so benches report the plan actually compiled."""
+    def fit(cap, s):
+        cap = min(cap, s)
+        best = 128
+        b = 128
+        while b <= cap:
+            if s % b == 0:
+                best = b
+            b += 128
+        return best
+    block_q = fit(block_q, sq)
+    # the VMEM budget binds even for explicit oversized block_q requests
+    block_kv = fit(
+        min(block_kv, max(128, SCORES_TILE_ELEMS // block_q)), skv
+    )
+    return block_q, block_kv
+
+
 def _flash_kernel(
     q_ref,       # [1, 1, Bq, D]   bf16 — or int8 when qk_int8
     k_ref,       # [1, 1, Bkv, D]  bf16 — or int8 when qk_int8
@@ -78,6 +160,7 @@ def _flash_kernel(
     sum_col: int | None = None,
     score_bound: float | None = None,
     int8_pipe: bool = False,
+    pipe_relax: bool = False,
 ):
     kv_idx = pl.program_id(3)
 
@@ -93,37 +176,16 @@ def _flash_kernel(
 
     q_idx = pl.program_id(2)
 
-    # Sub-block software pipelining (exact-softmax bf16 path only): split
-    # the kv block in two and issue the NEXT sub-block's QK^T (MXU) before
-    # the current sub-block's softmax (VPU), giving Mosaic's scheduler
-    # independent matrix work to interleave with the exp pass. Measured
-    # −4.8% kernel time at the LTX-2B shape on v5e. Row (sublane) slices
-    # only need 8-alignment, so any 128-multiple block halves cleanly.
-    # Sub-block alignment: the k/v loads slice VMEM rows (sublane tiling
-    # 8 for bf16, 32 for int8 — cheap), but the segment-id and per-row
-    # K-scale vectors ride the kv positions on the LANE dim, so slicing
-    # them needs 128-aligned sub-blocks. The serving hot paths (exact
-    # bf16 and int8pv, tail-masked, per-BLOCK K scales in SMEM) have no
-    # lane-sliced vector and split at the row granularity.
-    if use_segments or (qk_int8 and not pv_int8):
-        align = 256    # kseg / per-row ks lane slices need bsub % 128
-    elif qk_int8 or pv_int8:
-        align = 64     # int8 k/v sublane tiling (32, 128)
-    else:
-        align = 16     # bf16 sublane tiling (8, 128)
-    pipe_ok = score_bound is None and block_kv % align == 0
-    if qk_int8 or pv_int8:
-        # Opt-in (``int8_pipe``, env knob LTXV_TPU_INT8_PIPE=1 at the
-        # dispatch layer): the same interleave on the int8 tiers. The
-        # int8 QK matmul runs at 2x the bf16 MXU rate, so the exp pass is
-        # an even larger share of the kv-block critical path there — but
-        # the int8 tiers also add a per-sub-block round+cast (PV quant),
-        # so whether the overlap wins is an on-hardware question
-        # (tools/mb_attn_int8.py A/B).
-        nsub = 2 if (pipe_ok and int8_pipe) else 1
-    else:
-        nsub = 2 if pipe_ok else 1
-    bsub = block_kv // nsub
+    # Sub-block software pipelining: split the kv block in two and issue
+    # the NEXT sub-block's QK^T (MXU) before the current sub-block's
+    # softmax (VPU), giving Mosaic's scheduler independent matrix work to
+    # interleave with the exp pass (measured −4.8% kernel time where the
+    # default plan engages). Gating/alignment: see sub_block_plan.
+    nsub, bsub = sub_block_plan(
+        block_kv, use_segments=use_segments, qk_int8=qk_int8,
+        pv_int8=pv_int8, score_bound=score_bound, int8_pipe=int8_pipe,
+        pipe_relax=pipe_relax,
+    )
 
     def _scores(qs, t, mask_kv_tail):
         """Scores for kv sub-block t: [Bq, bsub], masked."""
@@ -319,7 +381,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
-        "qk_int8", "pv_int8", "score_bound", "int8_pipe",
+        "qk_int8", "pv_int8", "score_bound", "int8_pipe", "pipe_relax",
     ),
 )
 def flash_attention(
@@ -339,6 +401,7 @@ def flash_attention(
     pv_int8: bool = False,
     score_bound: float | None = None,
     int8_pipe: bool = False,
+    pipe_relax: bool = False,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -348,25 +411,7 @@ def flash_attention(
             f"seq lens ({sq}, {skv}) must be multiples of 128; "
             "pad + use segment ids"
         )
-    # Pick the largest 128-multiple divisor of the seq len under the cap.
-    # Sweeps on v5e favor bq 512-768 and then the largest kv block the
-    # scores-tile VMEM budget allows (e.g. S=32768: bq 512 x bkv 4096 beats
-    # bkv 2048 by 4%; S=5376: bq 768 x bkv 2688, within 0.7% of the sweep
-    # optimum).
-    def fit(cap, s):
-        cap = min(cap, s)
-        best = 128
-        b = 128
-        while b <= cap:
-            if s % b == 0:
-                best = b
-            b += 128
-        return best
-    block_q = fit(block_q, sq)
-    # the VMEM budget binds even for explicit oversized block_q requests
-    block_kv = fit(
-        min(block_kv, max(128, SCORES_TILE_ELEMS // block_q)), skv
-    )
+    block_q, block_kv = fit_blocks(sq, skv, block_q, block_kv)
     if scale is None:
         scale = d ** -0.5
     use_segments = q_segment_ids is not None
@@ -522,6 +567,7 @@ def flash_attention(
         sum_col=sum_col,
         score_bound=score_bound,
         int8_pipe=int8_pipe,
+        pipe_relax=pipe_relax,
     )
 
     def kernel(*refs):

@@ -40,7 +40,7 @@ def enabled() -> bool:
 @functools.cache
 def _build(has_segments: bool, scale, causal: bool, kv_valid,
            qk_int8: bool, pv_int8: bool, score_bound, interpret: bool,
-           int8_pipe: bool = False):
+           int8_pipe: bool = False, pipe_relax: bool = False):
     """One cached custom_partitioning wrapper per static-config tuple."""
 
     def core(q, k, v, *segs):
@@ -50,7 +50,7 @@ def _build(has_segments: bool, scale, causal: bool, kv_valid,
             q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
             kv_valid=kv_valid, qk_int8=qk_int8, pv_int8=pv_int8,
             score_bound=score_bound, interpret=interpret,
-            int8_pipe=int8_pipe,
+            int8_pipe=int8_pipe, pipe_relax=pipe_relax,
         )
 
     fa = custom_partitioning(core)
@@ -91,7 +91,7 @@ def _build(has_segments: bool, scale, causal: bool, kv_valid,
 def headpar_flash_attention(
     q, k, v, q_segment_ids=None, kv_segment_ids=None, *, scale=None,
     causal=False, kv_valid=None, qk_int8=False, pv_int8=False,
-    score_bound=None, interpret=False, int8_pipe=False,
+    score_bound=None, interpret=False, int8_pipe=False, pipe_relax=False,
 ):
     """``flash_attention`` with the SPMD head/q-token partitioning rule.
     Single-device (or unsharded) calls lower to the plain kernel.
@@ -105,10 +105,11 @@ def headpar_flash_attention(
             q, k, v, q_segment_ids, kv_segment_ids, scale=scale,
             causal=True, kv_valid=kv_valid, qk_int8=qk_int8,
             pv_int8=pv_int8, score_bound=score_bound, interpret=interpret,
-            int8_pipe=int8_pipe,
+            int8_pipe=int8_pipe, pipe_relax=pipe_relax,
         )
     fa = _build(q_segment_ids is not None, scale, causal, kv_valid,
-                qk_int8, pv_int8, score_bound, interpret, int8_pipe)
+                qk_int8, pv_int8, score_bound, interpret, int8_pipe,
+                pipe_relax)
     if q_segment_ids is not None:
         return fa(q, k, v, q_segment_ids, kv_segment_ids)
     return fa(q, k, v)

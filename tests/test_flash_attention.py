@@ -273,7 +273,7 @@ def test_pipe_sub_blocks_at_row_alignment():
     ref = reference_attention(q, k, v, q_seg, kv_seg)
     exact = flash_attention(
         q, k, v, kv_valid=valid, block_q=128, block_kv=2688,
-        interpret=True,
+        interpret=True, pipe_relax=True,
     )
     np.testing.assert_allclose(
         np.asarray(exact), np.asarray(ref), atol=2e-2, rtol=2e-2
@@ -284,6 +284,54 @@ def test_pipe_sub_blocks_at_row_alignment():
     )
     err = np.abs(np.asarray(piped) - np.asarray(ref)).max()
     assert err < 0.03, err
+
+
+def test_auto_with_score_bound_prefers_bounded_exact():
+    """An implicit TPU `auto` must not silently discard a caller's
+    score_bound by resolving to the int8pv tier (which nulls it) — the
+    validated bounded-softmax path wins; an EXPLICIT int8pv pin still
+    takes precedence (and documents the nulling)."""
+    from ltx_video_gpupoor_tpu.ops import attention as am
+
+    orig_backend, orig_forced = am._default_backend_is_tpu, am._FORCED_MODE
+    try:
+        am._default_backend_is_tpu = lambda: True
+        am._FORCED_MODE = "auto"
+        assert am.resolve_mode("auto", score_bound=40.0) == "pallas"
+        assert am.resolve_mode("auto") == "pallas_int8pv"
+        am._FORCED_MODE = "pallas_int8pv"   # explicit pin wins
+        assert am.resolve_mode("auto", score_bound=40.0) == "pallas_int8pv"
+    finally:
+        am._default_backend_is_tpu = orig_backend
+        am._FORCED_MODE = orig_forced
+
+
+def test_sub_block_plan_gating():
+    """sub_block_plan is the single source of truth for the kernel's kv
+    sub-block split — pin its gating table so benches can trust the
+    printed plan (the r3d A/B silently compared identical kernels)."""
+    from ltx_video_gpupoor_tpu.ops.flash_attention import sub_block_plan
+
+    base = dict(use_segments=False, qk_int8=False, pv_int8=False,
+                score_bound=None)
+    # exact default: %256 only
+    assert sub_block_plan(4096, **base) == (2, 2048)
+    assert sub_block_plan(2688, **base) == (1, 2688)
+    # opt-in relax: row granularity
+    assert sub_block_plan(2688, **base, pipe_relax=True) == (2, 1344)
+    # segments force lane alignment even under relax
+    seg = dict(base, use_segments=True)
+    assert sub_block_plan(2688, **seg, pipe_relax=True) == (1, 2688)
+    # bounded path never splits
+    assert sub_block_plan(4096, **dict(base, score_bound=40.0)) == (1, 4096)
+    # int8 tiers: opt-in only; int8pv aligns at 64, qk-only at 256
+    pv = dict(base, qk_int8=True, pv_int8=True)
+    assert sub_block_plan(4096, **pv) == (1, 4096)
+    assert sub_block_plan(4096, **pv, int8_pipe=True) == (2, 2048)
+    assert sub_block_plan(2688, **pv, int8_pipe=True) == (2, 1344)
+    qk = dict(base, qk_int8=True)
+    assert sub_block_plan(2688, **qk, int8_pipe=True) == (1, 2688)
+    assert sub_block_plan(4096, **qk, int8_pipe=True) == (2, 2048)
 
 
 def test_int8pv_rejects_score_bound():

@@ -1,6 +1,12 @@
-"""A/B the int8 attention tiers (and their opt-in sub-block pipelined
-variants, LTXV_TPU_INT8_PIPE) against the bf16 exact kernel at the two
-serving shapes. Real TPU: python tools/mb_attn_int8.py [wan|ltx]"""
+"""A/B the attention kernel tiers at the two serving shapes: bf16 exact
+(default %256 pipe plan and the opt-in LTXV_TPU_PIPE_RELAX row split),
+the int8 tiers, and their opt-in sub-block pipelined variants
+(LTXV_TPU_INT8_PIPE). Each row prints the sub-block plan actually
+compiled (nsub/bsub from flash_attention.sub_block_plan) — the r3d
+session recorded a fake "wash" from two identical kernels because the
+harness could not see that the gate kept nsub=1.
+
+Real TPU: python tools/mb_attn_int8.py [wan|ltx]"""
 import sys
 import time
 
@@ -9,7 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ltx_video_gpupoor_tpu.ops.flash_attention import flash_attention
+from ltx_video_gpupoor_tpu.ops.flash_attention import (
+    fit_blocks,
+    flash_attention,
+    sub_block_plan,
+)
 
 shape = sys.argv[1] if len(sys.argv) > 1 else "wan"
 if shape == "wan":
@@ -26,6 +36,14 @@ v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.bfloat16)
 
 
 def bench(name, **kw):
+    _, bkv = fit_blocks(S, S)
+    nsub, bsub = sub_block_plan(
+        bkv, use_segments=False,
+        qk_int8=kw.get("qk_int8", False), pv_int8=kw.get("pv_int8", False),
+        score_bound=None, int8_pipe=kw.get("int8_pipe", False),
+        pipe_relax=kw.get("pipe_relax", False),
+    )
+
     @jax.jit
     def run(q, k, v):
         def body(c, _):
@@ -43,10 +61,12 @@ def bench(name, **kw):
     per = el / REPS
     fl = 4 * B * H * S * S * D
     print(f"{name:24s} {per*1e3:8.2f} ms/call  {fl/per/1e12:7.1f} TF/s"
-          f"  (compile {comp:.0f}s)", flush=True)
+          f"  plan nsub={nsub} bsub={bsub}  (compile {comp:.0f}s)",
+          flush=True)
 
 
 bench("bf16")
+bench("bf16 relax", pipe_relax=True)
 bench("int8_qk", qk_int8=True)
 bench("int8_qk pipe", qk_int8=True, int8_pipe=True)
 bench("int8_qk_pv", qk_int8=True, pv_int8=True)
