@@ -74,6 +74,7 @@ def sub_block_plan(
     score_bound,
     int8_pipe: bool = False,
     pipe_relax: bool = False,
+    pipe_nsub: int | None = None,
 ) -> tuple[int, int]:
     """The kernel's kv sub-block split: returns ``(nsub, bsub)``.
 
@@ -88,20 +89,27 @@ def sub_block_plan(
     hide). The int8 tiers split only under the opt-in ``int8_pipe``
     (measured NOT a win at d=128: 84.24 piped vs 83.74 ms, r3e); the
     exact path splits at %256 by default (measured −4.8% kernel) and at
-    row granularity under the opt-in ``pipe_relax``."""
+    row granularity under the opt-in ``pipe_relax``. ``pipe_nsub``
+    overrides the split count (default 2) for sweeps; an override that
+    violates divisibility or sub-block alignment falls back to no
+    split, same as the default plan."""
     if score_bound is not None:
         return 1, block_kv
     if use_segments or (qk_int8 and not pv_int8):
-        align = 256          # lane-sliced vectors: bsub % 128
+        sub_align = 128      # lane-sliced vectors: bsub % 128
     elif qk_int8 or pv_int8:
-        align = 64           # int8 k/v sublane tiling (32, 128)
+        sub_align = 32       # int8 k/v sublane tiling (32, 128)
     else:
-        align = 16 if pipe_relax else 256
-    if block_kv % align != 0:
-        return 1, block_kv
+        sub_align = 8 if pipe_relax else 128
     if (qk_int8 or pv_int8) and not int8_pipe:
         return 1, block_kv
-    return 2, block_kv // 2
+    nsub = 2 if pipe_nsub is None else int(pipe_nsub)
+    if nsub < 2 or block_kv % nsub:
+        return 1, block_kv
+    bsub = block_kv // nsub
+    if bsub % sub_align:
+        return 1, block_kv
+    return nsub, bsub
 
 
 def fit_blocks(
@@ -161,6 +169,7 @@ def _flash_kernel(
     score_bound: float | None = None,
     int8_pipe: bool = False,
     pipe_relax: bool = False,
+    pipe_nsub: int | None = None,
 ):
     kv_idx = pl.program_id(3)
 
@@ -184,7 +193,7 @@ def _flash_kernel(
     nsub, bsub = sub_block_plan(
         block_kv, use_segments=use_segments, qk_int8=qk_int8,
         pv_int8=pv_int8, score_bound=score_bound, int8_pipe=int8_pipe,
-        pipe_relax=pipe_relax,
+        pipe_relax=pipe_relax, pipe_nsub=pipe_nsub,
     )
 
     def _scores(qs, t, mask_kv_tail):
@@ -382,6 +391,7 @@ def _flash_kernel(
     static_argnames=(
         "scale", "causal", "block_q", "block_kv", "interpret", "kv_valid",
         "qk_int8", "pv_int8", "score_bound", "int8_pipe", "pipe_relax",
+        "pipe_nsub",
     ),
 )
 def flash_attention(
@@ -402,6 +412,7 @@ def flash_attention(
     score_bound: float | None = None,
     int8_pipe: bool = False,
     pipe_relax: bool = False,
+    pipe_nsub: int | None = None,
 ) -> jax.Array:
     """Tiled online-softmax attention. See module docstring for layout."""
     b, h, sq, d = q.shape
@@ -568,6 +579,7 @@ def flash_attention(
         score_bound=score_bound,
         int8_pipe=int8_pipe,
         pipe_relax=pipe_relax,
+        pipe_nsub=pipe_nsub,
     )
 
     def kernel(*refs):

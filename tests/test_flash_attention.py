@@ -278,6 +278,13 @@ def test_pipe_sub_blocks_at_row_alignment():
     np.testing.assert_allclose(
         np.asarray(exact), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+    exact_n3 = flash_attention(
+        q, k, v, kv_valid=valid, block_q=128, block_kv=2688,
+        interpret=True, pipe_relax=True, pipe_nsub=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact_n3), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
     piped = flash_attention(
         q, k, v, qk_int8=True, pv_int8=True, kv_valid=valid,
         block_q=128, block_kv=2688, interpret=True, int8_pipe=True,
@@ -332,6 +339,22 @@ def test_sub_block_plan_gating():
     qk = dict(base, qk_int8=True)
     assert sub_block_plan(2688, **qk, int8_pipe=True) == (1, 2688)
     assert sub_block_plan(4096, **qk, int8_pipe=True) == (2, 2048)
+    # pipe_nsub overrides the split count; invalid overrides (not a
+    # divisor, or a sub-block below the branch's sublane alignment)
+    # fall back to no split instead of compiling a misaligned kernel
+    assert sub_block_plan(2688, **base, pipe_relax=True,
+                          pipe_nsub=3) == (3, 896)
+    assert sub_block_plan(2688, **base, pipe_relax=True,
+                          pipe_nsub=4) == (4, 672)
+    assert sub_block_plan(2688, **base, pipe_relax=True,
+                          pipe_nsub=5) == (1, 2688)   # 2688 % 5 != 0
+    # even WITHOUT relax, nsub=3 keeps 2688/3=896 lane-aligned — the
+    # default branch accepts it (the r3g relax win came from splitting
+    # at all, not from the row granularity itself)
+    assert sub_block_plan(2688, **base, pipe_nsub=3) == (3, 896)
+    assert sub_block_plan(4096, **pv, int8_pipe=True,
+                          pipe_nsub=4) == (4, 1024)
+    assert sub_block_plan(4096, **base, pipe_nsub=1) == (1, 4096)
 
 
 def test_int8pv_rejects_score_bound():

@@ -42,6 +42,7 @@ def bench(name, **kw):
         qk_int8=kw.get("qk_int8", False), pv_int8=kw.get("pv_int8", False),
         score_bound=None, int8_pipe=kw.get("int8_pipe", False),
         pipe_relax=kw.get("pipe_relax", False),
+        pipe_nsub=kw.get("pipe_nsub"),
     )
 
     @jax.jit
@@ -67,7 +68,16 @@ def bench(name, **kw):
 
 bench("bf16")
 bench("bf16 relax", pipe_relax=True)
+# nsub sweep on the relax split (bsub must divide block_kv and keep
+# bf16 sublane alignment %8; invalid overrides print plan nsub=1)
+bench("bf16 relax n3", pipe_relax=True, pipe_nsub=3)
+bench("bf16 relax n4", pipe_relax=True, pipe_nsub=4)
 bench("int8_qk", qk_int8=True)
 bench("int8_qk pipe", qk_int8=True, int8_pipe=True)
 bench("int8_qk_pv", qk_int8=True, pv_int8=True)
 bench("int8_qk_pv pipe", qk_int8=True, pv_int8=True, int8_pipe=True)
+bench("int8_qk_pv pipe n4", qk_int8=True, pv_int8=True, int8_pipe=True,
+      pipe_nsub=4)
+# repeat the headline A/B last: back-to-back rows bound run noise
+bench("bf16 (rep)")
+bench("bf16 relax (rep)", pipe_relax=True)
