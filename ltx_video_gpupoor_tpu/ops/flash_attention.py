@@ -53,16 +53,22 @@ def int8_pipe_enabled() -> bool:
 
 
 def pipe_relax_enabled() -> bool:
-    """Opt-in relaxed pipe alignment (``LTXV_TPU_PIPE_RELAX=1``): lets
-    the exact-bf16 kernel split kv sub-blocks at row (sublane)
-    granularity where the kv block is not a 256 multiple (e.g. the LTX
-    serving shape's block_kv=2688 → bsub=1344). Opt-in until the r3f
-    on-hardware A/B lands — the default exact kernel stays the measured
-    %256 configuration."""
+    """Relaxed pipe alignment (default ON; ``LTXV_TPU_PIPE_RELAX=0``
+    disables): lets the exact-bf16 kernel split kv sub-blocks at row
+    (sublane) granularity where the kv block is not a 256 multiple
+    (e.g. the LTX serving shape's block_kv=2688 → bsub=1344).
+
+    Adopted as the default after the r3g/r3h on-hardware A/Bs: the
+    split overlaps the NEXT sub-block's QK^T (MXU) with the current
+    softmax pass (VPU) — 10.50 vs 11.38 ms/call at the LTX d=64 shape
+    (back-to-back rows, perf_logs/r3h), nsub=2 the optimum of the
+    2/3/4 sweep, and e2e 13.06 s/video vs the int8pv tier's 13.12 in
+    the same chip window. Exact numerics (pure reassociation of the
+    online-softmax fold; parity pinned in test_flash_attention)."""
     import os
 
-    return os.environ.get("LTXV_TPU_PIPE_RELAX", "").strip().lower() in (
-        "1", "true", "yes")
+    return os.environ.get("LTXV_TPU_PIPE_RELAX", "").strip().lower() not in (
+        "0", "false", "no", "off")
 
 
 def sub_block_plan(
@@ -88,8 +94,9 @@ def sub_block_plan(
     sub-blocks. The bounded-score path never splits (no running max to
     hide). The int8 tiers split only under the opt-in ``int8_pipe``
     (measured NOT a win at d=128: 84.24 piped vs 83.74 ms, r3e); the
-    exact path splits at %256 by default (measured −4.8% kernel) and at
-    row granularity under the opt-in ``pipe_relax``. ``pipe_nsub``
+    exact path splits at %256 always and at row granularity under
+    ``pipe_relax`` (default ON via the dispatch layer since the r3h
+    A/B — see ``pipe_relax_enabled``). ``pipe_nsub``
     overrides the split count (default 2) for sweeps; an override that
     violates divisibility or sub-block alignment falls back to no
     split, same as the default plan."""

@@ -511,8 +511,13 @@ def test_auto_mode_resolution_policy():
         am._default_backend_is_tpu = lambda: True
         am._FORCED_MODE = "auto"
         assert am.resolve_mode("auto") == "pallas_int8pv"
+        # head-dim aware (r3h): at d<=64 the row-split exact kernel
+        # measured faster than int8pv, so auto picks the honest path
+        assert am.resolve_mode("auto", head_dim=64) == "pallas"
+        assert am.resolve_mode("auto", head_dim=128) == "pallas_int8pv"
         am._default_backend_is_tpu = lambda: False
         assert am.resolve_mode("auto") == "xla"
+        assert am.resolve_mode("auto", head_dim=64) == "xla"
         am.set_attention_mode("pallas")
         assert am.resolve_mode("auto") == "pallas"
         # explicit modes pass through untouched
