@@ -91,8 +91,11 @@ def sub_block_plan(
     Alignment: the k/v loads slice VMEM ROWS (sublane tiling 8 bf16 /
     32 int8 — cheap), but segment ids and per-row K scales ride the kv
     positions on the LANE dim, so slicing them needs 128-aligned
-    sub-blocks. The bounded-score path never splits (no running max to
-    hide). The int8 tiers split only under the opt-in ``int8_pipe``
+    sub-blocks. The bounded-score path defaults to no split (less VPU
+    work to hide — no running max) but its fold (``acc += p@v``,
+    ``l += sum(p)``) is order-independent too, so an explicit
+    ``pipe_nsub`` can split it for A/Bs. The int8 tiers split only
+    under the opt-in ``int8_pipe``
     (measured NOT a win at d=128: 84.24 piped vs 83.74 ms, r3e); the
     exact path splits at %256 always and at row granularity under
     ``pipe_relax`` (default ON via the dispatch layer since the r3h
@@ -100,7 +103,7 @@ def sub_block_plan(
     overrides the split count (default 2) for sweeps; an override that
     violates divisibility or sub-block alignment falls back to no
     split, same as the default plan."""
-    if score_bound is not None:
+    if score_bound is not None and pipe_nsub is None:
         return 1, block_kv
     if use_segments or (qk_int8 and not pv_int8):
         sub_align = 128      # lane-sliced vectors: bsub % 128

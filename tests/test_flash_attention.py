@@ -285,6 +285,18 @@ def test_pipe_sub_blocks_at_row_alignment():
     np.testing.assert_allclose(
         np.asarray(exact_n3), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+    # bounded-score fold split across sub-blocks: pure reassociation
+    bound_1 = flash_attention(
+        q, k, v, kv_valid=valid, block_q=128, block_kv=2688,
+        interpret=True, score_bound=40.0,
+    )
+    bound_n2 = flash_attention(
+        q, k, v, kv_valid=valid, block_q=128, block_kv=2688,
+        interpret=True, score_bound=40.0, pipe_relax=True, pipe_nsub=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bound_n2), np.asarray(bound_1), atol=1e-4, rtol=1e-4
+    )
     piped = flash_attention(
         q, k, v, qk_int8=True, pv_int8=True, kv_valid=valid,
         block_q=128, block_kv=2688, interpret=True, int8_pipe=True,
@@ -339,6 +351,13 @@ def test_sub_block_plan_gating():
     qk = dict(base, qk_int8=True)
     assert sub_block_plan(2688, **qk, int8_pipe=True) == (1, 2688)
     assert sub_block_plan(4096, **qk, int8_pipe=True) == (2, 2048)
+    # the bounded path splits ONLY under an explicit pipe_nsub (its
+    # fold is order-independent, but less VPU work to hide -> default
+    # stays unsplit until the A/B says otherwise)
+    bnd = dict(base, score_bound=40.0)
+    assert sub_block_plan(2688, **bnd, pipe_relax=True) == (1, 2688)
+    assert sub_block_plan(2688, **bnd, pipe_relax=True,
+                          pipe_nsub=2) == (2, 1344)
     # pipe_nsub overrides the split count; invalid overrides (not a
     # divisor, or a sub-block below the branch's sublane alignment)
     # fall back to no split instead of compiling a misaligned kernel

@@ -35,12 +35,42 @@ k = jax.random.normal(jax.random.key(1), (B, H, S, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.bfloat16)
 
 
+def window_sentinel():
+    """Time a plain 4k bf16 matmul chain so the log records the chip
+    window's quality — the shared relay under another tenant's load
+    inflates identical programs 3-4x (r3h: 46.5 vs 12.7 s denoise for
+    the same HLO 40 min apart), which silently voids A/B rows."""
+    a = jax.random.normal(jax.random.key(3), (4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        def body(c, _):
+            c = (c @ a).astype(jnp.bfloat16) * 0.001
+            return c, None
+        c, _ = jax.lax.scan(body, a, jnp.arange(16))
+        return c[0, 0].astype(jnp.float32)
+    float(np.asarray(mm(a)))
+    t0 = time.time(); float(np.asarray(mm(a))); el = time.time() - t0
+    tf = 16 * 2 * 4096**3 / el / 1e12
+    # this chain's own ceiling is ~65 TF/s (the inter-matmul cast+scale
+    # serializes the MXU), measured on a window whose kernel rows
+    # matched known-good values; the r3h contended window ran 3.7x
+    # slower, so 35 separates the regimes with margin either side
+    print(f"window sentinel: {tf:6.1f} TF/s bf16 matmul chain "
+          f"({'OK' if tf > 35 else 'CONTENDED — rows suspect'})",
+          flush=True)
+
+
+window_sentinel()
+
+
 def bench(name, **kw):
     _, bkv = fit_blocks(S, S)
     nsub, bsub = sub_block_plan(
         bkv, use_segments=False,
         qk_int8=kw.get("qk_int8", False), pv_int8=kw.get("pv_int8", False),
-        score_bound=None, int8_pipe=kw.get("int8_pipe", False),
+        score_bound=kw.get("score_bound"),
+        int8_pipe=kw.get("int8_pipe", False),
         pipe_relax=kw.get("pipe_relax", False),
         pipe_nsub=kw.get("pipe_nsub"),
     )
@@ -78,6 +108,11 @@ bench("int8_qk_pv", qk_int8=True, pv_int8=True)
 bench("int8_qk_pv pipe", qk_int8=True, pv_int8=True, int8_pipe=True)
 bench("int8_qk_pv pipe n4", qk_int8=True, pv_int8=True, int8_pipe=True,
       pipe_nsub=4)
+# the bounded-score tier: its fold is order-independent too, so the
+# same sub-block overlap may apply (default unsplit — A/B here)
+bench("bound40", score_bound=40.0)
+bench("bound40 n2", score_bound=40.0, pipe_relax=True, pipe_nsub=2)
+bench("bound40 n3", score_bound=40.0, pipe_relax=True, pipe_nsub=3)
 # repeat the headline A/B last: back-to-back rows bound run noise
 bench("bf16 (rep)")
 bench("bf16 relax (rep)", pipe_relax=True)

@@ -34,9 +34,12 @@ def main():
                     (2688, 768), (768, 1792), (1792, 1792), (512, 2688),
                     (768, 896)):
         try:
+            # pipe_relax mirrors the production default (dispatch layer
+            # enables it since r3h) so the sweep ranks the shipped kernel
             t = timeit_loop(
                 lambda a, b, c, bq=bq, bkv=bkv: flash_attention(
-                    a, b, c, kv_valid=5280, block_q=bq, block_kv=bkv
+                    a, b, c, kv_valid=5280, block_q=bq, block_kv=bkv,
+                    pipe_relax=True,
                 ),
                 q, k, v,
             )
