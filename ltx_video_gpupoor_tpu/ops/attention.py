@@ -213,6 +213,19 @@ def attention(
 
         if pipe_relax_enabled():
             extra["pipe_relax"] = True
+    if not headpar:
+        # Sweep/adoption overrides for the kernel schedule (plain-kernel
+        # path only; the headpar SPMD wrapper's cached partitioning rule
+        # does not thread them). Requested blocks still resolve through
+        # ``fit_blocks`` and an invalid nsub falls back to the default
+        # plan, so a stale pin degrades to the shipped schedule rather
+        # than failing.
+        for knob, key in (("LTXV_TPU_BLOCK_Q", "block_q"),
+                          ("LTXV_TPU_BLOCK_KV", "block_kv"),
+                          ("LTXV_TPU_PIPE_NSUB", "pipe_nsub")):
+            val = os.environ.get(knob, "").strip()
+            if val:
+                extra[key] = int(val)
     out = kernel(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
         kv_valid=kv_valid,

@@ -571,3 +571,35 @@ def test_attn_env_knob_initializes_forced_mode():
         env=env, capture_output=True, text=True, timeout=120,
     )
     assert out.returncode != 0 and "LTXV_TPU_ATTN" in out.stderr
+
+
+def test_dispatch_env_schedule_overrides(monkeypatch):
+    """LTXV_TPU_BLOCK_Q/BLOCK_KV/PIPE_NSUB reach the plain kernel as
+    schedule kwargs (sweep/adoption knobs; headpar path ignores them —
+    its cached partitioning rule does not thread schedule overrides)."""
+    from ltx_video_gpupoor_tpu.ops import attention as am
+
+    seen = {}
+
+    def fake_kernel(q, k, v, qseg=None, kseg=None, **kw):
+        seen.update(kw)
+        return q
+
+    monkeypatch.setattr(am, "flash_attention", fake_kernel)
+    monkeypatch.setenv("LTXV_TPU_BLOCK_Q", "1344")
+    monkeypatch.setenv("LTXV_TPU_BLOCK_KV", "2688")
+    monkeypatch.setenv("LTXV_TPU_PIPE_NSUB", "4")
+    q = jnp.zeros((1, 2, 256, 64), jnp.bfloat16)
+    out = am.attention(q, q, q, mode="pallas", headpar=False)
+    assert out.shape == q.shape
+    assert seen["block_q"] == 1344
+    assert seen["block_kv"] == 2688
+    assert seen["pipe_nsub"] == 4
+
+    # unset knobs leave the kernel's own defaults in charge
+    seen.clear()
+    monkeypatch.delenv("LTXV_TPU_BLOCK_Q")
+    monkeypatch.delenv("LTXV_TPU_BLOCK_KV")
+    monkeypatch.delenv("LTXV_TPU_PIPE_NSUB")
+    am.attention(q, q, q, mode="pallas", headpar=False)
+    assert "block_q" not in seen and "pipe_nsub" not in seen
