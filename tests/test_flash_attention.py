@@ -603,3 +603,28 @@ def test_dispatch_env_schedule_overrides(monkeypatch):
     monkeypatch.delenv("LTXV_TPU_PIPE_NSUB")
     am.attention(q, q, q, mode="pallas", headpar=False)
     assert "block_q" not in seen and "pipe_nsub" not in seen
+
+
+def test_exact_pipe_nsub4_d128_with_kv_tail():
+    """The Wan-shape adoption candidate: exact softmax, row-split
+    pipelining at nsub=4, d=128, padded kv tail (the serving path pads
+    32760 -> 32768 and masks via kv_valid). Pure reassociation of the
+    online-softmax fold — must match the reference mask oracle."""
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    b, h, s, d = 1, 2, 512, 128
+    valid = 440
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    kv_seg = jnp.asarray(
+        np.where(np.arange(s) < valid, 1, 0)[None, :], jnp.int32
+    )
+    q_seg = jnp.ones((b, s), jnp.int32)
+    ref = reference_attention(q, k, v, q_seg, kv_seg)
+    out = flash_attention(
+        q, k, v, kv_valid=valid, block_q=128, block_kv=512,
+        interpret=True, pipe_relax=True, pipe_nsub=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
