@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 768
 DEFAULT_BLOCK_KV = 4096
+# d<=64 exact-tier request (adopted from the r3j on-hardware e2e A/B;
+# see the head-dim gate in ``flash_attention``): taller q block trades
+# kv-block length under the same scores-tile VMEM budget.
+DEFAULT_BLOCK_Q_D64 = 1344
+DEFAULT_BLOCK_KV_D64 = 2688
 # The binding VMEM constraint is the fp32 scores tile: bq*bkv*4B. Cap the
 # product at 8 MB (v5e sweeps: larger tiles OOM the Mosaic compiler).
 SCORES_TILE_ELEMS = 1 << 21
@@ -432,6 +437,16 @@ def flash_attention(
             f"seq lens ({sq}, {skv}) must be multiples of 128; "
             "pad + use segment ids"
         )
+    if ((block_q, block_kv) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV)
+            and d <= 64 and not (qk_int8 or pv_int8)):
+        # d<=64 exact tier: the post-split block re-sweep ranks a taller
+        # q block / shorter kv block (fit-resolves to 896x1792 at the
+        # LTX serving shape) ahead of the shipped 768x2688 — 8.079 vs
+        # 8.329 ms/layer, and −2.0% e2e in the same chip window (12.794
+        # vs 13.061 s/video, perf_logs/r3j). The int8 tiers keep the
+        # global default (their per-kv-block K scales are calibrated on
+        # the compiled block, and the sweep win did not replicate there).
+        block_q, block_kv = DEFAULT_BLOCK_Q_D64, DEFAULT_BLOCK_KV_D64
     block_q, block_kv = fit_blocks(sq, skv, block_q, block_kv)
     if scale is None:
         scale = d ** -0.5
