@@ -34,6 +34,7 @@ import numpy as np
 from ltx_video_gpupoor_tpu.models.wan import vae as wvae
 from ltx_video_gpupoor_tpu.models.wan.model import (
     WAN_T2V_1_3B,
+    WAN_T2V_14B,
     forward,
     init_params,
 )
@@ -71,7 +72,13 @@ def main():
             "error": "device backend unavailable after wait budget",
         }))
         raise SystemExit(1)
-    cfg = WAN_T2V_1_3B
+    # BENCH_WAN_14B=1: the reference's flagship Wan config
+    # (``/root/reference/wan/configs/wan_t2v_14B.py:8-29``). 14B on one
+    # 16 GiB v5e runs the int4-WO tier (~7 GiB weights, leafwise init)
+    # with 4-way token-chunked FFN bounding the 13824-wide intermediate.
+    is_14b = bool(os.environ.get("BENCH_WAN_14B"))
+    cfg = dataclasses.replace(WAN_T2V_14B, ffn_chunks=4) if is_14b \
+        else WAN_T2V_1_3B
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
@@ -85,15 +92,25 @@ def main():
     n_tokens = f_lat * (h_lat // 2) * (w_lat // 2)
 
     key = jax.random.key(0)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)
-    )
-    tier = "bf16"
-    if not os.environ.get("BENCH_BF16"):
-        from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+    if is_14b:
+        from bench import quantized_leafwise_init
 
-        params = quantize_params(params, mode="dynamic")
-        tier = "int8_dyn"
+        params = quantized_leafwise_init(
+            lambda k: init_params(k, cfg), key,
+            use_int8=bool(os.environ.get("BENCH_WAN_14B_INT8")),
+        )
+        tier = ("int8_dyn" if os.environ.get("BENCH_WAN_14B_INT8")
+                else "int4_wo")
+    else:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)
+        )
+        tier = "bf16"
+        if not os.environ.get("BENCH_BF16"):
+            from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params, mode="dynamic")
+            tier = "int8_dyn"
     if sb:
         tier += f"+bound{sb}"
     if am:
@@ -215,8 +232,9 @@ def main():
     float(np.asarray(decode(vparams, z)))
     decode_s = time.time() - t0
 
+    family = "wan14b" if is_14b else "wan1.3b"
     print(json.dumps({
-        "metric": f"e2e_sec_per_video_wan1.3b_{tier}_832x480x81f_30steps",
+        "metric": f"e2e_sec_per_video_{family}_{tier}_832x480x81f_30steps",
         "value": round(denoise_30 + decode_s, 2),
         "unit": "s",
         "vs_baseline": None,

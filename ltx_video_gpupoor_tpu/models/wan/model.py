@@ -70,6 +70,13 @@ class WanConfig:
     vace_in_dim: Optional[int] = None
     recammaster: bool = False
     inject_sample_info: bool = False
+    # token-chunked FFN: bounds the ffn_dim-wide intermediate so
+    # 14B-class dims (ffn 13824 at 32k tokens x 2 streams = 1.8 GiB per
+    # intermediate) fit next to the weights on one 16 GiB chip — the
+    # HBM analogue of the reference's in-place chunked feed-forward
+    # (``/root/reference/wan/modules/attention.py`` pattern; LTX has the
+    # same knob in ``transformer3d.LTXTransformerConfig.ffn_chunks``)
+    ffn_chunks: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -365,6 +372,26 @@ def _cross_attention(p, cfg, x, context, context_mask, attn_mode,
     return _apply(p["o"], out)
 
 
+def _ffn(cfg: WanConfig, p, x):
+    """FFN, optionally token-chunked (``cfg.ffn_chunks``) to bound the
+    ffn_dim-wide intermediate; the enabler for 14B dims on one chip."""
+    def part(c):
+        h = _apply(p["fc1"], c)
+        h = jax.nn.gelu(h, approximate=True)
+        return _apply(p["fc2"], h)
+
+    if cfg.ffn_chunks <= 1:
+        return part(x)
+    s = x.shape[1]
+    n = cfg.ffn_chunks
+    pad = (-s) % n
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    out = jnp.concatenate(
+        [part(c) for c in jnp.split(xp, n, axis=1)], axis=1
+    )
+    return out[:, :s] if pad else out
+
+
 def block_forward(
     p: dict,
     cfg: WanConfig,
@@ -405,9 +432,7 @@ def block_forward(
 
     h = layer_norm(x, eps=cfg.eps)
     h = _mod(h, e[3], e[4])
-    h = _apply(p["ffn"]["fc1"], h)
-    h = jax.nn.gelu(h, approximate=True)
-    h = _apply(p["ffn"]["fc2"], h)
+    h = _ffn(cfg, p["ffn"], h)
     x = _gate(x, h, e[5])
 
     if keep is not None:

@@ -23,6 +23,10 @@ from .flash_attention import (
 )
 from .padding import pad_axis, round_up, unpad_axis
 
+# env knobs whose malformed values have already been warned about (one
+# warning per process, not one per attention call)
+_warned_knobs: set[str] = set()
+
 AttentionMode = Literal["auto", "pallas", "pallas_hp", "pallas_int8",
                         "pallas_int8pv", "xla"]
 
@@ -219,13 +223,23 @@ def attention(
         # does not thread them). Requested blocks still resolve through
         # ``fit_blocks`` and an invalid nsub falls back to the default
         # plan, so a stale pin degrades to the shipped schedule rather
-        # than failing.
+        # than failing — including a MALFORMED value (e.g. "896x1792"),
+        # which is warned about once and skipped (ADVICE r3).
         for knob, key in (("LTXV_TPU_BLOCK_Q", "block_q"),
                           ("LTXV_TPU_BLOCK_KV", "block_kv"),
                           ("LTXV_TPU_PIPE_NSUB", "pipe_nsub")):
             val = os.environ.get(knob, "").strip()
             if val:
-                extra[key] = int(val)
+                try:
+                    extra[key] = int(val)
+                except ValueError:
+                    if knob not in _warned_knobs:
+                        _warned_knobs.add(knob)
+                        import warnings
+
+                        warnings.warn(
+                            f"{knob}={val!r} is not an integer; "
+                            "ignoring the override")
     out = kernel(
         q, k, v, q_segment_ids, kv_segment_ids, scale=scale, causal=causal,
         kv_valid=kv_valid,

@@ -418,8 +418,8 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_kv: int = DEFAULT_BLOCK_KV,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool = False,
     kv_valid: int | None = None,
     qk_int8: bool = False,
@@ -437,16 +437,27 @@ def flash_attention(
             f"seq lens ({sq}, {skv}) must be multiples of 128; "
             "pad + use segment ids"
         )
-    if ((block_q, block_kv) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV)
-            and d <= 64 and not (qk_int8 or pv_int8)):
+    if block_q is None or block_kv is None:
+        # Per-tier defaults resolve only when the caller left the blocks
+        # unset, so an EXPLICIT request — including the LTXV_TPU_BLOCK_Q/
+        # KV env pins used for A/Bs — is always honored (ADVICE r3).
         # d<=64 exact tier: the post-split block re-sweep ranks a taller
         # q block / shorter kv block (fit-resolves to 896x1792 at the
         # LTX serving shape) ahead of the shipped 768x2688 — 8.079 vs
         # 8.329 ms/layer, and −2.0% e2e in the same chip window (12.794
         # vs 13.061 s/video, perf_logs/r3j). The int8 tiers keep the
         # global default (their per-kv-block K scales are calibrated on
-        # the compiled block, and the sweep win did not replicate there).
-        block_q, block_kv = DEFAULT_BLOCK_Q_D64, DEFAULT_BLOCK_KV_D64
+        # the compiled block, and the sweep win did not replicate there),
+        # and so does the bounded-score path (the sweep covered only the
+        # exact online-softmax kernel; score_bound rebalances the VPU/
+        # MXU mix, so it keeps the globally-swept plan until measured).
+        # Varlen/segment shapes resolve through fit_blocks either way.
+        if d <= 64 and not (qk_int8 or pv_int8) and score_bound is None:
+            dq, dkv = DEFAULT_BLOCK_Q_D64, DEFAULT_BLOCK_KV_D64
+        else:
+            dq, dkv = DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV
+        block_q = dq if block_q is None else block_q
+        block_kv = dkv if block_kv is None else block_kv
     block_q, block_kv = fit_blocks(sq, skv, block_q, block_kv)
     if scale is None:
         scale = d ** -0.5

@@ -112,12 +112,32 @@ TEXT_ENCODER_CHOICES = [
 ]
 
 
+# Finetune checkpoint definitions (``inference.py:107,131-135``): a
+# finetune def carries its own checkpoint URLs, which take precedence
+# over the signature-based catalogue lookup. The reference populates its
+# module-level ``finetunes`` dict from external definition files at app
+# startup; deployments here register defs the same way.
+FINETUNES: dict = {}
+
+
+def register_finetune(model_type: str, defn: dict) -> None:
+    """Register a finetune definition: ``{"URLs": [...], ...}``."""
+    if not defn.get("URLs"):
+        raise ValueError(f"finetune def for {model_type!r} needs 'URLs'")
+    FINETUNES[model_type] = defn
+
+
 def get_model_filename(
     model_type: str, quantization: str = "int8", dtype_policy: str = ""
 ) -> str:
     """Filename policy (``inference.py:130-173``), TPU dtype rules."""
-    signature = MODEL_SIGNATURES[model_type]
-    choices = [n for n in TRANSFORMER_CHOICES if signature in n]
+    finetune_def = FINETUNES.get(model_type)
+    if finetune_def is not None:
+        choices = ["ckpts/" + os.path.basename(p)
+                   for p in finetune_def["URLs"]]
+    else:
+        signature = MODEL_SIGNATURES[model_type]
+        choices = [n for n in TRANSFORMER_CHOICES if signature in n]
     if not quantization:
         quantization = "bf16"
     if len(choices) <= 1:
@@ -183,6 +203,8 @@ def load_ltxv_model(
     text_encoder_filename: Optional[str] = None,
     upsampler_filename: Optional[str] = None,
     vae_filename: Optional[str] = None,
+    *,
+    t5_cfg=None,
 ) -> LoadedModel:
     """Assemble the full LTX stack from local safetensors checkpoints.
 
@@ -284,19 +306,23 @@ def load_ltxv_model(
         vcfg = ltx_vae.VAEConfig.from_dict(vcfg_dict)
         vae_params = ckpt.convert_ltx_vae(vae_tensors, vcfg)
 
-    t5_params = t5_cfg = tokenizer = None
-    if text_encoder_filename:
+    t5_params = tokenizer = None
+    if not text_encoder_filename:
+        t5_cfg = None
+    else:
         te_path = _maybe(text_encoder_filename, ckpt_dir)
         if te_path:
             te_tensors, _ = ckpt.load_safetensors(te_path)
             te_tensors = ckpt.dequantize_quanto(te_tensors)
-            t5_cfg = jt5.T5_XXL
+            if t5_cfg is None:
+                t5_cfg = jt5.T5_XXL
             t5_params = ckpt.convert_t5_encoder(
                 te_tensors, t5_cfg.num_layers, t5_cfg.shared_pos
             )
         else:
             import logging
 
+            t5_cfg = None
             logging.getLogger(__name__).warning(
                 "text encoder checkpoint %s not found under %s — prompt "
                 "encoding will use the hash-embedding fallback (demo "
@@ -411,16 +437,27 @@ def load_wan_model(
     vae_filename: str = "Wan2.1_VAE.safetensors",
     text_encoder_filename: Optional[str] = None,
     clip_filename: Optional[str] = None,
+    *,
+    spec: Optional[dict] = None,
+    vae_cfg=None,
+    t5_cfg=None,
+    clip_cfg=None,
 ):
     """Assemble a WanPipeline from local checkpoints
     (the ``WanT2V.__init__`` / ``WanI2V.__init__`` load path,
-    ``/root/reference/wan/text2video.py:47-95``)."""
+    ``/root/reference/wan/text2video.py:47-95``).
+
+    ``spec`` / ``vae_cfg`` / ``t5_cfg`` / ``clip_cfg`` override the
+    catalogue configs for finetuned or reduced variants (and let the
+    layout dress-rehearsal tests drive the full multi-file assembly with
+    tiny dims)."""
     from ..configs import WAN_CONFIGS
     from ..models.wan import model as wan_model
     from ..models.wan import vae as wan_vae_mod
     from ..pipelines.wan import WanPipeline
 
-    spec = WAN_CONFIGS[config_name]
+    if spec is None:
+        spec = WAN_CONFIGS[config_name]
     cfg = wan_model.WanConfig(
         model_type=spec["model_type"],
         dim=spec["dim"], ffn_dim=spec["ffn_dim"],
@@ -443,7 +480,8 @@ def load_wan_model(
     vae_path = _maybe(vae_filename, ckpt_dir)
     if vae_path is None:
         raise FileNotFoundError(f"Wan VAE checkpoint not found: {vae_filename}")
-    vae_cfg = wan_vae_mod.WanVAEConfig()
+    if vae_cfg is None:
+        vae_cfg = wan_vae_mod.WanVAEConfig()
     vae_tensors, _ = ckpt.load_safetensors(vae_path)
     vae_params = ckpt.convert_wan_vae(vae_tensors, vae_cfg)
 
@@ -460,9 +498,10 @@ def load_wan_model(
             )
         te_tensors, _ = ckpt.load_safetensors(te_path)
         te_tensors = ckpt.dequantize_quanto(te_tensors)
-        extras["t5_cfg"] = jt5.UMT5_XXL
+        tcfg5 = t5_cfg if t5_cfg is not None else jt5.UMT5_XXL
+        extras["t5_cfg"] = tcfg5
         extras["t5_params"] = ckpt.convert_t5_encoder(
-            te_tensors, jt5.UMT5_XXL.num_layers, jt5.UMT5_XXL.shared_pos
+            te_tensors, tcfg5.num_layers, tcfg5.shared_pos
         )
     if clip_filename:
         clip_path = _maybe(clip_filename, ckpt_dir)
@@ -473,7 +512,8 @@ def load_wan_model(
         from ..models.wan import clip as wan_clip
 
         clip_tensors, _ = ckpt.load_safetensors(clip_path)
-        extras["clip_cfg"] = wan_clip.CLIPVisionConfig()
+        extras["clip_cfg"] = (clip_cfg if clip_cfg is not None
+                              else wan_clip.CLIPVisionConfig())
         extras["clip_params"] = ckpt.convert_clip_vision(
             clip_tensors, extras["clip_cfg"].num_layers
         )

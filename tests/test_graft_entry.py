@@ -41,6 +41,18 @@ def test_dryrun_body_runs_on_virtual_mesh():
     assert time.time() - t0 < 180, "dryrun body outgrew the driver budget"
 
 
+def test_dryrun_optional_groups_on_virtual_mesh():
+    """The decode and Wan-DF groups are part of the DEFAULT dryrun set
+    since r4 (VERDICT r3 #5); pin that each group body runs standalone
+    on the virtual mesh the way the per-group watchdog subprocesses do.
+    """
+    g = _entry_mod()
+    t0 = time.time()
+    g._dryrun_multichip_body(8, group="decode")
+    g._dryrun_multichip_body(8, group="wandf")
+    assert time.time() - t0 < 150, "optional groups outgrew their watchdogs"
+
+
 def test_last_good_contention_guard(tmp_path, monkeypatch):
     """BENCH_LAST_GOOD is the outage fallback: a contended relay window
     (same metric, >1.4x slower) must not clobber it, while faster rows

@@ -240,3 +240,19 @@ def test_vace_hint_respects_slg_keep():
     np.testing.assert_allclose(
         np.asarray(out[1]), np.asarray(out_novace[1]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_ffn_chunks_exact(model):
+    """Token-chunked FFN (the Wan-14B memory enabler, r4) is bitwise
+    math-equivalent to the unchunked path — chunking only bounds the
+    intermediate, it must not change numerics. Token count 3*6*6/2=54
+    per chunk does not divide evenly at n=4, covering the pad path."""
+    import dataclasses
+
+    x, t, ctx, cmask, freqs = _inputs()
+    base, _ = forward(model, TINY, x, t, ctx, cmask, freqs)
+    for n in (2, 4):
+        cfgc = dataclasses.replace(TINY, ffn_chunks=n)
+        out, _ = forward(model, cfgc, x, t, ctx, cmask, freqs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5)
