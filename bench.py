@@ -405,7 +405,7 @@ def main():
     # pass everything as jit arguments: closure arrays become embedded
     # MLIR constants, whose device->host fetch at trace time fails when
     # HBM is nearly full (13B int8 weights leave ~4 GiB)
-    def make_denoise(tc_mask):
+    def make_denoise(tc_mask, cfg=cfg):
       @jax.jit
       def denoise(params, latents, coords, caption, cmask, sched_ts):
         inner_sched = rf.RectifiedFlowSchedule(timesteps=sched_ts)
@@ -581,7 +581,8 @@ def main():
         for mult_s in sv.split(","):
             try:
                 mult = float(mult_s)
-                d_tc = make_denoise(_teacache_mask(mult))
+                tcm = _teacache_mask(mult)
+                d_tc = make_denoise(tcm)
                 float(np.asarray(d_tc(*args)))  # compile / warm up
                 t0 = time.time()
                 float(np.asarray(d_tc(*args)))
@@ -594,12 +595,87 @@ def main():
                     "vs_baseline": round(
                         BASELINE_SEC_PER_VIDEO / tc_total, 2),
                     "serving_mode": True,
+                    # the calibrated skip schedule's achievable counts are
+                    # quantized (30 steps: 16, then 11), so neighboring
+                    # multipliers can land on the same mask — make that
+                    # auditable from the artifact
+                    "steps_computed": int(np.asarray(tcm).sum()),
                 }
                 print(json.dumps(row), flush=True)
                 serving_detail[f"teacache{mult:g}_sec_per_video"] = round(
                     tc_total, 3)
             except Exception as e:
                 print(f"# serving row {mult_s} failed: {e!r}", flush=True)
+        # Bounded-score softmax row (the max-free kernel tier, VERDICT
+        # r3 #2): exact clamping is validated by the same-hardware
+        # adversarial stress gate this bench emits (kernel_parity line,
+        # tools/check_tpu_parity.py --stress at bound=40); surfaced as a
+        # labeled serving row, with the exact-softmax headline unchanged.
+        sb_serv = os.environ.get("BENCH_SERVING_BOUND", "40")
+        if sb_serv.strip().lower() not in ("", "0", "off", "none",
+                                           "false") and sb is None:
+            try:
+                import dataclasses
+
+                cfg_b = dataclasses.replace(
+                    cfg, attention_score_bound=float(sb_serv))
+                d_b = make_denoise(None, cfg=cfg_b)
+                float(np.asarray(d_b(*args)))  # compile / warm up
+                t0 = time.time()
+                float(np.asarray(d_b(*args)))
+                b_total = (time.time() - t0) + decode_s
+                row = {
+                    "metric": ("e2e_sec_per_video_ltx2b_704x480x121f_"
+                               f"30steps_bounded{float(sb_serv):g}"),
+                    "value": round(b_total, 3),
+                    "unit": "s",
+                    "vs_baseline": round(
+                        BASELINE_SEC_PER_VIDEO / b_total, 2),
+                    "serving_mode": True,
+                    "gate": "check_tpu_parity --stress (kernel_parity "
+                            "line above)",
+                }
+                print(json.dumps(row), flush=True)
+                serving_detail[f"bounded{float(sb_serv):g}_sec_per_video"] \
+                    = round(b_total, 3)
+                # Stacked serving row: TeaCache skip schedule ON TOP of
+                # the bounded-score kernel — the two knobs are
+                # orthogonal (step-count vs per-step cost), and their
+                # product is the full serving configuration a production
+                # deployment would run. Calibrate the mask with the
+                # bounded cfg so the skip schedule reflects the kernel
+                # it rides on.
+                tc_b = float(os.environ.get("BENCH_SERVING_STACK", "1.75")
+                             or 0)
+                if tc_b > 1.0:
+                    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline \
+                        import ltx_teacache_schedule
+
+                    mask_b = jnp.asarray(ltx_teacache_schedule(
+                        params, cfg_b, np.asarray(sched.timesteps), tc_b))
+                    d_sb = make_denoise(mask_b, cfg=cfg_b)
+                    float(np.asarray(d_sb(*args)))  # compile / warm up
+                    t0 = time.time()
+                    float(np.asarray(d_sb(*args)))
+                    sb_total = (time.time() - t0) + decode_s
+                    row = {
+                        "metric": (
+                            "e2e_sec_per_video_ltx2b_704x480x121f_30steps"
+                            f"_teacache{tc_b:g}_bounded{float(sb_serv):g}"),
+                        "value": round(sb_total, 3),
+                        "unit": "s",
+                        "vs_baseline": round(
+                            BASELINE_SEC_PER_VIDEO / sb_total, 2),
+                        "serving_mode": True,
+                        "steps_computed": int(np.asarray(mask_b).sum()),
+                        "gate": "check_tpu_parity --stress (kernel_parity "
+                                "line above)",
+                    }
+                    print(json.dumps(row), flush=True)
+                    serving_detail["stacked_sec_per_video"] = round(
+                        sb_total, 3)
+            except Exception as e:
+                print(f"# bounded serving row failed: {e!r}", flush=True)
     detail.update(serving_detail)
 
     print(json.dumps(result), flush=True)

@@ -157,9 +157,15 @@ def main():
     # while the 4-step run was fine). Host-chaining equal-shape segments
     # keeps one compile, stays async (no host fetch between segments),
     # and bounds every execution under ~20 s.
-    seg_len = next(
-        (s for s in (5, 6, 4, 3, 2) if timed_steps % s == 0), 1
-    ) if timed_steps > 8 else timed_steps
+    # At 14B dims ONE step is ~3.4 PFLOP (~30 s on-chip), so even the
+    # 4-step window exceeds the watchdog — single-step segments there.
+    if is_14b:
+        seg_len = 1
+    else:
+        seg_len = next(
+            (s for s in (5, 6, 4, 3, 2) if timed_steps % s == 0), 1
+        ) if timed_steps > 8 else timed_steps
+    seg_len = int(os.environ.get("BENCH_SEG_LEN", seg_len) or seg_len)
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)  # [steps, 2]
 
     @jax.jit
