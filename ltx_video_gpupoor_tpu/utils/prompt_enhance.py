@@ -71,6 +71,76 @@ def should_enhance(prompt: str, words_threshold: int = 120) -> bool:
 
 
 @dataclasses.dataclass
+class JaxChatLM:
+    """TPU-native chat LLM backend: the framework's own Llama/Qwen2
+    implementation (``models/llm.py``) behind the chat-template interface
+    the enhancer/extenders speak. The reference runs these rewrites as
+    host-side torch ``generate`` calls; here the whole prefill+decode is
+    one jitted program on the accelerator. The tokenizer (host-side text
+    processing) still comes from the checkpoint dir's tokenizer files."""
+
+    cfg: object
+    params: dict
+    tokenizer: object
+    max_new_tokens: int = 256
+    _gen_cache: dict = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "JaxChatLM":
+        from transformers import AutoTokenizer
+
+        from ..models import llm
+
+        cfg, params = llm.load_hf_dir(path)
+        tok = AutoTokenizer.from_pretrained(path)
+        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+
+    def chat(self, system_prompt: str, user_prompt: str,
+             temperature: float = 0.7, seed: int = 0) -> str:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models import llm
+
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "user", "content": user_prompt},
+        ]
+        ids = np.asarray(self.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True
+        ), np.int32)[None]
+        eos = self.tokenizer.eos_token_id
+        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else \
+            (eos,) if eos is not None else ()
+        # LEFT-pad to a 64-token bucket: one compiled generate program per
+        # bucket instead of one per prompt length (eager or per-length
+        # compiles would dominate over the relay)
+        bucket = -(-ids.shape[1] // 64) * 64
+        mask = np.pad(np.ones_like(ids), ((0, 0), (bucket - ids.shape[1], 0)))
+        ids = np.pad(ids, ((0, 0), (bucket - ids.shape[1], 0)))
+        cache_key = (bucket, temperature, eos_ids)
+        gen = self._gen_cache.get(cache_key)
+        if gen is None:
+            gen = jax.jit(
+                lambda p, i, m, k: llm.generate(
+                    p, self.cfg, i, m, self.max_new_tokens,
+                    eos_ids=eos_ids, temperature=temperature, key=k,
+                )
+            )
+            self._gen_cache[cache_key] = gen
+        toks = gen(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                   jax.random.key(max(seed, 0)))
+        out = np.asarray(toks)[0]
+        for e in eos_ids:  # truncate at the first EOS
+            hit = np.where(out == e)[0]
+            if hit.size:
+                out = out[:hit[0]]
+        return self.tokenizer.decode(
+            out, skip_special_tokens=True).strip()
+
+
+@dataclasses.dataclass
 class PromptEnhancer:
     """Florence-2 caption + LLM rewrite. Lazily loads transformers models;
     unusable offline — ``enhance`` then returns the prompt unchanged with a
@@ -80,11 +150,32 @@ class PromptEnhancer:
     llm_model_name: str = "unsloth/Llama-3.2-3B-Instruct"
     words_threshold: int = 120
     max_new_tokens: int = 256
+    # Local HF-layout checkpoint dir for the TPU-native LLM path
+    # (models/llm.py); defaults from LTXV_TPU_ENHANCER_LLM_DIR. When set
+    # and loadable, the rewrite runs on-device and torch is never touched.
+    llm_dir: Optional[str] = None
 
     _llm = None
     _llm_tokenizer = None
+    _jax_lm: Optional[JaxChatLM] = None
     _caption_model = None
     _caption_processor = None
+
+    def _load_jax_lm(self) -> bool:
+        if self._jax_lm is not None:
+            return True
+        import os
+
+        path = self.llm_dir or os.environ.get("LTXV_TPU_ENHANCER_LLM_DIR")
+        if not path:
+            return False
+        try:
+            self._jax_lm = JaxChatLM.from_dir(
+                path, max_new_tokens=self.max_new_tokens)
+            return True
+        except Exception as e:
+            logger.warning("TPU-native enhancer LLM unavailable: %s", e)
+            return False
 
     def _load_llm(self) -> bool:
         if self._llm is not None:
@@ -147,6 +238,12 @@ class PromptEnhancer:
         return parsed.get(task, "").strip()
 
     def _rewrite(self, system_prompt: str, user_prompt: str) -> Optional[str]:
+        if self._load_jax_lm():  # TPU-native path first
+            try:
+                return self._jax_lm.chat(system_prompt, user_prompt,
+                                         temperature=0.7) or None
+            except Exception as e:
+                logger.warning("TPU-native rewrite failed: %s", e)
         if not self._load_llm():
             return None
         import torch
@@ -201,8 +298,12 @@ class QwenPromptExpander:
     on model availability."""
 
     model_name: str = "Qwen/Qwen2.5-3B-Instruct"
+    # Local HF-layout dir for the TPU-native Qwen2 path (models/llm.py);
+    # defaults from LTXV_TPU_EXTENDER_LLM_DIR.
+    model_dir: Optional[str] = None
     _model = None
     _tokenizer = None
+    _jax_lm: Optional[JaxChatLM] = None
 
     SYSTEM_EN = (
         "You are a prompt engineer for text-to-video models. Rewrite the "
@@ -213,6 +314,20 @@ class QwenPromptExpander:
     )
 
     def extend(self, prompt: str, seed: int = -1) -> str:
+        import os
+
+        path = self.model_dir or os.environ.get("LTXV_TPU_EXTENDER_LLM_DIR")
+        if path or self._jax_lm is not None:
+            try:
+                if self._jax_lm is None:
+                    self._jax_lm = JaxChatLM.from_dir(path,
+                                                      max_new_tokens=512)
+                out = self._jax_lm.chat(self.SYSTEM_EN, prompt,
+                                        seed=max(seed, 0))
+                if out:
+                    return out
+            except Exception as e:
+                logger.warning("TPU-native Qwen extender failed: %s", e)
         try:
             import torch
             from transformers import AutoModelForCausalLM, AutoTokenizer
