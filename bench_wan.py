@@ -213,6 +213,25 @@ def main():
     fl = step_flops(cfg, n_tokens) * exec_frac
     mfu = fl * steps_per_sec / PEAK_BF16
 
+    # denoise detail prints BEFORE the decode stage so a decode OOM on a
+    # contended chip still leaves the denoise measurement in the log
+    print(json.dumps({
+        "tier": tier,
+        "denoise_steps_per_sec": round(steps_per_sec, 3),
+        "denoise_30steps_s": round(denoise_30, 2),
+        "mfu_bf16_pct": round(mfu * 100, 1),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+    # 14B leaves ~7 GiB of DiT weights in HBM; serving swaps the DiT out
+    # before the decode stage (the reference's mmgp offload ladder does
+    # the same on CUDA, inference.py:442-509) — drop the buffers and let
+    # the allocator reclaim before the VAE allocates its tiles.
+    if is_14b:
+        jax.tree.map(
+            lambda a: a.delete() if hasattr(a, "delete") else None, params)
+        del params
+
     # Wan VAE decode at full res
     vcfg = wvae.WanVAEConfig()
     vparams = jax.tree.map(
