@@ -58,6 +58,9 @@ class LLMConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_pos: int = 8192
+    # Qwen2.5-VL multimodal RoPE: per-axis channel sections (t, h, w)
+    # summing to hd/2; None = standard 1D RoPE
+    mrope_section: Optional[tuple] = None
 
     @property
     def hd(self) -> int:
@@ -167,6 +170,15 @@ def rope_tables(cfg: LLMConfig, positions: jax.Array):
             jnp.where(wavelen < high_wl, inv_freq, smoothed),
         )
     ang = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    if cfg.mrope_section is not None and positions.ndim == 3:
+        # multimodal 3D RoPE (Qwen2.5-VL): positions [3, B, S]; channel
+        # chunks of the half-dim take the t/h/w axis cyclically
+        # (transformers apply_multimodal_rotary_pos_emb)
+        parts, start = [], 0
+        for i, sec in enumerate(cfg.mrope_section):
+            parts.append(ang[i % 3, ..., start:start + sec])
+            start += sec
+        ang = jnp.concatenate(parts, axis=-1)  # [B, S, hd/2]
     cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
     sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
     return cos, sin
@@ -256,14 +268,19 @@ def forward(
     cfg: LLMConfig,
     ids: jax.Array,                 # [B, S] int32
     mask: Optional[jax.Array] = None,  # [B, S] 1 = real (left-pad aware)
+    positions: Optional[jax.Array] = None,  # [B,S] or [3,B,S] (M-RoPE)
+    embeds: Optional[jax.Array] = None,     # [B,S,dim] overrides embedding
 ) -> jax.Array:
     """Full-sequence causal forward -> logits ``[B, S, vocab]``."""
     b, s = ids.shape
-    x = params["token_embedding"][ids].astype(jnp.float32)
+    x = (params["token_embedding"][ids] if embeds is None else embeds
+         ).astype(jnp.float32)
     if mask is None:
         mask = jnp.ones((b, s), jnp.int32)
-    # HF convention for left-padded batches: positions count real tokens
-    positions = jnp.cumsum(mask, axis=1) - 1
+    if positions is None:
+        # HF convention for left-padded batches: positions count real
+        # tokens
+        positions = jnp.cumsum(mask, axis=1) - 1
     cos, sin = rope_tables(cfg, positions)
     causal = jnp.tril(jnp.ones((s, s), bool))
     keep = causal[None, None] & (mask[:, None, None, :] > 0)
@@ -286,11 +303,19 @@ def generate(
     eos_ids: tuple = (),
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,   # [B,S] / [3,B,S] prefill
+    decode_pos0: Optional[jax.Array] = None,  # [B] first decode position
+    embeds: Optional[jax.Array] = None,       # [B,S,dim] prefill embeds
 ) -> jax.Array:
     """Prefill + scan decode. Returns ``[B, max_new_tokens]`` int32; after
     an EOS the row repeats the EOS id (caller truncates). ``temperature=0``
     is greedy; otherwise pass ``key`` for categorical sampling. The whole
-    call is jittable with static ``max_new_tokens``/``eos_ids``."""
+    call is jittable with static ``max_new_tokens``/``eos_ids``.
+
+    ``positions``/``decode_pos0``/``embeds`` support the multimodal
+    (M-RoPE) path: custom prefill positions, a per-row position for the
+    first generated token (defaults to the real-token count), and
+    pre-scattered input embeddings."""
     b, s = ids.shape
     hd, nkv = cfg.hd, cfg.num_kv_heads
     max_len = s + max_new_tokens
@@ -298,8 +323,10 @@ def generate(
         key = jax.random.key(0)
 
     # ---- prefill: full-sequence pass that also fills the KV cache ----
-    x = params["token_embedding"][ids].astype(jnp.float32)
-    positions = jnp.cumsum(mask, axis=1) - 1
+    x = (params["token_embedding"][ids] if embeds is None else embeds
+         ).astype(jnp.float32)
+    if positions is None:
+        positions = jnp.cumsum(mask, axis=1) - 1
     cos, sin = rope_tables(cfg, positions)
     causal = jnp.tril(jnp.ones((s, s), bool))
     keep = causal[None, None] & (mask[:, None, None, :] > 0)

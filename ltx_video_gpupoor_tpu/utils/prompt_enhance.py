@@ -141,6 +141,83 @@ class JaxChatLM:
 
 
 @dataclasses.dataclass
+class JaxVLChat:
+    """TPU-native Qwen2.5-VL chat backend (``models/qwen25_vl.py``):
+    native image preprocessing (``qwen_vl.preprocess_image``), the JAX
+    vision tower + M-RoPE LLM, one jitted prefill+decode. Replaces the
+    torch ``Qwen2_5_VLForConditionalGeneration.generate`` host path of
+    the reference's image-aware extender (prompt_extend.py:398-455)."""
+
+    cfg: object
+    params: dict
+    tokenizer: object
+    max_new_tokens: int = 512
+    min_pixels: int = 256 * 28 * 28
+    max_pixels: int = 1280 * 28 * 28
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "JaxVLChat":
+        from transformers import AutoTokenizer
+
+        from ..models import qwen25_vl
+
+        cfg, params = qwen25_vl.load_hf_dir(path)
+        tok = AutoTokenizer.from_pretrained(path)
+        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+
+    def chat_with_image(self, system_prompt: str, user_prompt: str,
+                        image, temperature: float = 0.0,
+                        seed: int = 0) -> str:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models import qwen25_vl
+        from .qwen_vl import fetch_image, preprocess_image
+
+        pil = fetch_image({"image": image, "min_pixels": self.min_pixels,
+                           "max_pixels": self.max_pixels})
+        v = self.cfg.vision
+        patches, grid = preprocess_image(
+            pil, patch_size=v.patch_size, merge_size=v.spatial_merge_size,
+            temporal_patch_size=v.temporal_patch_size,
+            min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+        n_img = int(np.prod(grid)) // v.spatial_merge_size ** 2
+        # the official Qwen2.5-VL single-image chat layout; the image pad
+        # expands to one token per merged patch (the HF processor's
+        # placeholder expansion)
+        text = (f"<|im_start|>system\n{system_prompt}<|im_end|>\n"
+                f"<|im_start|>user\n<|vision_start|><|image_pad|>"
+                f"<|vision_end|>{user_prompt}<|im_end|>\n"
+                f"<|im_start|>assistant\n")
+        ids = self.tokenizer(text, return_attention_mask=False)["input_ids"]
+        ids = np.asarray(ids, np.int32)
+        pad_pos = np.where(ids == self.cfg.image_token_id)[0]
+        if pad_pos.size:
+            ids = np.concatenate([
+                ids[:pad_pos[0]],
+                np.full((n_img,), self.cfg.image_token_id, np.int32),
+                ids[pad_pos[0] + 1:],
+            ])
+        ids = ids[None]
+        eos = self.tokenizer.eos_token_id
+        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else \
+            (eos,) if eos is not None else ()
+        toks = qwen25_vl.generate(
+            self.params, self.cfg, jnp.asarray(ids),
+            jnp.asarray(patches), np.asarray([grid]),
+            jnp.ones_like(jnp.asarray(ids)), self.max_new_tokens,
+            eos_ids=eos_ids, temperature=temperature,
+            key=jax.random.key(max(seed, 0)))
+        out = np.asarray(toks)[0]
+        for e in eos_ids:
+            hit = np.where(out == e)[0]
+            if hit.size:
+                out = out[:hit[0]]
+        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+@dataclasses.dataclass
 class PromptEnhancer:
     """Florence-2 caption + LLM rewrite. Lazily loads transformers models;
     unusable offline — ``enhance`` then returns the prompt unchanged with a
@@ -364,9 +441,13 @@ class QwenVLPromptExpander:
     plumbing is stub-testable by injecting ``_model``/``_processor``."""
 
     model_name: str = "Qwen/Qwen2.5-VL-7B-Instruct"
+    # Local HF-layout dir for the TPU-native path (models/qwen25_vl.py);
+    # defaults from LTXV_TPU_EXTENDER_VL_DIR.
+    model_dir: Optional[str] = None
     max_new_tokens: int = 512
     _model = None
     _processor = None
+    _jax_vl: Optional[JaxVLChat] = None
 
     SYSTEM_EN = (
         "You are a prompt engineer for image-to-video models. Using the "
@@ -404,6 +485,21 @@ class QwenVLPromptExpander:
         """``image``: PIL image, local path, file:// or data: URI (the
         forms ``qwen_vl.fetch_image`` accepts). Returns the rewritten
         prompt, or ``prompt`` unchanged when the model is unavailable."""
+        import os
+
+        path = self.model_dir or os.environ.get("LTXV_TPU_EXTENDER_VL_DIR")
+        if path or self._jax_vl is not None:
+            try:
+                if self._jax_vl is None:
+                    self._jax_vl = JaxVLChat.from_dir(
+                        path, max_new_tokens=self.max_new_tokens)
+                out = self._jax_vl.chat_with_image(
+                    system_prompt or self.SYSTEM_EN, prompt, image,
+                    seed=max(seed, 0))
+                if out:
+                    return out
+            except Exception as e:
+                logger.warning("TPU-native VL extender failed: %s", e)
         if not self._load():
             return prompt
         import torch

@@ -241,3 +241,55 @@ def process_vision_info(conversations):
         else:
             raise ValueError("image, image_url or video should in content.")
     return (image_inputs or None), (video_inputs or None)
+
+
+# ---------------------------------------------------------------------------
+# Native image preprocessing (Qwen2VLImageProcessor parity)
+# ---------------------------------------------------------------------------
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_image(
+    image,
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = MIN_PIXELS,
+    max_pixels: int = MAX_PIXELS,
+):
+    """One image (PIL or [H, W, 3] uint8 array) -> ``(patches, grid_thw)``
+    in the layout Qwen2.5-VL's vision tower consumes — the native
+    counterpart of transformers' ``Qwen2VLImageProcessor._preprocess``
+    (smart-resize, 1/255 rescale, CLIP-stats normalize, then the
+    t/h/w/merge patch flattening), so the TPU path needs no HF processor
+    download. Returns float32 ``[t*h*w, 3*tps*ps*ps]`` and ``(t, h, w)``."""
+    import numpy as np
+    from PIL import Image
+
+    if not isinstance(image, Image.Image):
+        image = Image.fromarray(np.asarray(image))
+    image = image.convert("RGB")
+    w, h = image.size
+    rh, rw = smart_resize(h, w, factor=patch_size * merge_size,
+                          min_pixels=min_pixels, max_pixels=max_pixels)
+    if (rw, rh) != (w, h):
+        image = image.resize((rw, rh), Image.Resampling.BICUBIC)
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
+    arr = arr.transpose(2, 0, 1)[None]  # [1, C, H, W]
+    # temporal repeat to fill one temporal patch
+    arr = np.repeat(arr, temporal_patch_size, axis=0)
+    c = arr.shape[1]
+    gt = arr.shape[0] // temporal_patch_size
+    gh, gw = rh // patch_size, rw // patch_size
+    arr = arr.reshape(
+        gt, temporal_patch_size, c,
+        gh // merge_size, merge_size, patch_size,
+        gw // merge_size, merge_size, patch_size,
+    )
+    arr = arr.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = arr.reshape(
+        gt * gh * gw, c * temporal_patch_size * patch_size * patch_size)
+    return patches.astype(np.float32), (gt, gh, gw)

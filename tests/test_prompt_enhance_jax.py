@@ -121,3 +121,131 @@ def test_missing_dir_falls_back_gracefully(monkeypatch):
     assert not enh._load_jax_lm()
     # offline: torch loader also fails -> enhance returns prompt unchanged
     assert enh.enhance("tok1") == "tok1"
+
+
+@pytest.fixture(scope="module")
+def vl_model_dir(tmp_path_factory):
+    """Tiny Qwen2.5-VL checkpoint dir in the published HF layout
+    (model.visual.* + model.language_model.* naming)."""
+    import torch
+    from safetensors.torch import save_file
+
+    from ltx_video_gpupoor_tpu.models import qwen25_vl as qvl
+
+    d = tmp_path_factory.mktemp("qwen_vl_tiny")
+    hf_cfg = {
+        "architectures": ["Qwen2_5_VLForConditionalGeneration"],
+        "vision_config": {
+            "depth": 2, "hidden_size": 16, "intermediate_size": 24,
+            "num_heads": 2, "in_channels": 3, "patch_size": 14,
+            "spatial_merge_size": 2, "temporal_patch_size": 2,
+            "window_size": 112, "out_hidden_size": 24,
+            "fullatt_block_indexes": [1],
+        },
+        "text_config": {
+            "vocab_size": 160, "hidden_size": 24, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "intermediate_size": 40, "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-6, "tie_word_embeddings": True,
+            "rope_scaling": {"rope_type": "default",
+                             "mrope_section": [1, 1, 1]},
+        },
+        "image_token_id": 151, "video_token_id": 152,
+        "vision_start_token_id": 150,
+    }
+    (d / "config.json").write_text(json.dumps(hf_cfg))
+    cfg = qvl.config_from_hf(hf_cfg)
+    key = jax.random.key(0)
+    vparams = qvl.vision_init_params(key, cfg.vision)
+    tparams = llm.init_params(jax.random.key(1), cfg.text)
+
+    sd = {}
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(arr)
+        sd[name] = torch.tensor(np.ascontiguousarray(a.T if transpose
+                                                     else a))
+
+    put("model.visual.patch_embed.proj.weight",
+        np.asarray(vparams["patch_embed"]["kernel"]).T
+        .reshape(cfg.vision.hidden_size, cfg.vision.in_channels,
+                 cfg.vision.temporal_patch_size, cfg.vision.patch_size,
+                 cfg.vision.patch_size))
+    for i in range(cfg.vision.depth):
+        pre = f"model.visual.blocks.{i}."
+        bl = vparams["blocks"]
+        put(pre + "norm1.weight", bl["norm1"]["weight"][i])
+        put(pre + "norm2.weight", bl["norm2"]["weight"][i])
+        put(pre + "attn.qkv.weight", bl["attn"]["qkv"]["kernel"][i], True)
+        put(pre + "attn.qkv.bias", bl["attn"]["qkv"]["bias"][i])
+        put(pre + "attn.proj.weight", bl["attn"]["proj"]["kernel"][i], True)
+        put(pre + "attn.proj.bias", bl["attn"]["proj"]["bias"][i])
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            put(pre + f"mlp.{theirs}.weight",
+                bl["mlp"][ours]["kernel"][i], True)
+            put(pre + f"mlp.{theirs}.bias", bl["mlp"][ours]["bias"][i])
+    put("model.visual.merger.ln_q.weight",
+        vparams["merger"]["ln_q"]["weight"])
+    put("model.visual.merger.mlp.0.weight",
+        vparams["merger"]["fc1"]["kernel"], True)
+    put("model.visual.merger.mlp.0.bias", vparams["merger"]["fc1"]["bias"])
+    put("model.visual.merger.mlp.2.weight",
+        vparams["merger"]["fc2"]["kernel"], True)
+    put("model.visual.merger.mlp.2.bias", vparams["merger"]["fc2"]["bias"])
+
+    for i in range(cfg.text.num_layers):
+        pre = f"model.language_model.layers.{i}."
+        bl = tparams["blocks"]
+        put(pre + "input_layernorm.weight", bl["input_norm"]["weight"][i])
+        put(pre + "post_attention_layernorm.weight",
+            bl["post_norm"]["weight"][i])
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("o", "o_proj")):
+            put(pre + f"self_attn.{theirs}.weight",
+                bl["attn"][ours]["kernel"][i], True)
+            if "bias" in bl["attn"][ours]:
+                put(pre + f"self_attn.{theirs}.bias",
+                    bl["attn"][ours]["bias"][i])
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            put(pre + f"mlp.{theirs}.weight",
+                bl["mlp"][ours]["kernel"][i], True)
+    put("model.language_model.embed_tokens.weight",
+        tparams["token_embedding"])
+    put("model.language_model.norm.weight", tparams["norm"]["weight"])
+    save_file(sd, str(d / "model.safetensors"))
+
+    # tokenizer whose vocab includes the vision special tokens
+    from tokenizers import Tokenizer, models as tmodels, pre_tokenizers
+
+    vocab = {f"tok{i}": i for i in range(149)}
+    vocab.update({"<|vision_start|>": 150, "<|image_pad|>": 151,
+                  "<|vision_end|>": 153, "<|im_start|>": 154,
+                  "<|im_end|>": 155, "<|eos|>": 156, "<|unk|>": 157})
+    tok = Tokenizer(tmodels.WordLevel(vocab, unk_token="<|unk|>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "eos_token": "<|eos|>", "unk_token": "<|unk|>",
+    }))
+    return str(d)
+
+
+def test_vl_expander_uses_jax_path(vl_model_dir):
+    """extend_with_img flows image -> native preprocess -> vision tower ->
+    M-RoPE generate, never touching torch."""
+    from PIL import Image
+
+    from ltx_video_gpupoor_tpu.utils.prompt_enhance import (
+        QwenVLPromptExpander,
+    )
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 255, (60, 90, 3)).astype(np.uint8))
+    exp = QwenVLPromptExpander(model_dir=vl_model_dir)
+    out = exp.extend_with_img("tok3 tok4", img, seed=1)
+    assert exp._model is None  # torch path untouched
+    assert isinstance(out, str) and out
