@@ -218,6 +218,79 @@ class JaxVLChat:
 
 
 @dataclasses.dataclass
+class JaxFlorenceCaptioner:
+    """TPU-native Florence-2 captioner (``models/florence2.py``): native
+    768x768 ImageNet-stats preprocessing, the DaViT tower + BART seq2seq
+    greedy decode as one jitted program. Replaces the torch
+    ``Florence2ForConditionalGeneration.generate`` host path of the
+    reference's enhancer (prompt_enhance_utils.py)."""
+
+    cfg: object
+    params: dict
+    tokenizer: object
+    max_new_tokens: int = 256
+    image_size: int = 768
+    # <DETAILED_CAPTION> task prompt (Florence2Processor
+    # task_prompts_without_inputs)
+    task_prompt: str = "Describe in detail what is shown in the image."
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "JaxFlorenceCaptioner":
+        from transformers import AutoTokenizer
+
+        from ..models import florence2
+
+        cfg, params = florence2.load_hf_dir(path)
+        tok = AutoTokenizer.from_pretrained(path)
+        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+
+    def preprocess(self, image) -> "np.ndarray":
+        """PIL/array image -> [1, H, W, 3] float32 (resize to the square
+        processor size, 1/255 rescale, ImageNet normalize)."""
+        from PIL import Image
+
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        image = image.convert("RGB").resize(
+            (self.image_size, self.image_size), Image.Resampling.BICUBIC)
+        arr = np.asarray(image, np.float32) / 255.0
+        arr = (arr - np.asarray((0.485, 0.456, 0.406), np.float32)) \
+            / np.asarray((0.229, 0.224, 0.225), np.float32)
+        return arr[None]
+
+    def caption(self, image) -> str:
+        import jax.numpy as jnp
+
+        from ..models import florence2
+
+        px = self.preprocess(image)
+        # image token count = tower tokens + 1 (the projector's spatial
+        # mean token)
+        stride = 1
+        for s in self.cfg.vision.patch_stride:
+            stride *= s
+        n_img = (px.shape[1] // stride) * (px.shape[2] // stride) + 1
+        tok = self.tokenizer
+        text = (tok.bos_token + self.task_prompt + tok.eos_token)
+        ids = tok(text, add_special_tokens=False,
+                  return_attention_mask=False)["input_ids"]
+        ids = np.concatenate([
+            np.full((n_img,), self.cfg.image_token_id, np.int64),
+            np.asarray(ids, np.int64),
+        ])[None]
+        toks = florence2.generate(
+            self.params, self.cfg, jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(px), self.max_new_tokens)
+        out = np.asarray(toks)[0]
+        eos = self.cfg.text.eos_token_id
+        hit = np.where(out == eos)[0]
+        if hit.size:
+            out = out[:hit[0]]
+        return self.tokenizer.decode(
+            out, skip_special_tokens=True).strip()
+
+
+@dataclasses.dataclass
 class PromptEnhancer:
     """Florence-2 caption + LLM rewrite. Lazily loads transformers models;
     unusable offline — ``enhance`` then returns the prompt unchanged with a
@@ -231,12 +304,32 @@ class PromptEnhancer:
     # (models/llm.py); defaults from LTXV_TPU_ENHANCER_LLM_DIR. When set
     # and loadable, the rewrite runs on-device and torch is never touched.
     llm_dir: Optional[str] = None
+    # Local HF-layout Florence-2 dir for the TPU-native captioner
+    # (models/florence2.py); defaults from LTXV_TPU_CAPTIONER_DIR.
+    captioner_dir: Optional[str] = None
 
     _llm = None
     _llm_tokenizer = None
     _jax_lm: Optional[JaxChatLM] = None
+    _jax_captioner: Optional[JaxFlorenceCaptioner] = None
     _caption_model = None
     _caption_processor = None
+
+    def _load_jax_captioner(self) -> bool:
+        if self._jax_captioner is not None:
+            return True
+        import os
+
+        path = self.captioner_dir or os.environ.get(
+            "LTXV_TPU_CAPTIONER_DIR")
+        if not path:
+            return False
+        try:
+            self._jax_captioner = JaxFlorenceCaptioner.from_dir(path)
+            return True
+        except Exception as e:
+            logger.warning("TPU-native captioner unavailable: %s", e)
+            return False
 
     def _load_jax_lm(self) -> bool:
         if self._jax_lm is not None:
@@ -290,6 +383,11 @@ class PromptEnhancer:
 
     def caption_image(self, image: np.ndarray) -> Optional[str]:
         """Florence-2 detailed caption of [H, W, 3] uint8 image."""
+        if self._load_jax_captioner():  # TPU-native path first
+            try:
+                return self._jax_captioner.caption(image) or None
+            except Exception as e:
+                logger.warning("TPU-native caption failed: %s", e)
         if not self._load_captioner():
             return None
         import torch

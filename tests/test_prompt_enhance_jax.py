@@ -249,3 +249,97 @@ def test_vl_expander_uses_jax_path(vl_model_dir):
     out = exp.extend_with_img("tok3 tok4", img, seed=1)
     assert exp._model is None  # torch path untouched
     assert isinstance(out, str) and out
+
+
+@pytest.fixture(scope="module")
+def florence_dir(tmp_path_factory):
+    """Tiny Florence-2 checkpoint dir in the published HF layout."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import Florence2ForConditionalGeneration
+    from transformers import Florence2Config
+
+    d = tmp_path_factory.mktemp("florence_tiny")
+    hf_cfg = {
+        "architectures": ["Florence2ForConditionalGeneration"],
+        "vision_config": {
+            "in_channels": 3, "depths": [1, 1], "patch_size": [3, 3],
+            "patch_stride": [2, 2], "patch_padding": [1, 1],
+            "patch_prenorm": [False, True], "embed_dim": [16, 32],
+            "num_heads": [2, 4], "num_groups": [2, 4], "window_size": 4,
+            "drop_path_rate": 0.0, "mlp_ratio": 2.0, "qkv_bias": True,
+            "projection_dim": 24, "max_temporal_embeddings": 10,
+            "max_position_embeddings": 64,
+        },
+        "text_config": {
+            "vocab_size": 120, "d_model": 24, "encoder_layers": 1,
+            "decoder_layers": 1, "encoder_attention_heads": 4,
+            "decoder_attention_heads": 4, "encoder_ffn_dim": 40,
+            "decoder_ffn_dim": 40, "activation_function": "gelu",
+            "max_position_embeddings": 1024, "scale_embedding": False,
+            "dropout": 0.0, "pad_token_id": 1, "bos_token_id": 0,
+            "eos_token_id": 2, "decoder_start_token_id": 2,
+            "forced_bos_token_id": 0, "is_encoder_decoder": True,
+        },
+        "image_token_id": 119,
+    }
+    (d / "config.json").write_text(json.dumps(hf_cfg))
+    torch.manual_seed(0)
+    model = Florence2ForConditionalGeneration(Florence2Config(
+        vision_config=hf_cfg["vision_config"],
+        text_config=hf_cfg["text_config"], image_token_id=119))
+    # published checkpoints store the shared embedding once (encoder/
+    # decoder embed_tokens and lm_head are tied aliases)
+    drop = ("lm_head.weight",
+            "model.language_model.encoder.embed_tokens.weight",
+            "model.language_model.decoder.embed_tokens.weight")
+    sd = {k: v.contiguous() for k, v in model.state_dict().items()
+          if k not in drop}
+    save_file(sd, str(d / "model.safetensors"))
+
+    from tokenizers import Tokenizer, models as tmodels, pre_tokenizers
+
+    vocab = {f"tok{i}": i for i in range(3, 117)}
+    vocab.update({"<s>": 0, "<pad>": 1, "</s>": 2, "<|unk|>": 117,
+                  "<image>": 119})
+    tok = Tokenizer(tmodels.WordLevel(vocab, unk_token="<|unk|>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "bos_token": "<s>", "eos_token": "</s>", "pad_token": "<pad>",
+        "unk_token": "<|unk|>",
+    }))
+    return str(d)
+
+
+def test_florence_captioner_jax_path(florence_dir):
+    from PIL import Image
+
+    from ltx_video_gpupoor_tpu.utils.prompt_enhance import (
+        JaxFlorenceCaptioner,
+    )
+
+    cap = JaxFlorenceCaptioner.from_dir(florence_dir)
+    cap.image_size = 16  # tiny tower for the smoke tier
+    cap.max_new_tokens = 5
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (20, 30, 3))
+                          .astype(np.uint8))
+    out = cap.caption(img)
+    assert isinstance(out, str)
+    # deterministic greedy
+    assert cap.caption(img) == out
+
+
+def test_enhancer_i2v_uses_jax_captioner(florence_dir, model_dir):
+    enh = pe.PromptEnhancer(llm_dir=model_dir,
+                            captioner_dir=florence_dir, max_new_tokens=4)
+    enh._load_jax_captioner()
+    enh._jax_captioner.image_size = 16
+    enh._jax_captioner.max_new_tokens = 4
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+    out = enh.enhance("tok3 tok4", first_frames=[frame])
+    assert enh._llm is None and enh._caption_model is None
+    assert isinstance(out, str) and out
