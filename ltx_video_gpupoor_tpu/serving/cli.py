@@ -50,6 +50,14 @@ def parse_args(argv=None):
         help="snap H/W to the nearest aspect-ratio bin (bounded "
         "compile cache; see utils/resolution.py)",
     )
+    p.add_argument(
+        "--enhance-prompt", action="store_true",
+        help="cinematic prompt rewrite before encoding (Florence-2 "
+        "caption + LLM rewrite; the reference wires this path but "
+        "hard-disables it, ltxv.py:211). Uses the TPU-native models "
+        "when LTXV_TPU_CAPTIONER_DIR / LTXV_TPU_ENHANCER_LLM_DIR "
+        "point at checkpoint dirs; falls back to the prompt unchanged",
+    )
     p.add_argument("--device", type=str, default=None)
     p.add_argument("--VAE-tile-size", type=int, default=None)
     p.add_argument("--model-mode", type=str, default="ltxv_13B")
@@ -162,8 +170,6 @@ def infer(args) -> str:
         pipe.vae_tile_size = (
             (0, 0) if args.VAE_tile_size == 0 else (4, args.VAE_tile_size)
         )
-    embeds, mask = encode_or_hash(pipe, args.prompt, args.negative_prompt)
-
     image_start = image_end = input_video = None
     if args.image_start or args.image_end:
         from PIL import Image
@@ -177,6 +183,25 @@ def infer(args) -> str:
             image_end = _load_rgb(args.image_end)
     if args.video_source:
         input_video = media_utils.load_video(args.video_source)
+
+    prompt = args.prompt
+    if args.enhance_prompt:
+        # the reference wires this path but hard-disables it at serving
+        # (ltxv.py:211-221); here it is an opt-in flag backed by the
+        # TPU-native Florence-2 captioner + Llama rewrite (models/
+        # florence2.py, models/llm.py via LTXV_TPU_CAPTIONER_DIR /
+        # LTXV_TPU_ENHANCER_LLM_DIR), with the reference's word-count
+        # gate and unchanged-prompt fallback
+        from ..utils.prompt_enhance import PromptEnhancer
+
+        enhancer = PromptEnhancer()
+        prompt = enhancer.enhance(
+            prompt,
+            first_frames=[image_start] if image_start is not None else None,
+        )
+        if prompt != args.prompt:
+            print(f"enhanced prompt: {prompt}")
+    embeds, mask = encode_or_hash(pipe, prompt, args.negative_prompt)
 
     from ..utils import native_codec
 

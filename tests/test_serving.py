@@ -555,3 +555,21 @@ def test_ckpt_resolution_subfolder_layout(tmp_path):
     (tmp_path / name).write_bytes(b"y")
     got = model_zoo._maybe(f"ckpts/T5_xxl_1.1/{name}", str(tmp_path))
     assert got == str(tmp_path / name)
+
+
+def test_cli_enhance_prompt_flag(tmp_path, monkeypatch, capsys):
+    """--enhance-prompt with no enhancer checkpoints behaves like the
+    reference's disabled path: the prompt passes through unchanged and
+    generation proceeds."""
+    monkeypatch.delenv("LTXV_TPU_ENHANCER_LLM_DIR", raising=False)
+    monkeypatch.delenv("LTXV_TPU_CAPTIONER_DIR", raising=False)
+    out = str(tmp_path / "vid.mp4")
+    args = parse_args([
+        "--prompt", "a cat", "--demo", "--enhance-prompt",
+        "--height", "64", "--width", "64",
+        "--video-length", "9", "--num-inference-steps", "2",
+        "--output-path", out, "--attention", "xla",
+    ])
+    path = infer(args)
+    assert os.path.isfile(path)
+    assert "enhanced prompt" not in capsys.readouterr().out
