@@ -207,3 +207,21 @@ def test_load_hf_dir_roundtrip(tmp_path):
         ref = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
     ours = np.asarray(llm.forward(params, lcfg, jnp.asarray(ids)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.smoke
+def test_full_size_configs_param_counts():
+    """The shipped full-size constants describe the published models:
+    parameter counts come out at ~3.2B (Llama-3.2-3B) and ~3.1B
+    (Qwen2.5-3B) via eval_shape — no memory allocated."""
+    import jax
+
+    def count(cfg):
+        tree = jax.eval_shape(lambda k: llm.init_params(k, cfg),
+                              jax.ShapeDtypeStruct((2,), np.uint32))
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    n_llama = count(llm.LLAMA_3_2_3B)
+    n_qwen = count(llm.QWEN_2_5_3B)
+    assert 3.1e9 < n_llama < 3.4e9, n_llama
+    assert 3.0e9 < n_qwen < 3.2e9, n_qwen
