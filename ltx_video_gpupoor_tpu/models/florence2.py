@@ -713,16 +713,8 @@ def convert_hf_state_dict(sd: dict, cfg: FlorenceConfig) -> dict:
 
 
 def load_hf_dir(path: str):
-    import json
-    import os
+    from .llm import read_hf_dir
 
-    from ..core.checkpoint import load_safetensors
-
-    with open(os.path.join(path, "config.json")) as fh:
-        cfg = config_from_hf(json.load(fh))
-    sd = {}
-    for f in sorted(os.listdir(path)):
-        if f.endswith(".safetensors"):
-            tensors, _ = load_safetensors(os.path.join(path, f))
-            sd.update(tensors)
+    hf_cfg, sd = read_hf_dir(path)
+    cfg = config_from_hf(hf_cfg)
     return cfg, convert_hf_state_dict(sd, cfg)

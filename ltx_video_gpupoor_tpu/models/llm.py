@@ -349,7 +349,14 @@ def generate(
         prefill_body, x, (params["blocks"], empty_k, empty_v))
     last_logits = _logits(params, cfg, x[:, -1:, :])[:, 0]  # [B, vocab]
 
-    n_real = jnp.sum(mask, axis=1)  # next position index per row
+    n_real = jnp.sum(mask, axis=1)  # next physical cache slot count
+    if decode_pos0 is None:
+        decode_pos0 = n_real  # standard 1D RoPE: position = token count
+    # M-RoPE prompts compress vision positions (a grid spans
+    # max(t, h, w) positions, not t*h*w), so the first generated token's
+    # rotary position comes from the caller (max prefill position + 1),
+    # NOT from the token count.
+    decode_pos0 = jnp.asarray(decode_pos0)
 
     def sample(logits, k):
         if temperature <= 0.0:
@@ -368,7 +375,7 @@ def generate(
         for e in eos_ids:
             done = done | (tok == e)
         emb = params["token_embedding"][tok][:, None, :].astype(jnp.float32)
-        pos = (n_real + step)[:, None]  # [B, 1]
+        pos = (decode_pos0 + step)[:, None]  # [B, 1] rotary position
         c, sn = rope_tables(cfg, pos)
         # attend to: prompt real tokens + generated tokens so far
         kpos = jnp.arange(max_len)[None, :]
@@ -439,19 +446,29 @@ def convert_hf_state_dict(sd: dict, cfg: LLMConfig) -> dict:
     return params
 
 
-def load_hf_dir(path: str):
-    """Load (cfg, params) from a HF model directory (config.json +
-    safetensors shards) using the framework's native loader."""
+def read_hf_dir(path: str) -> tuple:
+    """(config dict, raw state dict) from a HF model directory —
+    config.json + every safetensors shard, read through the framework's
+    native loader. Shared by the Llama/Qwen2, Qwen2.5-VL, and Florence-2
+    loaders so shard handling has exactly one implementation."""
     import json
     import os
 
     from ..core.checkpoint import load_safetensors
 
     with open(os.path.join(path, "config.json")) as fh:
-        cfg = config_from_hf(json.load(fh))
+        hf_cfg = json.load(fh)
     sd = {}
     for f in sorted(os.listdir(path)):
         if f.endswith(".safetensors"):
             tensors, _meta = load_safetensors(os.path.join(path, f))
             sd.update(tensors)
+    return hf_cfg, sd
+
+
+def load_hf_dir(path: str):
+    """Load (cfg, params) from a HF model directory (config.json +
+    safetensors shards) using the framework's native loader."""
+    hf_cfg, sd = read_hf_dir(path)
+    cfg = config_from_hf(hf_cfg)
     return cfg, convert_hf_state_dict(sd, cfg)

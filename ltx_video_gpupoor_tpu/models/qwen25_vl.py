@@ -167,7 +167,6 @@ def vision_layout(cfg: QwenVLVisionConfig, grid_thw: np.ndarray):
 
     window_index = []
     win_sizes = []
-    full_ids = []
     pos_ids = []
     base = 0
     for t, h, w in grid_thw:
@@ -184,7 +183,6 @@ def vision_layout(cfg: QwenVLVisionConfig, grid_thw: np.ndarray):
         flat = idxp.reshape(-1)
         window_index.append(flat[flat != -100] + base)
         win_sizes.extend(int(s) * mu for s in sizes if s > 0)
-        full_ids.extend([len(full_ids)] * 0)  # placeholder, built below
         base += t * lh * lw
         # rotary (h, w) ids at PATCH granularity, merge-unit order
         hp = np.arange(h)[:, None].repeat(w, 1)
@@ -265,7 +263,7 @@ def vision_forward(
         def rope(a):
             af = a.astype(jnp.float32)
             return (af * cos[:, None, :]
-                    + _rotate_half(af) * sin[:, None, :]).astype(dt)
+                    + llm._rotate_half(af) * sin[:, None, :]).astype(dt)
 
         q, k = rope(q), rope(k)
         scores = jnp.einsum(
@@ -302,11 +300,6 @@ def vision_forward(
     # back to the original merge-unit order
     reverse = jnp.asarray(np.argsort(window_index))
     return h[reverse]
-
-
-def _rotate_half(x):
-    a, b = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-b, a], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -436,24 +429,29 @@ def generate(
     eos_ids: tuple = (),
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,   # precomputed [3, B, S]
+    decode_pos0: Optional[jax.Array] = None,  # precomputed [B]
 ) -> jax.Array:
     """Multimodal generate: vision encode + scatter + M-RoPE positions,
-    then the framework LLM's one-program prefill+decode."""
+    then the framework LLM's one-program prefill+decode.
+
+    Pass ``positions``/``decode_pos0`` (from :func:`get_rope_index`,
+    computed host-side on concrete ids) to make this call fully
+    traceable — callers that jit it MUST precompute them, since the
+    default path reads ``input_ids`` on the host."""
     embeds = params["text"]["token_embedding"][input_ids]
     if patches is not None:
         img = vision_forward(params["vision"], cfg.vision, patches,
                              grid_thw)
         embeds = scatter_image_embeds(cfg, embeds, input_ids, img)
-        pos_np, deltas = get_rope_index(
-            cfg, np.asarray(input_ids),
-            image_grid_thw=np.asarray(grid_thw),
-            attention_mask=np.asarray(mask))
-        positions = jnp.asarray(pos_np)
-        decode_pos0 = jnp.asarray(
-            pos_np.max(axis=(0, 2)) + 1, jnp.int32)
-    else:
-        positions = None
-        decode_pos0 = None
+        if positions is None:
+            pos_np, _deltas = get_rope_index(
+                cfg, np.asarray(input_ids),
+                image_grid_thw=np.asarray(grid_thw),
+                attention_mask=np.asarray(mask))
+            positions = jnp.asarray(pos_np)
+            decode_pos0 = jnp.asarray(
+                pos_np.max(axis=(0, 2)) + 1, jnp.int32)
     return llm.generate(
         params["text"], cfg.text, input_ids, mask, max_new_tokens,
         eos_ids=eos_ids, temperature=temperature, key=key,
@@ -525,16 +523,6 @@ def convert_hf_state_dict(sd: dict, cfg: QwenVLConfig) -> dict:
 
 
 def load_hf_dir(path: str):
-    import json
-    import os
-
-    from ..core.checkpoint import load_safetensors
-
-    with open(os.path.join(path, "config.json")) as fh:
-        cfg = config_from_hf(json.load(fh))
-    sd = {}
-    for f in sorted(os.listdir(path)):
-        if f.endswith(".safetensors"):
-            tensors, _ = load_safetensors(os.path.join(path, f))
-            sd.update(tensors)
+    hf_cfg, sd = llm.read_hf_dir(path)
+    cfg = config_from_hf(hf_cfg)
     return cfg, convert_hf_state_dict(sd, cfg)

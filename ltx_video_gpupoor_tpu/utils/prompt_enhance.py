@@ -70,6 +70,38 @@ def should_enhance(prompt: str, words_threshold: int = 120) -> bool:
     return len(prompt.split()) < words_threshold
 
 
+def _checkpoint_eos_ids(path: str, tokenizer) -> tuple:
+    """All stop-token ids for a checkpoint dir: the tokenizer's EOS plus
+    ``generation_config.json``'s eos list — Llama-3.x Instruct stops at
+    <|eot_id|>, which lives only in the generation config on several
+    published exports."""
+    import json
+    import os
+
+    ids = []
+    eos = getattr(tokenizer, "eos_token_id", None)
+    ids.extend(eos if isinstance(eos, (list, tuple))
+               else [] if eos is None else [eos])
+    try:
+        with open(os.path.join(path, "generation_config.json")) as fh:
+            ge = json.load(fh).get("eos_token_id")
+        ids.extend(ge if isinstance(ge, list)
+                   else [] if ge is None else [ge])
+    except Exception:
+        pass
+    return tuple(dict.fromkeys(int(i) for i in ids))
+
+
+def _truncate_at_eos(tokens, eos_ids):
+    """Cut a generated id row at the first stop token."""
+    out = np.asarray(tokens)
+    for e in eos_ids:
+        hit = np.where(out == e)[0]
+        if hit.size:
+            out = out[:hit[0]]
+    return out
+
+
 @dataclasses.dataclass
 class JaxChatLM:
     """TPU-native chat LLM backend: the framework's own Llama/Qwen2
@@ -83,6 +115,7 @@ class JaxChatLM:
     params: dict
     tokenizer: object
     max_new_tokens: int = 256
+    eos_ids: tuple = ()
     _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
@@ -93,7 +126,8 @@ class JaxChatLM:
 
         cfg, params = llm.load_hf_dir(path)
         tok = AutoTokenizer.from_pretrained(path)
-        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+        return cls(cfg=cfg, params=params, tokenizer=tok,
+                   eos_ids=_checkpoint_eos_ids(path, tok), **kw)
 
     def chat(self, system_prompt: str, user_prompt: str,
              temperature: float = 0.7, seed: int = 0) -> str:
@@ -111,8 +145,9 @@ class JaxChatLM:
             messages, add_generation_prompt=True
         ), np.int32)[None]
         eos = self.tokenizer.eos_token_id
-        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else \
-            (eos,) if eos is not None else ()
+        eos_ids = self.eos_ids or (
+            tuple(eos) if isinstance(eos, (list, tuple))
+            else (eos,) if eos is not None else ())
         # LEFT-pad to a 64-token bucket: one compiled generate program per
         # bucket instead of one per prompt length (eager or per-length
         # compiles would dominate over the relay)
@@ -131,11 +166,7 @@ class JaxChatLM:
             self._gen_cache[cache_key] = gen
         toks = gen(self.params, jnp.asarray(ids), jnp.asarray(mask),
                    jax.random.key(max(seed, 0)))
-        out = np.asarray(toks)[0]
-        for e in eos_ids:  # truncate at the first EOS
-            hit = np.where(out == e)[0]
-            if hit.size:
-                out = out[:hit[0]]
+        out = _truncate_at_eos(np.asarray(toks)[0], eos_ids)
         return self.tokenizer.decode(
             out, skip_special_tokens=True).strip()
 
@@ -154,6 +185,8 @@ class JaxVLChat:
     max_new_tokens: int = 512
     min_pixels: int = 256 * 28 * 28
     max_pixels: int = 1280 * 28 * 28
+    eos_ids: tuple = ()
+    _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_dir(cls, path: str, **kw) -> "JaxVLChat":
@@ -163,7 +196,8 @@ class JaxVLChat:
 
         cfg, params = qwen25_vl.load_hf_dir(path)
         tok = AutoTokenizer.from_pretrained(path)
-        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+        return cls(cfg=cfg, params=params, tokenizer=tok,
+                   eos_ids=_checkpoint_eos_ids(path, tok), **kw)
 
     def chat_with_image(self, system_prompt: str, user_prompt: str,
                         image, temperature: float = 0.0,
@@ -199,21 +233,38 @@ class JaxVLChat:
                 np.full((n_img,), self.cfg.image_token_id, np.int32),
                 ids[pad_pos[0] + 1:],
             ])
-        ids = ids[None]
         eos = self.tokenizer.eos_token_id
-        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else \
-            (eos,) if eos is not None else ()
-        toks = qwen25_vl.generate(
-            self.params, self.cfg, jnp.asarray(ids),
-            jnp.asarray(patches), np.asarray([grid]),
-            jnp.ones_like(jnp.asarray(ids)), self.max_new_tokens,
-            eos_ids=eos_ids, temperature=temperature,
-            key=jax.random.key(max(seed, 0)))
-        out = np.asarray(toks)[0]
-        for e in eos_ids:
-            hit = np.where(out == e)[0]
-            if hit.size:
-                out = out[:hit[0]]
+        eos_ids = self.eos_ids or (
+            tuple(eos) if isinstance(eos, (list, tuple))
+            else (eos,) if eos is not None else ())
+        # LEFT-pad the text ids to a 64-token bucket and precompute the
+        # M-RoPE positions host-side, so the whole vision+prefill+decode
+        # jits as ONE cached program per (bucket, grid) — eager or
+        # per-length dispatch would dominate over the relay
+        bucket = -(-ids.shape[0] // 64) * 64
+        mask = np.pad(np.ones_like(ids), (bucket - ids.shape[0], 0))[None]
+        ids = np.pad(ids, (bucket - ids.shape[0], 0))[None]
+        pos_np, _ = qwen25_vl.get_rope_index(
+            self.cfg, ids, image_grid_thw=np.asarray([grid]),
+            attention_mask=mask)
+        decode_pos0 = (pos_np.max(axis=(0, 2)) + 1).astype(np.int32)
+        cache_key = (bucket, grid, temperature, eos_ids)
+        gen = self._gen_cache.get(cache_key)
+        if gen is None:
+            gen = jax.jit(
+                lambda p, i, px, m, pos, d0, k: qwen25_vl.generate(
+                    p, self.cfg, i, px, np.asarray([grid]), m,
+                    self.max_new_tokens, eos_ids=eos_ids,
+                    temperature=temperature, key=k,
+                    positions=pos, decode_pos0=d0,
+                )
+            )
+            self._gen_cache[cache_key] = gen
+        toks = gen(self.params, jnp.asarray(ids), jnp.asarray(patches),
+                   jnp.asarray(mask), jnp.asarray(pos_np),
+                   jnp.asarray(decode_pos0),
+                   jax.random.key(max(seed, 0)))
+        out = _truncate_at_eos(np.asarray(toks)[0], eos_ids)
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
 
 
@@ -233,6 +284,7 @@ class JaxFlorenceCaptioner:
     # <DETAILED_CAPTION> task prompt (Florence2Processor
     # task_prompts_without_inputs)
     task_prompt: str = "Describe in detail what is shown in the image."
+    _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_dir(cls, path: str, **kw) -> "JaxFlorenceCaptioner":
@@ -277,15 +329,27 @@ class JaxFlorenceCaptioner:
         ids = np.concatenate([
             np.full((n_img,), self.cfg.image_token_id, np.int64),
             np.asarray(ids, np.int64),
-        ])[None]
-        toks = florence2.generate(
-            self.params, self.cfg, jnp.asarray(ids.astype(np.int32)),
-            jnp.asarray(px), self.max_new_tokens)
-        out = np.asarray(toks)[0]
-        eos = self.cfg.text.eos_token_id
-        hit = np.where(out == eos)[0]
-        if hit.size:
-            out = out[:hit[0]]
+        ])
+        # RIGHT-pad the encoder input to a 16-token bucket (BART uses
+        # absolute learned positions, so right-padding keeps them) and
+        # cache one jitted vision+encode+decode program per bucket
+        bucket = -(-len(ids) // 16) * 16
+        mask = np.pad(np.ones_like(ids), (0, bucket - len(ids)))[None]
+        ids = np.pad(ids, (0, bucket - len(ids)),
+                     constant_values=self.cfg.text.pad_token_id)[None]
+        gen = self._gen_cache.get(bucket)
+        if gen is None:
+            import jax
+
+            gen = jax.jit(
+                lambda p, i, px, m: florence2.generate(
+                    p, self.cfg, i, px, self.max_new_tokens, mask=m)
+            )
+            self._gen_cache[bucket] = gen
+        toks = gen(self.params, jnp.asarray(ids.astype(np.int32)),
+                   jnp.asarray(px), jnp.asarray(mask.astype(np.int32)))
+        out = _truncate_at_eos(np.asarray(toks)[0],
+                               (self.cfg.text.eos_token_id,))
         return self.tokenizer.decode(
             out, skip_special_tokens=True).strip()
 
@@ -385,7 +449,10 @@ class PromptEnhancer:
         """Florence-2 detailed caption of [H, W, 3] uint8 image."""
         if self._load_jax_captioner():  # TPU-native path first
             try:
-                return self._jax_captioner.caption(image) or None
+                out = self._jax_captioner.caption(image)
+                if out:
+                    return out
+                # empty caption falls through to the torch path below
             except Exception as e:
                 logger.warning("TPU-native caption failed: %s", e)
         if not self._load_captioner():
@@ -415,8 +482,11 @@ class PromptEnhancer:
     def _rewrite(self, system_prompt: str, user_prompt: str) -> Optional[str]:
         if self._load_jax_lm():  # TPU-native path first
             try:
-                return self._jax_lm.chat(system_prompt, user_prompt,
-                                         temperature=0.7) or None
+                out = self._jax_lm.chat(system_prompt, user_prompt,
+                                        temperature=0.7)
+                if out:
+                    return out
+                # empty rewrite falls through to the torch path below
             except Exception as e:
                 logger.warning("TPU-native rewrite failed: %s", e)
         if not self._load_llm():
