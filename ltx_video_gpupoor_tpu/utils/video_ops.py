@@ -50,9 +50,43 @@ def resample(
         else frame_ids
 
 
+_u2net_cache: dict = {}
+
+
 def remove_background(images: list[np.ndarray]) -> list[np.ndarray]:
-    """rembg background removal (``utils.py:94-121``); identity when rembg
-    is unavailable (it is not in the TPU image)."""
+    """rembg background removal (``utils.py:94-121``). Runs the
+    TPU-native U2-Net (``models/u2net.py``) when ``LTXV_TPU_U2NET_PATH``
+    points at the official ``u2net.pth`` (or a safetensors export);
+    falls back to the rembg package, then to identity (rembg and its
+    onnxruntime are not in the TPU image)."""
+    import os
+
+    path = os.environ.get("LTXV_TPU_U2NET_PATH")
+    if path:
+        try:
+            from ..models import u2net
+
+            if _u2net_cache.get("path") != path:
+                cfg = u2net.U2NETP if "u2netp" in os.path.basename(path) \
+                    else u2net.U2NET
+                _u2net_cache.update(
+                    path=path, cfg=cfg,
+                    params=u2net.load_torch_checkpoint(path, cfg))
+            cfg, params = _u2net_cache["cfg"], _u2net_cache["params"]
+            out = []
+            for img in images:
+                alpha = u2net.salience_map(params, cfg, img)[..., None]
+                # white-composite, as the reference's
+                # bgcolor=[255,255,255,0] + convert('RGB')
+                out.append(np.clip(
+                    img.astype(np.float32) * alpha + 255.0 * (1 - alpha),
+                    0, 255).astype(np.uint8))
+            return out
+        except Exception as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native U2-Net unavailable (%s); trying rembg", e)
     try:
         from rembg import new_session, remove
     except ImportError:
