@@ -19,10 +19,13 @@ Output contract: the driver parses the LAST JSON line of the tail. The
 process prints, in order: (1) a stale-labeled last-known-good row FIRST
 — before importing jax, so a kill at ANY later point still leaves a
 parseable artifact (the r2/r3 failure mode); (2) detail/parity lines;
-(3) labeled TeaCache serving-mode rows measured in the same run; (4) the
-fresh exact-numerics headline row last. The default relay wait budget is
-420 s (BENCH_WAIT_TPU_S overrides) so probe+compile+measure fits a
-10-minute driver window with a warm persistent compile cache.
+(3) labeled serving-mode rows (TeaCache, bounded-score, and the stacked
+production config) measured in the same run, each chased by a fresh
+copy of the exact headline row so a kill mid-serving never leaves an
+approximate row as the parsed metric; (4) the exact-numerics headline
+row last. The default relay wait budget is 420 s (BENCH_WAIT_TPU_S
+overrides) so probe+compile+measure fits a 10-minute driver window with
+a warm persistent compile cache.
 
 ``vs_baseline`` compares against an estimated 20 s/video for the
 reference's A100 low-VRAM path on the same config (no published numbers
