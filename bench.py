@@ -652,16 +652,19 @@ def main():
                 emit_serving(row)
                 serving_detail[f"bounded{float(sb_serv):g}_sec_per_video"] \
                     = round(b_total, 3)
-                # Stacked serving row: TeaCache skip schedule ON TOP of
+                # Stacked serving rows: TeaCache skip schedule ON TOP of
                 # the bounded-score kernel — the two knobs are
                 # orthogonal (step-count vs per-step cost), and their
                 # product is the full serving configuration a production
                 # deployment would run. Calibrate the mask with the
                 # bounded cfg so the skip schedule reflects the kernel
-                # it rides on.
-                tc_b = float(os.environ.get("BENCH_SERVING_STACK", "1.75")
-                             or 0)
-                if tc_b > 1.0:
+                # it rides on. Comma list of multipliers (the reference
+                # ships TeaCache coefficients up to its x2.1 tier).
+                for tc_s in os.environ.get(
+                        "BENCH_SERVING_STACK", "1.75,2.2").split(","):
+                    tc_b = float(tc_s or 0)
+                    if tc_b <= 1.0:
+                        continue
                     from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline \
                         import ltx_teacache_schedule
 
@@ -686,8 +689,8 @@ def main():
                                 "line above)",
                     }
                     emit_serving(row)
-                    serving_detail["stacked_sec_per_video"] = round(
-                        sb_total, 3)
+                    serving_detail[f"stacked{tc_b:g}_sec_per_video"] = \
+                        round(sb_total, 3)
             except Exception as e:
                 print(f"# bounded serving row failed: {e!r}", flush=True)
     detail.update(serving_detail)

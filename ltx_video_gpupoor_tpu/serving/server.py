@@ -98,8 +98,20 @@ class InferenceService:
 
             gen = self.model.generator
             pipe = gen.pipeline
+            prompt = data["prompt"]
+            # superset field: opt-in cinematic enhancement (the CLI's
+            # --enhance-prompt; the reference wires this path but
+            # hard-disables it at serving, ltxv.py:211). Backed by the
+            # TPU-native Florence-2 captioner + LLM rewrite when the
+            # checkpoint-dir env vars are set; falls back to the prompt
+            # unchanged.
+            if data.get("enhance_prompt"):
+                from ..utils.prompt_enhance import PromptEnhancer
+
+                prompt = PromptEnhancer().enhance(
+                    prompt, first_frames=[image_start])
             embeds, mask = encode_or_hash(
-                pipe, data["prompt"], data["negative_prompt"]
+                pipe, prompt, data["negative_prompt"]
             )
             from ..utils import media as media_utils
             from ..utils import native_codec

@@ -573,3 +573,32 @@ def test_cli_enhance_prompt_flag(tmp_path, monkeypatch, capsys):
     path = infer(args)
     assert os.path.isfile(path)
     assert "enhanced prompt" not in capsys.readouterr().out
+
+
+def test_server_enhance_prompt_field(server):
+    """The superset enhance_prompt JSON field: with no enhancer
+    checkpoints the prompt passes through unchanged and the request
+    still succeeds (the reference's disabled-path behavior)."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    payload = {
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "prompt": "a dog",
+        "negative_prompt": "",
+        "height": 64,
+        "width": 64,
+        "num_frames": 9,
+        "frame_rate": 25,
+        "num_inference_steps": 2,
+        "enhance_prompt": True,
+    }
+    req = urllib.request.Request(
+        server + "/", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+    assert isinstance(resp, list) and "video" in resp[0]
