@@ -189,7 +189,7 @@ def vision_init_params(key: jax.Array, cfg: FlorenceVisionConfig) -> dict:
         mlp_dim = int(d * cfg.mlp_ratio)
 
         def block(k, d=d, mlp_dim=mlp_dim):
-            kk = iter(jax.random.split(k, 10))
+            kk = iter(jax.random.split(k, 16))
             def half():
                 return {
                     "conv": {"kernel": jax.random.normal(
@@ -257,8 +257,10 @@ def _channel_attn(p, x, groups):
 
 def vision_forward(params: dict, cfg: FlorenceVisionConfig,
                    pixels: jax.Array) -> jax.Array:
-    """[B, H, W, 3] -> [B, H', W', embed_dim[-1]] feature map."""
-    x = pixels
+    """[B, H, W, 3] -> [B, H', W', embed_dim[-1]] feature map. Compute
+    dtype follows the checkpoint (bf16 serving, fp32 goldens)."""
+    x = pixels.astype(
+        params["stages"][0]["conv_embed"]["conv"]["kernel"].dtype)
     for si, stage in enumerate(params["stages"]):
         ce = stage["conv_embed"]
         if cfg.patch_prenorm[si]:
@@ -536,7 +538,8 @@ def generate(params: dict, cfg: FlorenceConfig, input_ids: jax.Array,
 
     ck, cv = jax.vmap(cross_kv, in_axes=(0,))(dec["layers"])
 
-    cache_k = jnp.zeros((t.decoder_layers, b, max_len, d))
+    cache_k = jnp.zeros((t.decoder_layers, b, max_len, d),
+                        t_params["shared"].dtype)
     cache_v = jnp.zeros_like(cache_k)
 
     def step(carry, _):

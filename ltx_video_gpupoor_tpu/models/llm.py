@@ -229,10 +229,12 @@ def _attn(p, cfg, x, cos, sin, kv_cache=None, cache_pos=None,
         new_cache = None
 
     rep = nh // nkv
-    kf = jnp.repeat(k, rep, axis=2).astype(jnp.float32)
+    kf = jnp.repeat(k, rep, axis=2)
     vf = jnp.repeat(v, rep, axis=2)
+    # QK on the MXU in the compute dtype, fp32 accumulation/softmax
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * hd**-0.5
+        "bqhd,bkhd->bhqk", q, kf,
+        preferred_element_type=jnp.float32) * hd**-0.5
     if attn_bias is not None:
         scores = scores + attn_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(dt)
@@ -273,8 +275,11 @@ def forward(
 ) -> jax.Array:
     """Full-sequence causal forward -> logits ``[B, S, vocab]``."""
     b, s = ids.shape
-    x = (params["token_embedding"][ids] if embeds is None else embeds
-         ).astype(jnp.float32)
+    # compute dtype follows the checkpoint: fp32 params run fp32 (the
+    # golden-test configuration), bf16 params run bf16 on the MXU with
+    # fp32 softmax/norm accumulation
+    x = params["token_embedding"][ids] if embeds is None else embeds
+    x = x.astype(params["token_embedding"].dtype)
     if mask is None:
         mask = jnp.ones((b, s), jnp.int32)
     if positions is None:
@@ -323,8 +328,9 @@ def generate(
         key = jax.random.key(0)
 
     # ---- prefill: full-sequence pass that also fills the KV cache ----
+    dt = params["token_embedding"].dtype
     x = (params["token_embedding"][ids] if embeds is None else embeds
-         ).astype(jnp.float32)
+         ).astype(dt)
     if positions is None:
         positions = jnp.cumsum(mask, axis=1) - 1
     cos, sin = rope_tables(cfg, positions)
@@ -332,7 +338,7 @@ def generate(
     keep = causal[None, None] & (mask[:, None, None, :] > 0)
     bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
 
-    empty_k = jnp.zeros((cfg.num_layers, b, max_len, nkv, hd), jnp.float32)
+    empty_k = jnp.zeros((cfg.num_layers, b, max_len, nkv, hd), dt)
     empty_v = jnp.zeros_like(empty_k)
 
     def prefill_body(x, inp):
@@ -359,6 +365,7 @@ def generate(
     decode_pos0 = jnp.asarray(decode_pos0)
 
     def sample(logits, k):
+        logits = logits.astype(jnp.float32)
         if temperature <= 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(
@@ -374,7 +381,7 @@ def generate(
         tok = jnp.where(done, jnp.int32(eos_fill), tok)
         for e in eos_ids:
             done = done | (tok == e)
-        emb = params["token_embedding"][tok][:, None, :].astype(jnp.float32)
+        emb = params["token_embedding"][tok][:, None, :].astype(dt)
         pos = (decode_pos0 + step)[:, None]  # [B, 1] rotary position
         c, sn = rope_tables(cfg, pos)
         # attend to: prompt real tokens + generated tokens so far

@@ -226,9 +226,10 @@ def vision_forward(
     window_index, seg_window, seg_full, pos_hw = vision_layout(
         cfg, np.asarray(grid_thw))
     s = patches.shape[0]
-    dt = patches.dtype
+    # compute dtype follows the checkpoint (bf16 serving, fp32 goldens)
+    dt = params["patch_embed"]["kernel"].dtype
 
-    x = patches @ params["patch_embed"]["kernel"].astype(dt)
+    x = patches.astype(dt) @ params["patch_embed"]["kernel"]
     # reorder into window order at merge-unit granularity
     patch_perm = jnp.asarray(
         (window_index[:, None] * mu + np.arange(mu)).reshape(-1))

@@ -70,6 +70,24 @@ def should_enhance(prompt: str, words_threshold: int = 120) -> bool:
     return len(prompt.split()) < words_threshold
 
 
+def _cast_params(params, dtype):
+    """Cast floating leaves to the serving dtype (the reference serves
+    its enhancer models bf16 — the Llama3_2_quanto_bf16_int8 checkpoint;
+    fp32 stays available via dtype=None for exactness tests)."""
+    if dtype is None:
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda a: a.astype(dt)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        params,
+    )
+
+
 def _checkpoint_eos_ids(path: str, tokenizer) -> tuple:
     """All stop-token ids for a checkpoint dir: the tokenizer's EOS plus
     ``generation_config.json``'s eos list — Llama-3.x Instruct stops at
@@ -119,14 +137,15 @@ class JaxChatLM:
     _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
-    def from_dir(cls, path: str, **kw) -> "JaxChatLM":
+    def from_dir(cls, path: str, dtype="bfloat16", **kw) -> "JaxChatLM":
         from transformers import AutoTokenizer
 
         from ..models import llm
 
         cfg, params = llm.load_hf_dir(path)
         tok = AutoTokenizer.from_pretrained(path)
-        return cls(cfg=cfg, params=params, tokenizer=tok,
+        return cls(cfg=cfg, params=_cast_params(params, dtype),
+                   tokenizer=tok,
                    eos_ids=_checkpoint_eos_ids(path, tok), **kw)
 
     def chat(self, system_prompt: str, user_prompt: str,
@@ -189,14 +208,15 @@ class JaxVLChat:
     _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
-    def from_dir(cls, path: str, **kw) -> "JaxVLChat":
+    def from_dir(cls, path: str, dtype="bfloat16", **kw) -> "JaxVLChat":
         from transformers import AutoTokenizer
 
         from ..models import qwen25_vl
 
         cfg, params = qwen25_vl.load_hf_dir(path)
         tok = AutoTokenizer.from_pretrained(path)
-        return cls(cfg=cfg, params=params, tokenizer=tok,
+        return cls(cfg=cfg, params=_cast_params(params, dtype),
+                   tokenizer=tok,
                    eos_ids=_checkpoint_eos_ids(path, tok), **kw)
 
     def chat_with_image(self, system_prompt: str, user_prompt: str,
@@ -287,14 +307,16 @@ class JaxFlorenceCaptioner:
     _gen_cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
-    def from_dir(cls, path: str, **kw) -> "JaxFlorenceCaptioner":
+    def from_dir(cls, path: str, dtype="bfloat16",
+                 **kw) -> "JaxFlorenceCaptioner":
         from transformers import AutoTokenizer
 
         from ..models import florence2
 
         cfg, params = florence2.load_hf_dir(path)
         tok = AutoTokenizer.from_pretrained(path)
-        return cls(cfg=cfg, params=params, tokenizer=tok, **kw)
+        return cls(cfg=cfg, params=_cast_params(params, dtype),
+                   tokenizer=tok, **kw)
 
     def preprocess(self, image) -> "np.ndarray":
         """PIL/array image -> [1, H, W, 3] float32 (resize to the square
