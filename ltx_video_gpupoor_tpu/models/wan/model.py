@@ -83,9 +83,11 @@ class WanConfig:
         return self.dim // self.num_heads
 
 
+# /root/reference/wan/configs/wan_t2v_1_3B.py:8-29
 WAN_T2V_1_3B = WanConfig(
     model_type="t2v", dim=1536, ffn_dim=8960, num_heads=12, num_layers=30
 )
+# /root/reference/wan/configs/wan_t2v_14B.py:8-29
 WAN_T2V_14B = WanConfig(
     model_type="t2v", dim=5120, ffn_dim=13824, num_heads=40, num_layers=40
 )
