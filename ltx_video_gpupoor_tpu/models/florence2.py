@@ -346,7 +346,8 @@ def project_image_features(params: dict, cfg: FlorenceConfig,
         jnp.tile(params["row_embeddings"][:h, None], (1, w, 1)),
     ], axis=-1)
     x = (feat + pos[None]).reshape(b, h * w, c)
-    temporal = jnp.asarray(_cosine_1d(1, c))  # one frame
+    # one frame; cast: the fp32 table must not promote a bf16 path
+    temporal = jnp.asarray(_cosine_1d(1, c), feat.dtype)
     x = x + temporal[None]
     # one temporal frame: spatial mean token + per-position tokens
     spatial_mean = jnp.mean(x, axis=1, keepdims=True)
@@ -485,7 +486,7 @@ def build_encoder_embeds(params: dict, cfg: FlorenceConfig,
     order = jnp.cumsum(is_img) - 1
     feats = image_features.reshape(-1, image_features.shape[-1])
     gathered = feats[jnp.clip(order, 0, feats.shape[0] - 1)]
-    out = jnp.where(is_img[:, None], gathered,
+    out = jnp.where(is_img[:, None], gathered.astype(embeds.dtype),
                     embeds.reshape(-1, embeds.shape[-1]))
     return out.reshape(embeds.shape)
 

@@ -29,6 +29,24 @@ if os.environ.get("_LVGT_TEST_REEXEC") != "1":
             " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
         )
     env["XLA_FLAGS"] = flags.strip()
+    # zero-egress image: make the torch-fallback paths fail FAST instead
+    # of 5x retry-with-backoff per file (minutes of wall time in the
+    # enhancer fallback tests); production keeps the default so online
+    # deployments still download
+    env.setdefault("HF_HUB_OFFLINE", "1")
+    # A full-suite session JIT-compiles hundreds of XLA CPU executables
+    # (some concurrently in the warmup/tiling tests); the default
+    # vm.max_map_count (65530) can run out of mappings mid-compile,
+    # which surfaces as "LLVM compilation error: Cannot allocate
+    # memory" + a segfault with >100 GB RAM free. Raise it when we can
+    # (root in this image); harmless no-op otherwise.
+    try:
+        with open("/proc/sys/vm/max_map_count", "r+") as fh:
+            if int(fh.read()) < 1048576:
+                fh.seek(0)
+                fh.write("1048576")
+    except OSError:
+        pass
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
