@@ -660,8 +660,13 @@ def main():
                 # bounded cfg so the skip schedule reflects the kernel
                 # it rides on. Comma list of multipliers (the reference
                 # ships TeaCache coefficients up to its x2.1 tier).
+                # each multiplier in its own try: a transient failure
+                # on one tier (compile OOM in a contended window) must
+                # not drop the remaining stacked rows, and a non-numeric
+                # entry is skipped rather than fatal
                 for tc_s in os.environ.get(
                         "BENCH_SERVING_STACK", "1.75,2.2").split(","):
+                  try:
                     tc_b = float(tc_s or 0)
                     if tc_b <= 1.0:
                         continue
@@ -691,6 +696,9 @@ def main():
                     emit_serving(row)
                     serving_detail[f"stacked{tc_b:g}_sec_per_video"] = \
                         round(sb_total, 3)
+                  except Exception as e:
+                    print(f"# stacked row {tc_s} failed: {e!r}",
+                          flush=True)
             except Exception as e:
                 print(f"# bounded serving row failed: {e!r}", flush=True)
     detail.update(serving_detail)

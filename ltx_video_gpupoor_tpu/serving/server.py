@@ -50,6 +50,7 @@ class InferenceService:
         # generations' HBM at once, and the background warmup must not
         # race the first live request
         self.gen_lock = threading.Lock()
+        self._enhancer = None  # lazy, cached prompt enhancer (run())
         # pre-compile serving shapes (persistent compile cache makes this
         # a disk load on every process after the first) — LTXV_TPU_WARMUP;
         # ``warmup_spec`` overrides the env (tests pass "off")
@@ -104,12 +105,19 @@ class InferenceService:
             # hard-disables it at serving, ltxv.py:211). Backed by the
             # TPU-native Florence-2 captioner + LLM rewrite when the
             # checkpoint-dir env vars are set; falls back to the prompt
-            # unchanged.
+            # unchanged. The enhancer is cached on the service (its
+            # checkpoints load and its programs compile ONCE) and runs
+            # under gen_lock — its models share the chip's HBM with the
+            # diffusion weights, so it must not race a generation or
+            # the background warmup.
             if data.get("enhance_prompt"):
-                from ..utils.prompt_enhance import PromptEnhancer
+                if self._enhancer is None:
+                    from ..utils.prompt_enhance import PromptEnhancer
 
-                prompt = PromptEnhancer().enhance(
-                    prompt, first_frames=[image_start])
+                    self._enhancer = PromptEnhancer()
+                with self.gen_lock:
+                    prompt = self._enhancer.enhance(
+                        prompt, first_frames=[image_start])
             embeds, mask = encode_or_hash(
                 pipe, prompt, data["negative_prompt"]
             )

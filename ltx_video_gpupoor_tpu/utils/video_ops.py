@@ -58,7 +58,12 @@ def remove_background(images: list[np.ndarray]) -> list[np.ndarray]:
     TPU-native U2-Net (``models/u2net.py``) when ``LTXV_TPU_U2NET_PATH``
     points at the official ``u2net.pth`` (or a safetensors export);
     falls back to the rembg package, then to identity (rembg and its
-    onnxruntime are not in the TPU image)."""
+    onnxruntime are not in the TPU image).
+
+    The native path composites the raw U2-Net salience alpha onto white;
+    the rembg fallback additionally refines edges with closed-form alpha
+    matting (``alpha_matting=True``, a pymatting CPU solve the reference
+    enables) — same subject mask, slightly softer matte edges there."""
     import os
 
     path = os.environ.get("LTXV_TPU_U2NET_PATH")

@@ -39,14 +39,20 @@ if os.environ.get("_LVGT_TEST_REEXEC") != "1":
     # vm.max_map_count (65530) can run out of mappings mid-compile,
     # which surfaces as "LLVM compilation error: Cannot allocate
     # memory" + a segfault with >100 GB RAM free. Raise it when we can
-    # (root in this image); harmless no-op otherwise.
-    try:
-        with open("/proc/sys/vm/max_map_count", "r+") as fh:
-            if int(fh.read()) < 1048576:
-                fh.seek(0)
-                fh.write("1048576")
-    except OSError:
-        pass
+    # (root in this container image). This mutates a host-wide sysctl
+    # (until reboot), so it announces itself and honors an opt-out:
+    # set LVGT_KEEP_MAP_COUNT=1 to leave the kernel setting alone.
+    if os.environ.get("LVGT_KEEP_MAP_COUNT") != "1":
+        try:
+            with open("/proc/sys/vm/max_map_count", "r+") as fh:
+                if int(fh.read()) < 1048576:
+                    fh.seek(0)
+                    fh.write("1048576")
+                    print("[conftest] raised vm.max_map_count to 1048576 "
+                          "for the XLA-heavy suite (LVGT_KEEP_MAP_COUNT=1 "
+                          "to opt out)")
+        except OSError:
+            pass
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
