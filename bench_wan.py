@@ -46,16 +46,19 @@ TIMED_STEPS, FULL_STEPS = 4, 30
 PEAK_BF16 = 197e12  # v5e per-chip
 
 
-def step_flops(cfg, n_tokens, streams=2):
-    """MXU FLOPs of one denoise evaluation (both guidance streams)."""
+def step_flops(cfg, n_tokens, streams=2, extra_ctx=0):
+    """MXU FLOPs of one denoise evaluation (both guidance streams).
+    ``extra_ctx``: additional cross-attention context tokens (the 257
+    CLIP tokens of the i2v path)."""
     d, f = cfg.dim, cfg.ffn_dim
+    ctx_len = cfg.text_len + extra_ctx
     # MACs/token/layer: self qkvo (4d^2) + cross q,o (2d^2) + ffn (2df)
     per_tok = 4 * d * d + 2 * d * d + 2 * d * f
     lin = 2 * streams * n_tokens * per_tok * cfg.num_layers
-    lin += 2 * streams * cfg.text_len * 2 * d * d * cfg.num_layers  # cross kv
+    lin += 2 * streams * ctx_len * 2 * d * d * cfg.num_layers  # cross kv
     attn = (4 * streams * cfg.num_heads * n_tokens * n_tokens
             * cfg.head_dim * cfg.num_layers)
-    attn += (4 * streams * cfg.num_heads * n_tokens * cfg.text_len
+    attn += (4 * streams * cfg.num_heads * n_tokens * ctx_len
              * cfg.head_dim * cfg.num_layers)
     return lin + attn
 
@@ -77,8 +80,20 @@ def main():
     # 16 GiB v5e runs the int4-WO tier (~7 GiB weights, leafwise init)
     # with 4-way token-chunked FFN bounding the 13824-wide intermediate.
     is_14b = bool(os.environ.get("BENCH_WAN_14B"))
-    cfg = dataclasses.replace(WAN_T2V_14B, ffn_chunks=4) if is_14b \
-        else WAN_T2V_1_3B
+    # BENCH_WAN_I2V=1: the i2v-14B flagship instead
+    # (``/root/reference/wan/configs/wan_i2v_14B.py`` — in_dim 36: the
+    # 16 latent channels + 4 mask rows + 16 conditioning-frame channels
+    # the pipeline concatenates, plus 257 CLIP context tokens through
+    # MLPProj). Implies the 14B tiering.
+    is_i2v = bool(os.environ.get("BENCH_WAN_I2V"))
+    if is_i2v:
+        from ltx_video_gpupoor_tpu.models.wan.model import WAN_I2V_14B
+
+        is_14b = True
+        cfg = dataclasses.replace(WAN_I2V_14B, ffn_chunks=4)
+    else:
+        cfg = dataclasses.replace(WAN_T2V_14B, ffn_chunks=4) if is_14b \
+            else WAN_T2V_1_3B
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
@@ -120,9 +135,18 @@ def main():
     if rope_heads_enabled(default=True):  # Wan family default since r3
         tier += "+ropeheads"
 
+    # the carried latent is always 16 channels; i2v concatenates the
+    # mask rows + conditioning-frame channels (in_dim - 16) per step
+    # (text2video.py's y concat)
+    lat_ch = 16 if is_i2v else cfg.in_dim
     x = jax.random.normal(
-        key, (1, f_lat, h_lat, w_lat, cfg.in_dim), jnp.bfloat16
+        key, (1, f_lat, h_lat, w_lat, lat_ch), jnp.bfloat16
     )
+    cond_extra = jax.random.normal(
+        key, (1, f_lat, h_lat, w_lat, cfg.in_dim - lat_ch), jnp.bfloat16
+    ) if is_i2v else None
+    clip_fea = jax.random.normal(
+        key, (2, 257, 1280), jnp.bfloat16) if is_i2v else None
     ctx = jax.random.normal(key, (2, cfg.text_len, cfg.text_dim),
                             jnp.bfloat16)
     cmask = jnp.ones((2, cfg.text_len), jnp.int32)
@@ -174,9 +198,12 @@ def main():
             lat, res = carry
             pair, comp = step
             t = pair[0] * 1000.0
-            xs = jnp.concatenate([lat, lat], axis=0)
+            model_in = lat if cond_extra is None else jnp.concatenate(
+                [lat, cond_extra], axis=-1)
+            xs = jnp.concatenate([model_in, model_in], axis=0)
             v, res = forward(
                 params, cfg, xs, jnp.full((2,), t), ctx, cmask, freqs,
+                clip_features=clip_fea,
                 previous_residual=res, compute=comp,
             )
             un, co = jnp.split(v.astype(jnp.float32), 2, axis=0)
@@ -210,7 +237,8 @@ def main():
     denoise_30 = timed if timed_steps == FULL_STEPS else (
         FULL_STEPS / steps_per_sec)
 
-    fl = step_flops(cfg, n_tokens) * exec_frac
+    fl = step_flops(cfg, n_tokens,
+                    extra_ctx=257 if is_i2v else 0) * exec_frac
     mfu = fl * steps_per_sec / PEAK_BF16
 
     # denoise detail prints BEFORE the decode stage so a decode OOM on a
@@ -257,7 +285,8 @@ def main():
     float(np.asarray(decode(vparams, z)))
     decode_s = time.time() - t0
 
-    family = "wan14b" if is_14b else "wan1.3b"
+    family = ("wan14b_i2v" if is_i2v else "wan14b") if is_14b \
+        else "wan1.3b"
     print(json.dumps({
         "metric": f"e2e_sec_per_video_{family}_{tier}_832x480x81f_30steps",
         "value": round(denoise_30 + decode_s, 2),
