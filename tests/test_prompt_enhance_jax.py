@@ -343,3 +343,17 @@ def test_enhancer_i2v_uses_jax_captioner(florence_dir, model_dir):
     out = enh.enhance("tok3 tok4", first_frames=[frame])
     assert enh._llm is None and enh._caption_model is None
     assert isinstance(out, str) and out
+
+
+def test_chat_lm_bucket_cache(model_dir):
+    """Prompt lengths bucket to 64 tokens with one cached compiled
+    program per bucket: a short and a long prompt produce exactly two
+    cache entries, and repeating a length reuses its program."""
+    lm = pe.JaxChatLM.from_dir(model_dir, max_new_tokens=3)
+    lm.chat("tok1", "tok2 tok3", temperature=0.0)
+    assert len(lm._gen_cache) == 1
+    long_user = " ".join(f"tok{i % 80}" for i in range(70))
+    lm.chat("tok1", long_user, temperature=0.0)
+    assert len(lm._gen_cache) == 2  # second bucket (128)
+    lm.chat("tok4", "tok5 tok6 tok7", temperature=0.0)
+    assert len(lm._gen_cache) == 2  # reused the 64 bucket
