@@ -60,10 +60,12 @@ def remove_background(images: list[np.ndarray]) -> list[np.ndarray]:
     falls back to the rembg package, then to identity (rembg and its
     onnxruntime are not in the TPU image).
 
-    The native path composites the raw U2-Net salience alpha onto white;
-    the rembg fallback additionally refines edges with closed-form alpha
-    matting (``alpha_matting=True``, a pymatting CPU solve the reference
-    enables) — same subject mask, slightly softer matte edges there."""
+    Both paths refine the U2-Net salience with closed-form alpha matting
+    before compositing onto white — rembg via pymatting, the native path
+    via ``utils.matting`` (same Levin et al. algorithm, scipy CG solve,
+    the reference's ``alpha_matting=True`` + ``erode_size=1``
+    configuration). ``LTXV_TPU_REMBG_MATTING=0`` skips the refinement
+    (raw salience composite, ~4 s faster per frame)."""
     import os
 
     path = os.environ.get("LTXV_TPU_U2NET_PATH")
@@ -78,9 +80,17 @@ def remove_background(images: list[np.ndarray]) -> list[np.ndarray]:
                     path=path, cfg=cfg,
                     params=u2net.load_torch_checkpoint(path, cfg))
             cfg, params = _u2net_cache["cfg"], _u2net_cache["params"]
+            refine = os.environ.get("LTXV_TPU_REMBG_MATTING", "1") \
+                .strip().lower() not in ("0", "off", "false")
             out = []
             for img in images:
-                alpha = u2net.salience_map(params, cfg, img)[..., None]
+                alpha = u2net.salience_map(params, cfg, img)
+                if refine:
+                    from . import matting
+
+                    alpha = matting.refine_alpha(img, alpha,
+                                                 erode_size=1)
+                alpha = alpha[..., None]
                 # white-composite, as the reference's
                 # bgcolor=[255,255,255,0] + convert('RGB')
                 out.append(np.clip(
