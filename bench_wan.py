@@ -77,7 +77,8 @@ def main():
         raise SystemExit(1)
     # BENCH_WAN_14B=1: the reference's flagship Wan config
     # (``/root/reference/wan/configs/wan_t2v_14B.py:8-29``). 14B on one
-    # 16 GiB v5e runs the int4-WO tier (~7 GiB weights, leafwise init)
+    # 16 GiB v5e runs the MIXED int4 tier (r5: per-group int4 bulk +
+    # int8 sensitive leaves, ~7 GiB, leafwise init; clears the 40 dB gate)
     # with 4-way token-chunked FFN bounding the 13824-wide intermediate.
     is_14b = bool(os.environ.get("BENCH_WAN_14B"))
     # BENCH_WAN_I2V=1: the i2v-14B flagship instead
@@ -115,7 +116,7 @@ def main():
             use_int8=bool(os.environ.get("BENCH_WAN_14B_INT8")),
         )
         tier = ("int8_dyn" if os.environ.get("BENCH_WAN_14B_INT8")
-                else "int4_wo")
+                else "int4_mixed")
     else:
         params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16), init_params(key, cfg)

@@ -57,6 +57,12 @@ def _with_quantized(rules):
             out.append((stem + suf, spec))
         if spec[-1] == "tp":  # out-split: scale [..., out] follows
             out.append((stem + "scale", P(*spec[:-2], "tp")))
+            # per-group int4 scale [..., in/g, out] mirrors the kernel's
+            # own spec (out on tp, group dim unsharded); ndim matching in
+            # _apply_rules picks the right one. In-split kernels leave
+            # per-group scales replicated — the group dim of a tiny test
+            # config need not divide tp, and the scale is small.
+            out.append((stem + "scale", spec))
     return out
 
 

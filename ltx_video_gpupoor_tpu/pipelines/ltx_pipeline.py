@@ -741,6 +741,7 @@ class LTXPipeline:
         teacache_multiplier: float = 0.0,
         interrupt_flag=None,
         progress_callback=None,
+        noise: Optional[jax.Array] = None,
     ):
         from ..utils.observability import stage as _stage
 
@@ -760,9 +761,13 @@ class LTXPipeline:
         ts = np.asarray(sched.timesteps)
 
         k_noise, k_denoise, k_decode, k_extras = jax.random.split(key, 4)
-        noise = jax.random.normal(
-            k_noise, (1, f_lat * h_lat * w_lat, c), jnp.float32
-        )
+        if noise is None:
+            # injectable for deterministic replay / reference-oracle runs
+            # (the reference pipeline's ``latents=`` argument,
+            # ``pipeline_ltx_video.py:632-710``)
+            noise = jax.random.normal(
+                k_noise, (1, f_lat * h_lat * w_lat, c), jnp.float32
+            )
         noise_grid = patchifier.unpatchify(noise, h_lat, w_lat, c)
 
         if media_latents is not None:

@@ -70,7 +70,11 @@ class MultiScalePipeline:
         sf = self.pipeline.vae_cfg.spatial_downscale_factor
         xh = int(height * self.downscale_factor)
         xw = int(width * self.downscale_factor)
-        return xh - (xh % sf), xw - (xw % sf)
+        # floor at one VAE stride: a working dim under 1.5 strides (e.g.
+        # a 32 px canvas from aspect fitting) would otherwise snap to a
+        # ZERO-height pass-1 grid and crash in patchify (the reference's
+        # own int()+%32 snap has the same degenerate edge)
+        return max(sf, xh - (xh % sf)), max(sf, xw - (xw % sf))
 
     def generate(
         self,

@@ -465,15 +465,20 @@ class WanPipeline:
         teacache_multiplier: float = 0.0,
         teacache_model: str = "t2v_14B",
         return_latent_slice: Optional[slice] = None,
+        noise: Optional[jax.Array] = None,
         **denoise_kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
         k_noise, k_loop = jax.random.split(key)  # never reuse a consumed key
         f_lat, h_lat, w_lat = self.latent_shape(height, width, frame_num)
-        noise = jax.random.normal(
-            k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
-            jnp.float32,
-        )
+        if noise is None:
+            # injectable for deterministic replay / reference-oracle runs
+            # (the reference's torch.Generator seed path,
+            # ``text2video.py:366-372``)
+            noise = jax.random.normal(
+                k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
+                jnp.float32,
+            )
         sigmas = self._solve_schedule(solver, sampling_steps, shift)
         tc_mask = None
         if teacache_multiplier > 0:
@@ -545,15 +550,17 @@ class WanPipeline:
         key: Optional[jax.Array] = None,
         last_frame: Optional[jax.Array] = None,
         output_type: str = "latent",
+        noise: Optional[jax.Array] = None,
         **denoise_kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
         k_noise, k_loop = jax.random.split(key)
         f_lat, h_lat, w_lat = self.latent_shape(height, width, frame_num)
-        noise = jax.random.normal(
-            k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
-            jnp.float32,
-        )
+        if noise is None:  # injectable (see generate_t2v)
+            noise = jax.random.normal(
+                k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
+                jnp.float32,
+            )
         y = self.prepare_i2v_conditioning(
             first_frame, height, width, frame_num, last_frame
         )

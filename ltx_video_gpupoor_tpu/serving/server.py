@@ -114,7 +114,14 @@ class InferenceService:
                 if self._enhancer is None:
                     from ..utils.prompt_enhance import PromptEnhancer
 
-                    self._enhancer = PromptEnhancer()
+                    # native_only: the torch/transformers fallback can
+                    # attempt multi-GB HF Hub downloads (with retry
+                    # backoff) while this request holds gen_lock,
+                    # stalling every generation and the warmup. At
+                    # serving, only the env-dir-configured TPU-native
+                    # enhancer runs; otherwise the prompt passes
+                    # through unchanged.
+                    self._enhancer = PromptEnhancer(native_only=True)
                 with self.gen_lock:
                     prompt = self._enhancer.enhance(
                         prompt, first_frames=[image_start])

@@ -27,15 +27,21 @@ def build_trimap(alpha: np.ndarray, fg_threshold: float = 240 / 255,
                  erode_size: int = 1) -> np.ndarray:
     """Salience [H, W] in [0, 1] -> trimap (1 fg, 0 bg, 0.5 unknown),
     with the fg/bg regions eroded by ``erode_size`` (rembg's
-    ``alpha_matting_erode_size``)."""
+    ``alpha_matting_erode_size``).
+
+    Matches rembg's ``alpha_matting_cutout`` exactly: the structuring
+    element is ``np.ones((erode_size, erode_size))`` (so erode_size=1 is
+    the identity), and the background erosion uses ``border_value=1`` so
+    border background pixels stay background rather than dropping into
+    the unknown band."""
     from scipy import ndimage
 
     is_fg = alpha > fg_threshold
     is_bg = alpha < bg_threshold
-    if erode_size > 0:
-        structure = np.ones((erode_size * 2 + 1,) * 2, bool)
+    if erode_size > 1:
+        structure = np.ones((erode_size, erode_size), bool)
         is_fg = ndimage.binary_erosion(is_fg, structure)
-        is_bg = ndimage.binary_erosion(is_bg, structure)
+        is_bg = ndimage.binary_erosion(is_bg, structure, border_value=1)
     tri = np.full(alpha.shape, 0.5, np.float64)
     tri[is_fg] = 1.0
     tri[is_bg] = 0.0

@@ -55,11 +55,17 @@ def calculate_padding(
     return (pad_left, pad_right, pad_top, pad_bottom)
 
 
-def pad_media(media: np.ndarray, padding) -> np.ndarray:
-    """media [F, H, W, C] in [-1, 1] -> edge-padded to target size."""
+def pad_media(media: np.ndarray, padding, mode: str = "constant") -> np.ndarray:
+    """media [F, H, W, C] in [-1, 1] -> padded to target size.
+
+    Default constant-0 (mid-gray in [-1, 1]) matches the reference's
+    ``torch.nn.functional.pad(media_tensor, padding)`` on conditioning
+    media (``ltxv.py:543, 559``); ``mode="edge"`` is available for
+    callers that prefer replicate padding."""
     left, right, top, bottom = padding
+    kw = {"constant_values": 0.0} if mode == "constant" else {}
     return np.pad(
-        media, [(0, 0), (top, bottom), (left, right), (0, 0)], mode="edge"
+        media, [(0, 0), (top, bottom), (left, right), (0, 0)], mode=mode, **kw
     )
 
 
@@ -84,6 +90,62 @@ def resize_image(image: np.ndarray, height: int, width: int) -> np.ndarray:
     if image.dtype != np.uint8:
         return out.astype(np.float32) / 127.5 - 1.0
     return out
+
+
+def resize_and_crop_image(
+    image: np.ndarray, height: int, width: int, just_crop: bool = False
+) -> np.ndarray:
+    """Aspect-preserving center-crop to the target aspect ratio, then
+    bicubic resize to (height, width) — the reference's
+    ``load_image_to_tensor_with_resize_and_crop`` geometry
+    (``ltx_video/ltxv.py:85-101``; PIL ``resize`` default = BICUBIC).
+    [H, W, C] uint8 in, uint8 out."""
+    from PIL import Image
+
+    ih, iw = image.shape[:2]
+    aspect_target = width / height
+    aspect_frame = iw / ih
+    if aspect_frame > aspect_target:
+        nw, nh = int(ih * aspect_target), ih
+        x0, y0 = (iw - nw) // 2, 0
+    else:
+        nw, nh = iw, int(iw / aspect_target)
+        x0, y0 = 0, (ih - nh) // 2
+    cropped = image[y0:y0 + nh, x0:x0 + nw]
+    if just_crop:
+        return cropped
+    return np.asarray(
+        Image.fromarray(cropped).resize((width, height), Image.BICUBIC)
+    )
+
+
+def gaussian_blur_3x3(image: np.ndarray) -> np.ndarray:
+    """``cv2.GaussianBlur(image, (3, 3), 0)`` on a [H, W, C] uint8 frame
+    (``ltx_video/ltxv.py:104``) — applied to every conditioning image
+    before the CRF round-trip to match the VAE's training distribution.
+
+    cv2 with ksize=3 and sigma=0 uses the fixed separable kernel
+    [1, 2, 1]/4 with REFLECT_101 borders and round-half-up fixed-point
+    arithmetic; the numpy fallback reproduces that bit-exactly
+    ((sum + 8) >> 4 over the 16-weight outer product).
+    """
+    try:
+        import cv2
+
+        return cv2.GaussianBlur(image, (3, 3), 0)
+    except Exception:
+        return _blur3_np(image)
+
+
+def _blur3_np(image: np.ndarray) -> np.ndarray:
+    """numpy fallback for ``gaussian_blur_3x3`` (bit-exact vs cv2)."""
+    arr = np.pad(
+        image.astype(np.int32), [(1, 1), (1, 1)] + [(0, 0)] * (image.ndim - 2),
+        mode="reflect",
+    )
+    row = arr[:, :-2] + 2 * arr[:, 1:-1] + arr[:, 2:]
+    out = row[:-2] + 2 * row[1:-1] + row[2:]
+    return ((out + 8) >> 4).astype(image.dtype)
 
 
 def _ffmpeg() -> Optional[str]:
@@ -165,13 +227,13 @@ def prepare_conditioning_image(
     width: int,
     apply_crf: bool = True,
 ) -> np.ndarray:
-    """``load_media_file`` preprocessing (``ltxv.py:530-567``): resize,
-    CRF-29 round-trip, scale to [-1, 1]. Returns [1, H, W, 3] float32."""
-    img = resize_image(image, height, width)
-    if img.dtype == np.uint8:
-        img = img.astype(np.float32) / 255.0
-    else:
-        img = (img + 1.0) / 2.0
+    """``load_media_file`` preprocessing (``ltxv.py:85-110, 530-567``):
+    aspect-crop + bicubic resize, 3x3 Gaussian blur, CRF-29 round-trip,
+    scale to [-1, 1]. Returns [1, H, W, 3] float32."""
+    if image.dtype != np.uint8:
+        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    img = resize_and_crop_image(image, height, width)
+    img = gaussian_blur_3x3(img).astype(np.float32) / 255.0
     if apply_crf:
         img = crf_compress(img)
     return (img * 2.0 - 1.0)[None].astype(np.float32)

@@ -393,6 +393,11 @@ class PromptEnhancer:
     # Local HF-layout Florence-2 dir for the TPU-native captioner
     # (models/florence2.py); defaults from LTXV_TPU_CAPTIONER_DIR.
     captioner_dir: Optional[str] = None
+    # Serving mode: never fall back to the torch/transformers loaders
+    # (which may attempt multi-GB HF Hub downloads while the caller holds
+    # the generation lock). When the native checkpoint dirs are unset or
+    # unloadable, enhance() just returns the prompt unchanged.
+    native_only: bool = False
 
     _llm = None
     _llm_tokenizer = None
@@ -436,6 +441,8 @@ class PromptEnhancer:
     def _load_llm(self) -> bool:
         if self._llm is not None:
             return True
+        if self.native_only:
+            return False
         try:
             from transformers import AutoModelForCausalLM, AutoTokenizer
 
@@ -453,6 +460,8 @@ class PromptEnhancer:
     def _load_captioner(self) -> bool:
         if self._caption_model is not None:
             return True
+        if self.native_only:
+            return False
         try:
             from transformers import AutoModelForCausalLM, AutoProcessor
 

@@ -39,21 +39,38 @@ if os.environ.get("_LVGT_TEST_REEXEC") != "1":
     # vm.max_map_count (65530) can run out of mappings mid-compile,
     # which surfaces as "LLVM compilation error: Cannot allocate
     # memory" + a segfault with >100 GB RAM free. Raise it when we can
-    # (root in this container image). This mutates a host-wide sysctl
-    # (until reboot), so it announces itself and honors an opt-out:
-    # set LVGT_KEEP_MAP_COUNT=1 to leave the kernel setting alone.
+    # (root in this container image) for the DURATION OF THE RUN ONLY —
+    # the original value is restored at session exit so the suite leaves
+    # no persistent host-state change behind. It announces itself and
+    # honors an opt-out: set LVGT_KEEP_MAP_COUNT=1 to leave the kernel
+    # setting alone entirely.
     if os.environ.get("LVGT_KEEP_MAP_COUNT") != "1":
         try:
             with open("/proc/sys/vm/max_map_count", "r+") as fh:
-                if int(fh.read()) < 1048576:
+                orig = int(fh.read())
+                if orig < 1048576:
                     fh.seek(0)
                     fh.write("1048576")
+                    env["_LVGT_RESTORE_MAP_COUNT"] = str(orig)
                     print("[conftest] raised vm.max_map_count to 1048576 "
-                          "for the XLA-heavy suite (LVGT_KEEP_MAP_COUNT=1 "
-                          "to opt out)")
+                          "for this run (restored to %d at exit; "
+                          "LVGT_KEEP_MAP_COUNT=1 to opt out)" % orig)
         except OSError:
             pass
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
+_restore_map_count = os.environ.pop("_LVGT_RESTORE_MAP_COUNT", None)
+if _restore_map_count is not None:
+    import atexit
+
+    def _put_back_map_count(value=_restore_map_count):
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as fh:
+                fh.write(value)
+        except OSError:
+            pass
+
+    atexit.register(_put_back_map_count)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

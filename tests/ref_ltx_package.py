@@ -1,0 +1,464 @@
+"""Import the REFERENCE ``ltx_video`` package for end-to-end pipeline
+oracles (VERDICT r4 item 1).
+
+The block/transformer/VAE golden tests exec single reference files with
+stubs; the 1,900-line pipeline orchestration
+(``pipeline_ltx_video.py:762-1307, 1782-1903``) composes them and was
+never executed before r5. This module installs a faked ``diffusers``
+(plus ``mmgp`` and a CPU ``wan.modules.attention``) into ``sys.modules``
+and imports the reference package itself from ``/root/reference`` — so
+the pipeline code that runs IS the reference's own, line for line.
+
+The faked diffusers classes re-implement the real math the reference
+models instantiate (PixArt timestep embeddings, AdaLayerNormSingle,
+GELU/GEGLU, RMSNorm, DiagonalGaussianDistribution) with diffusers'
+module structure, so state_dicts convert through
+``core/checkpoint.py``'s real-name converters. Two deterministic
+choices, both mirrored on the JAX side by the oracle tests:
+
+- ``randn_tensor`` honors its ``generator`` (torch semantics), so tests
+  can draw identical noise for both frameworks;
+- ``DiagonalGaussianDistribution.sample()`` returns the mode (our
+  pipeline's conditioning encode is deterministic; the reference's
+  sampled-posterior jitter cannot be replicated cross-framework).
+"""
+
+import math
+import sys
+import types
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+_installed = False
+_ltx = None
+
+
+# ---------------------------------------------------------------------------
+# faithful torch re-implementations of the diffusers classes the
+# reference instantiates (module structure matches diffusers' state
+# dict names)
+# ---------------------------------------------------------------------------
+
+class Timesteps(nn.Module):
+    def __init__(self, num_channels=256, flip_sin_to_cos=True,
+                 downscale_freq_shift=0):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+
+    def forward(self, timesteps):
+        half = self.num_channels // 2
+        exponent = -math.log(10000.0) * torch.arange(
+            half, dtype=torch.float32, device=timesteps.device
+        )
+        exponent = exponent / (half - self.downscale_freq_shift)
+        emb = timesteps.float()[:, None] * exponent.exp()[None]
+        if self.flip_sin_to_cos:
+            return torch.cat([emb.cos(), emb.sin()], dim=-1)
+        return torch.cat([emb.sin(), emb.cos()], dim=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_channels, time_embed_dim):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim)
+        self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+
+    def forward(self, sample):
+        return self.linear_2(F.silu(self.linear_1(sample)))
+
+
+class PixArtAlphaCombinedTimestepSizeEmbeddings(nn.Module):
+    def __init__(self, embedding_dim, size_emb_dim,
+                 use_additional_conditions=False):
+        super().__init__()
+        self.outdim = size_emb_dim
+        self.time_proj = Timesteps(256, True, 0)
+        self.timestep_embedder = TimestepEmbedding(256, embedding_dim)
+        self.use_additional_conditions = use_additional_conditions
+
+    def forward(self, timestep, resolution=None, aspect_ratio=None,
+                batch_size=None, hidden_dtype=None):
+        proj = self.time_proj(timestep)
+        return self.timestep_embedder(
+            proj.to(dtype=hidden_dtype or torch.float32)
+        )
+
+
+class AdaLayerNormSingle(nn.Module):
+    def __init__(self, embedding_dim, use_additional_conditions=False):
+        super().__init__()
+        self.emb = PixArtAlphaCombinedTimestepSizeEmbeddings(
+            embedding_dim, size_emb_dim=embedding_dim // 3,
+            use_additional_conditions=use_additional_conditions,
+        )
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, 6 * embedding_dim, bias=True)
+
+    def forward(self, timestep, added_cond_kwargs=None, batch_size=None,
+                hidden_dtype=None):
+        embedded = self.emb(
+            timestep, **(added_cond_kwargs or {}), batch_size=batch_size,
+            hidden_dtype=hidden_dtype,
+        )
+        return self.linear(self.silu(embedded)), embedded
+
+
+class PixArtAlphaTextProjection(nn.Module):
+    def __init__(self, in_features, hidden_size, out_features=None,
+                 act_fn="gelu_tanh"):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_features, hidden_size)
+        self.linear_2 = nn.Linear(hidden_size, out_features or hidden_size)
+
+    def forward(self, caption):
+        return self.linear_2(
+            F.gelu(self.linear_1(caption), approximate="tanh")
+        )
+
+
+class GELU(nn.Module):
+    def __init__(self, dim_in, dim_out, approximate="none", bias=True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+        self.approximate = approximate
+
+    def forward(self, x, *a):
+        return F.gelu(self.proj(x), approximate=self.approximate)
+
+
+class GEGLU(nn.Module):
+    def __init__(self, dim_in, dim_out, bias=True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2, bias=bias)
+
+    def forward(self, x, *a):
+        h, gate = self.proj(x).chunk(2, dim=-1)
+        return h * F.gelu(gate)
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim, eps=1e-5, elementwise_affine=True):
+        super().__init__()
+        self.eps = eps
+        self.weight = (
+            nn.Parameter(torch.ones(dim)) if elementwise_affine else None
+        )
+
+    def forward(self, x):
+        dtype = x.dtype
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        x = x.float() * torch.rsqrt(v + self.eps)
+        if self.weight is not None:
+            x = x * self.weight.float()
+        return x.to(dtype)
+
+
+def _chunked_feed_forward(ff, hidden_states, chunk_dim, chunk_size):
+    num_chunks = hidden_states.shape[chunk_dim] // chunk_size
+    return torch.cat(
+        [ff(c) for c in hidden_states.chunk(num_chunks, dim=chunk_dim)],
+        dim=chunk_dim,
+    )
+
+
+class DiagonalGaussianDistribution:
+    def __init__(self, parameters, deterministic=False):
+        self.parameters = parameters
+        self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+        self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+        self.std = torch.exp(0.5 * self.logvar)
+
+    def sample(self, generator=None):
+        # deterministic for the oracle: the JAX side's conditioning
+        # encode uses the posterior mode (see module docstring)
+        return self.mean
+
+    def mode(self):
+        return self.mean
+
+
+class _BaseOutput:
+    def __init__(self, *args, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def __getitem__(self, i):
+        return list(self.__dict__.values())[i]
+
+
+class DecoderOutput(_BaseOutput):
+    def __init__(self, sample=None, **kw):
+        super().__init__(sample=sample, **kw)
+
+
+class AutoencoderKLOutput(_BaseOutput):
+    def __init__(self, latent_dist=None, **kw):
+        super().__init__(latent_dist=latent_dist, **kw)
+
+
+class ImagePipelineOutput(_BaseOutput):
+    def __init__(self, images=None, **kw):
+        super().__init__(images=images, **kw)
+
+
+class ModelMixin(nn.Module):
+    @property
+    def dtype(self):
+        try:
+            return next(self.parameters()).dtype
+        except StopIteration:
+            return torch.float32
+
+    @property
+    def device(self):
+        try:
+            return next(self.parameters()).device
+        except StopIteration:
+            return torch.device("cpu")
+
+
+class ConfigMixin:
+    pass
+
+
+def register_to_config(fn):
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        cfg = {k: v for k, v in bound.arguments.items()
+               if k not in ("self", "args", "kwargs")}
+        self.config = types.SimpleNamespace(**cfg)
+        result = fn(self, *args, **kwargs)
+        # real ConfigMixin exposes config fields as attributes (the
+        # reference reads e.g. ``transformer.in_channels``); only fill
+        # names the module didn't set itself
+        for k, v in cfg.items():
+            if not hasattr(self, k):
+                try:
+                    setattr(self, k, v)
+                except Exception:
+                    pass
+        return result
+
+    return wrapper
+
+
+class DiffusionPipeline:
+    config_name = "model_index.json"
+
+    def __init__(self):
+        pass
+
+    def register_modules(self, **kwargs):
+        for name, module in kwargs.items():
+            setattr(self, name, module)
+
+    @property
+    def _execution_device(self):
+        return torch.device("cpu")
+
+    @property
+    def device(self):
+        return torch.device("cpu")
+
+    def progress_bar(self, iterable=None, total=None):
+        class _PB:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def update(self, *a, **k):
+                pass
+
+            def __iter__(self):
+                return iter(iterable if iterable is not None else [])
+
+        return _PB()
+
+
+class VaeImageProcessor:
+    def __init__(self, vae_scale_factor=8, **kw):
+        self.vae_scale_factor = vae_scale_factor
+
+    @staticmethod
+    def pt_to_numpy(images):
+        return images.cpu().permute(0, 2, 3, 1).float().numpy()
+
+    @staticmethod
+    def numpy_to_pil(images):
+        return list(images)
+
+    def postprocess(self, image, output_type="pil"):
+        return image
+
+
+class SchedulerMixin:
+    pass
+
+
+class DPMSolverMultistepScheduler:
+    pass
+
+
+class AutoencoderKL(ModelMixin):
+    pass
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None,
+                 layout=None):
+    # torch semantics: honors the generator so oracle tests can draw the
+    # identical noise for both frameworks
+    return torch.randn(
+        shape, generator=generator, dtype=dtype or torch.float32
+    )
+
+
+def maybe_allow_in_graph(cls):
+    return cls
+
+
+def is_torch_version(*a, **k):
+    return False
+
+
+def deprecate(*a, **k):
+    return None
+
+
+class _Logging:
+    @staticmethod
+    def get_logger(name=None):
+        import logging as _l
+
+        return _l.getLogger(name or "ref")
+
+
+def _mk(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_fakes():
+    """Register fake ``diffusers``/``mmgp``/``wan.modules.attention``
+    modules in ``sys.modules`` (idempotent)."""
+    global _installed
+    if _installed:
+        return
+    _installed = True
+
+    d = _mk("diffusers", AutoencoderKL=AutoencoderKL,
+            ConfigMixin=ConfigMixin, ModelMixin=ModelMixin)
+    _mk("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
+        register_to_config=register_to_config)
+    _mk("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor)
+    _mk("diffusers.models", AutoencoderKL=AutoencoderKL)
+    _mk("diffusers.models.modeling_utils", ModelMixin=ModelMixin)
+    _mk("diffusers.models.modeling_outputs",
+        AutoencoderKLOutput=AutoencoderKLOutput)
+    _mk("diffusers.models.activations", GEGLU=GEGLU, GELU=GELU,
+        ApproximateGELU=GELU)
+    _mk("diffusers.models.attention",
+        _chunked_feed_forward=_chunked_feed_forward)
+    _mk("diffusers.models.attention_processor",
+        LoRAAttnAddedKVProcessor=object, LoRAAttnProcessor=object,
+        LoRAAttnProcessor2_0=object, LoRAXFormersAttnProcessor=object,
+        SpatialNorm=object)
+    _mk("diffusers.models.autoencoders")
+    _mk("diffusers.models.autoencoders.vae", DecoderOutput=DecoderOutput,
+        DiagonalGaussianDistribution=DiagonalGaussianDistribution)
+    _mk("diffusers.models.embeddings",
+        PixArtAlphaCombinedTimestepSizeEmbeddings=(
+            PixArtAlphaCombinedTimestepSizeEmbeddings),
+        PixArtAlphaTextProjection=PixArtAlphaTextProjection)
+    _mk("diffusers.models.lora", LoRACompatibleLinear=nn.Linear)
+    _mk("diffusers.models.normalization",
+        AdaLayerNormSingle=AdaLayerNormSingle, RMSNorm=RMSNorm)
+    _mk("diffusers.pipelines")
+    _mk("diffusers.pipelines.pipeline_utils",
+        DiffusionPipeline=DiffusionPipeline,
+        ImagePipelineOutput=ImagePipelineOutput)
+    class SchedulerOutput(_BaseOutput):
+        def __init__(self, prev_sample=None, **kw):
+            super().__init__(prev_sample=prev_sample, **kw)
+
+    _mk("diffusers.schedulers",
+        DPMSolverMultistepScheduler=DPMSolverMultistepScheduler)
+    _mk("diffusers.schedulers.scheduling_utils",
+        SchedulerMixin=SchedulerMixin,
+        KarrasDiffusionSchedulers=types.SimpleNamespace(),
+        SchedulerOutput=SchedulerOutput)
+    _mk("diffusers.utils", BaseOutput=_BaseOutput, deprecate=deprecate,
+        logging=_Logging(), is_torch_version=is_torch_version,
+        is_scipy_available=lambda: False)
+    _mk("diffusers.utils.torch_utils", randn_tensor=randn_tensor,
+        maybe_allow_in_graph=maybe_allow_in_graph)
+    d.utils = sys.modules["diffusers.utils"]
+
+    _mk("mmgp", offload=types.SimpleNamespace(
+        shared_state={},
+        default_verboseLevel=0,
+    ))
+
+    # CPU pay_attention for ltx_video/models/transformers/attention.py
+    # (the real wan.modules.attention probes CUDA at import time)
+    def pay_attention(qkv_list, attention_mask=None, **kw):
+        q, k, v = qkv_list[:3]  # [b, s, h, d]
+        out = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+            attn_mask=None if attention_mask is None
+            else attention_mask.transpose(1, 2),
+        )
+        del qkv_list[:]
+        return out.transpose(1, 2)
+
+    if "wan" not in sys.modules:
+        _mk("wan")
+        _mk("wan.modules")
+        _mk("wan.modules.attention", pay_attention=pay_attention)
+        _mk("wan.utils")
+
+        def calculate_new_dimensions(canvas_h, canvas_w, h, w,
+                                     fit_into_canvas=True, block_size=16):
+            if fit_into_canvas:
+                scale1 = min(canvas_h / h, canvas_w / w)
+                scale2 = min(canvas_w / h, canvas_h / w)
+                scale = max(scale1, scale2)
+            else:
+                scale = (canvas_h * canvas_w / (h * w)) ** 0.5
+            return (round(h * scale / block_size) * block_size,
+                    round(w * scale / block_size) * block_size)
+
+        _mk("wan.utils.utils",
+            calculate_new_dimensions=calculate_new_dimensions)
+
+
+def import_reference_ltx():
+    """Install fakes and import the reference package; returns the
+    ``ltx_video.pipelines.pipeline_ltx_video`` module."""
+    global _ltx
+    if _ltx is not None:
+        return _ltx
+    install_fakes()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+
+    _ltx = importlib.import_module(
+        "ltx_video.pipelines.pipeline_ltx_video"
+    )
+    return _ltx

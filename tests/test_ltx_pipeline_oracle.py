@@ -1,0 +1,288 @@
+"""END-TO-END pipeline oracle: the REFERENCE ``LTXVideoPipeline.__call__``
+(imported from ``/root/reference`` and executed, via tests/ref_ltx_package)
+vs our ``LTXPipeline.generate`` — same tiny random weights (state-dict
+converted through ``core/checkpoint.py``), same injected noise, same
+text embeddings (VERDICT r4 item 1).
+
+Unlike the block/scheduler goldens, these execute the reference's
+1,900-line orchestration itself (``pipeline_ltx_video.py:762-1307``):
+timestep retrieval, CFG batch assembly, CFG-star rescale, conditioning
+token machinery, per-token timesteps, the denoise loop, unpatchify.
+
+Determinism contract (see ref_ltx_package docstring): noise is drawn
+once by ``prepare_latents`` from the passed generator (we pre-draw the
+identical tensor for the JAX side), ``image_cond_noise_scale=0``,
+``stochastic_sampling=False``, posterior mode for conditioning encodes.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.ref_ltx_package import import_reference_ltx
+
+# tiny-but-structured dims
+HEADS, HEAD_DIM, LAYERS = 2, 16, 2
+LATENT_CH = 4
+CROSS_DIM, CAPTION_DIM = 32, 32
+H = W = 32
+FRAMES = 9
+STEPS = 8
+TEXT_LEN = 16
+
+VAE_CFG_DICT = {
+    "_class_name": "CausalVideoAutoencoder",
+    "dims": 3,
+    "in_channels": 3,
+    "out_channels": 3,
+    "latent_channels": LATENT_CH,
+    "blocks": [["res_x", 1], ["compress_all", 1]],
+    "base_channels": 8,
+    "norm_num_groups": 4,
+    "patch_size": 2,
+    "norm_layer": "pixel_norm",
+    "latent_log_var": "uniform",
+    "use_quant_conv": False,
+    "causal_decoder": False,
+    "timestep_conditioning": False,
+}
+
+
+def _psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    peak = max(np.abs(a).max(), np.abs(b).max(), 1e-9) * 2
+    mse = np.mean((a - b) ** 2)
+    return 10 * np.log10(peak * peak / mse) if mse > 0 else np.inf
+
+
+def _build_pipelines():
+    m = import_reference_ltx()
+    import ltx_video.models.autoencoders.causal_video_autoencoder as cvae
+    import ltx_video.models.transformers.symmetric_patchifier as sp
+    import ltx_video.models.transformers.transformer3d as t3d
+    import ltx_video.schedulers.rf as ref_rf
+
+    torch.manual_seed(0)
+    transformer = t3d.Transformer3DModel(
+        num_attention_heads=HEADS,
+        attention_head_dim=HEAD_DIM,
+        in_channels=LATENT_CH,
+        out_channels=LATENT_CH,
+        num_layers=LAYERS,
+        cross_attention_dim=CROSS_DIM,
+        attention_bias=True,
+        activation_fn="gelu-approximate",
+        adaptive_norm="single_scale_shift",
+        standardization_norm="rms_norm",
+        norm_elementwise_affine=False,
+        norm_eps=1e-6,
+        caption_channels=CAPTION_DIM,
+        qk_norm="rms_norm",
+        positional_embedding_theta=10000.0,
+        positional_embedding_max_pos=[20, 2048, 2048],
+        timestep_scale_multiplier=1000,
+    ).eval().float()
+
+    vae = cvae.CausalVideoAutoencoder.from_config(dict(VAE_CFG_DICT))
+    vae = vae.eval().float()
+    # per-channel statistics: the wrapper initializes them to ZEROS
+    # (normalize would divide by 0) — give them sane values, mirrored to
+    # the JAX tree by the converter
+    g = torch.Generator().manual_seed(1)
+    std = (torch.rand(LATENT_CH, generator=g) * 0.5 + 0.75).float()
+    mean = (torch.randn(LATENT_CH, generator=g) * 0.1).float()
+    # the wrapper registers 128-wide placeholders; replace whole buffers
+    pcs = vae.per_channel_statistics
+    pcs._buffers["std-of-means"] = std
+    pcs._buffers["mean-of-means"] = mean
+    # checkpoint load also registers flat aliases on the vae itself
+    # (causal_video_autoencoder.py:291-295), which normalize_latents reads
+    vae.register_buffer("std_of_means", std)
+    vae.register_buffer("mean_of_means", mean)
+
+    scheduler = ref_rf.RectifiedFlowScheduler(
+        num_train_timesteps=1000, sampler="Uniform", shifting=None,
+    )
+    patchifier = sp.SymmetricPatchifier(patch_size=1)
+
+    ref_pipe = m.LTXVideoPipeline(
+        tokenizer=None, text_encoder=None, vae=vae,
+        transformer=transformer, scheduler=scheduler,
+        patchifier=patchifier,
+        prompt_enhancer_image_caption_model=None,
+        prompt_enhancer_image_caption_processor=None,
+        prompt_enhancer_llm_model=None,
+        prompt_enhancer_llm_tokenizer=None,
+    )
+
+    # ---- JAX side: same weights through the production converters ----
+    from ltx_video_gpupoor_tpu.core import checkpoint as ckpt
+    from ltx_video_gpupoor_tpu.models.ltx import vae as jvae
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+    )
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import LTXPipeline
+
+    tsd = {k: v.detach().numpy() for k, v in transformer.state_dict().items()}
+    tcfg = LTXTransformerConfig(
+        num_attention_heads=HEADS, attention_head_dim=HEAD_DIM,
+        in_channels=LATENT_CH, out_channels=LATENT_CH, num_layers=LAYERS,
+        cross_attention_dim=CROSS_DIM, caption_channels=CAPTION_DIM,
+    )
+    tparams = ckpt.convert_ltx_transformer(tsd, num_layers=LAYERS,
+                                           dtype=jnp.float32)
+
+    vsd = {k: v.detach().numpy() for k, v in vae.state_dict().items()}
+    vsd["per_channel_statistics.std-of-means"] = std.numpy()
+    vsd["per_channel_statistics.mean-of-means"] = mean.numpy()
+    vcfg = jvae.VAEConfig.from_dict(dict(VAE_CFG_DICT))
+    vparams = ckpt.convert_ltx_vae(vsd, vcfg, dtype=jnp.float32)
+
+    jax_pipe = LTXPipeline(
+        transformer_params=tparams, transformer_cfg=tcfg,
+        vae_params=vparams, vae_cfg=vcfg,
+    )
+    return m, ref_pipe, jax_pipe
+
+
+@pytest.fixture(scope="module")
+def pipelines():
+    return _build_pipelines()
+
+
+def _embeds(seed):
+    g = torch.Generator().manual_seed(seed)
+    pos = torch.randn(1, TEXT_LEN, CAPTION_DIM, generator=g) * 0.3
+    neg = torch.randn(1, TEXT_LEN, CAPTION_DIM, generator=g) * 0.3
+    mask = torch.ones(1, TEXT_LEN, dtype=torch.int64)
+    return pos, neg, mask
+
+
+def _noise(f_lat, h_lat, w_lat, seed=5):
+    g = torch.Generator().manual_seed(seed)
+    # identical draw to prepare_latents' randn_tensor((b, f*h*w, c), ...)
+    return torch.randn(1, f_lat * h_lat * w_lat, LATENT_CH, generator=g)
+
+
+def _run_ref(m, ref_pipe, noise_seed=5, conditioning_items=None,
+             emb_seed=3):
+    pos, neg, mask = _embeds(emb_seed)
+    out = ref_pipe(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        prompt_embeds=pos, prompt_attention_mask=mask,
+        negative_prompt_embeds=neg,
+        negative_prompt_attention_mask=mask.as_subclass(_CpuMask),
+        num_inference_steps=STEPS, guidance_scale=3.0,
+        generator=torch.Generator().manual_seed(noise_seed),
+        conditioning_items=conditioning_items,
+        output_type="latent", return_dict=False,
+        is_video=True, vae_per_channel_normalize=True,
+        image_cond_noise_scale=0.0, mixed_precision=False,
+        enhance_prompt=False, joint_pass=False,
+        # the reference denoise loop polls the serving wrapper's
+        # interrupt flag unconditionally (transformer3d.py:486)
+        ltxv_model=__import__("types").SimpleNamespace(_interrupt=False),
+    )[0]
+    # [b, c, f, h, w] -> [b, f, h, w, c]
+    return np.moveaxis(out.detach().numpy(), 1, -1)
+
+
+class _CpuMask(torch.Tensor):
+    """The reference hard-codes ``negative_prompt_attention_mask.to("cuda")``
+    (``pipeline_ltx_video.py:1041``); map cuda->cpu for the CPU oracle."""
+
+    def to(self, *args, **kwargs):
+        args = tuple(
+            "cpu" if isinstance(a, (str, torch.device))
+            and str(a).startswith("cuda") else a
+            for a in args
+        )
+        return super().to(*args, **kwargs)
+
+
+def _run_jax(jax_pipe, noise_seed=5, conditioning_items=(), emb_seed=3):
+    pos, neg, mask = _embeds(emb_seed)
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat, noise_seed).numpy())
+    out = jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        num_inference_steps=STEPS, frame_rate=25.0,
+        guidance_scale=3.0, stg_scale=0.0, rescaling_scale=1.0,
+        conditioning_items=conditioning_items,
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        image_cond_noise_scale=0.0, output_type="latent",
+        noise=noise, attn_mode="xla",
+    )
+    return np.asarray(out)
+
+
+def test_t2v_pipeline_matches_reference(pipelines):
+    """The reference __call__ t2v path (CFG 3.0, 8 uniform steps) and our
+    generate produce the same final latent grid."""
+    m, ref_pipe, jax_pipe = pipelines
+    ref = _run_ref(m, ref_pipe)
+    ours = _run_jax(jax_pipe)
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"t2v final-latent PSNR {db:.1f} dB"
+
+
+def test_i2v_conditioning_pipeline_matches_reference(pipelines):
+    """First-frame conditioning: the reference's conditioning-token
+    machinery (mask grid, per-token timesteps, lerp into noised init)
+    against ours, end to end."""
+    m, ref_pipe, jax_pipe = pipelines
+    g = torch.Generator().manual_seed(11)
+    img = torch.rand(1, 3, 1, H, W, generator=g) * 2.0 - 1.0
+
+    ref = _run_ref(
+        m, ref_pipe,
+        conditioning_items=[m.ConditioningItem(img, 0, 1.0)],
+    )
+
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import (
+        ConditioningItem as JItem,
+    )
+
+    jmedia = jnp.asarray(np.moveaxis(img.numpy(), 1, -1)[0])  # [1, H, W, 3]
+    ours = _run_jax(jax_pipe, conditioning_items=[JItem(jmedia, 0, 1.0)])
+    assert ref.shape == ours.shape
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"i2v final-latent PSNR {db:.1f} dB"
+
+
+def test_t2v_decoded_frames_match_reference(pipelines):
+    """Full path through the VAE decode on both sides (the reference's
+    ``vae_decode`` on its CausalVideoAutoencoder vs our jitted decode)."""
+    m, ref_pipe, jax_pipe = pipelines
+    ref_lat = _run_ref(m, ref_pipe)
+    import ltx_video.models.autoencoders.vae_encode as ref_ve
+
+    with torch.no_grad():
+        ref_px = ref_ve.vae_decode(
+            torch.from_numpy(np.moveaxis(ref_lat, -1, 1)).float(),
+            ref_pipe.vae, is_video=True, vae_per_channel_normalize=True,
+        )
+    ref_px = np.moveaxis(ref_px.detach().numpy(), 1, -1)  # [b, f, h, w, 3]
+
+    pos, neg, mask = _embeds(3)
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat).numpy())
+    ours_px = np.asarray(jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        num_inference_steps=STEPS, frame_rate=25.0, guidance_scale=3.0,
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        output_type="pixels", noise=noise, attn_mode="xla",
+    ))
+    if ours_px.ndim == 4:
+        ours_px = ours_px[None]
+    assert ref_px.shape == ours_px.shape, (ref_px.shape, ours_px.shape)
+    db = _psnr(ref_px, ours_px)
+    assert db > 40.0, f"decoded-frame PSNR {db:.1f} dB"

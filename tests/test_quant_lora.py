@@ -261,3 +261,110 @@ def test_maybe_quantized_matmul_int4_key():
     assert np.corrcoef(
         np.asarray(out).ravel(), np.asarray(ref).ravel()
     )[0, 1] > 0.98
+
+
+def test_int4_per_group_scales_and_accuracy():
+    """r5: int4 default is per-input-group scales ([in/g, out], g=64) —
+    shape contract, exact dequant round-trip, and strictly lower error
+    than the legacy per-channel scheme on an outlier-bearing kernel."""
+    import jax
+
+    from ltx_video_gpupoor_tpu.ops.quant import (
+        INT4_GROUP_SIZE,
+        dequantize_int4,
+        quantize_weights_int4,
+    )
+
+    rng = np.random.RandomState(7)
+    w = rng.randn(256, 32).astype(np.float32) * 0.05
+    w[:8] *= 20.0  # outlier rows: the case per-group scales exist for
+    wj = jnp.asarray(w)
+
+    q = quantize_weights_int4(wj)
+    assert q.w_int4.shape == (128, 32)
+    assert q.scale.shape == (256 // INT4_GROUP_SIZE, 32)
+    q_pc = quantize_weights_int4(wj, group_size=None)
+    assert q_pc.scale.shape == (32,)
+
+    # the outlier group keeps the coarse scale either way (absmax is
+    # absmax); the win is every OTHER group's error shrinking — compare
+    # mean error
+    err_g = float(
+        np.abs(np.asarray(dequantize_int4(q, jnp.float32)) - w).mean()
+    )
+    err_c = float(
+        np.abs(np.asarray(dequantize_int4(q_pc, jnp.float32)) - w).mean()
+    )
+    assert err_g < err_c / 2, (err_g, err_c)
+
+    # matmul routes the 2-D (per-group) scale correctly
+    from ltx_video_gpupoor_tpu.ops.quant import int4_wo_matmul
+
+    x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    out = np.asarray(int4_wo_matmul(x, q))
+    ref = np.asarray(x @ wj)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_mixed_int4_tier():
+    """mode="mixed_int4": sensitive leaves (adaLN / patchify / final
+    projection / time-text embeddings) land on int8-WO, bulk on int4 —
+    and the mixed LTX forward is strictly closer to bf16 than all-int4
+    (the 40 dB-gate fix, VERDICT r4 #3)."""
+    import jax
+
+    from ltx_video_gpupoor_tpu.core.params import flatten
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        LTXTransformerConfig,
+        forward,
+        init_params,
+    )
+    from ltx_video_gpupoor_tpu.ops.quant import (
+        is_mixed_sensitive,
+        quantize_params,
+    )
+
+    assert is_mixed_sensitive("adaln.linear.kernel")
+    assert is_mixed_sensitive("proj_out.kernel")
+    assert is_mixed_sensitive("head.head.kernel")
+    assert is_mixed_sensitive("time_projection.kernel")
+    assert not is_mixed_sensitive("blocks.attn1.to_q.kernel")
+    assert not is_mixed_sensitive("blocks.ff.proj_out.kernel")
+
+    cfg = LTXTransformerConfig(
+        num_attention_heads=2, attention_head_dim=32, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=64,
+        caption_channels=64,
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_params(jax.random.key(0), cfg)
+    )
+    qp = quantize_params(params, mode="mixed_int4")
+    fq = flatten(qp)
+    assert "adaln.linear.w_int8" in fq
+    assert "proj_out.w_int8" in fq
+    assert "blocks.attn1.to_q.w_int4" in fq
+    assert "blocks.ff.proj_out.w_int4" in fq
+
+    lat = jax.random.normal(jax.random.key(1), (1, 16, 8), jnp.bfloat16)
+    coords = jnp.stack(jnp.meshgrid(
+        jnp.arange(1), jnp.arange(4), jnp.arange(4), indexing="ij",
+    ), 0).reshape(1, 3, -1).astype(jnp.float32)
+    t = jnp.full((1,), 0.5)
+    cap = jax.random.normal(jax.random.key(2), (1, 8, 64), jnp.bfloat16)
+
+    ref = np.asarray(
+        forward(params, cfg, lat, coords, t, cap, None), np.float32
+    )
+    out_mixed = np.asarray(
+        forward(qp, cfg, lat, coords, t, cap, None), np.float32
+    )
+    out_int4 = np.asarray(
+        forward(quantize_params(params, mode="wo_int4"), cfg, lat, coords,
+                t, cap, None), np.float32,
+    )
+    err_mixed = np.abs(out_mixed - ref).max()
+    err_int4 = np.abs(out_int4 - ref).max()
+    assert np.isfinite(out_mixed).all()
+    assert err_mixed < err_int4, (err_mixed, err_int4)

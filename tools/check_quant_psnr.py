@@ -10,10 +10,12 @@ output.
 
 Acceptance: int8-dynamic >= 40 dB is a HARD gate (the tier the default
 serving config runs — the counterpart of the reference's quanto-int8
-default, ``/root/reference/inference.py:96-100``); int4-WO is reported
-and tracked in docs/DESIGN.md (the reference has no int4 tier — it is
-this framework's 13B-on-16GiB enabler, so its error is documented, not
-gated).
+default, ``/root/reference/inference.py:96-100``), and so is
+int4-mixed >= 40 dB (the 13B/14B flagship tier since r5: per-group
+int4 bulk + int8 sensitive leaves, ``ops/quant.py::is_mixed_sensitive``).
+Plain per-channel int4-WO is reported for tracking only (it measured
+37.98 dB in r4 — below bar — which is why no headline row rides it
+anymore).
 
 Numerics are platform-portable (the quantization error dominates any
 backend difference), so the gate runs on CPU in the test suite and the
@@ -139,6 +141,7 @@ def run(steps=8, preset="smoke", json_out=None):
         "bf16": params,
         "int8_dynamic": quantize_params(params, mode="dynamic"),
         "int4_wo": quantize_params(params, mode="wo_int4"),
+        "int4_mixed": quantize_params(params, mode="mixed_int4"),
     }
     px = {}
     for name, p in tiers.items():
@@ -156,11 +159,19 @@ def run(steps=8, preset="smoke", json_out=None):
         "int8_dynamic_psnr_db": round(
             psnr(px["int8_dynamic"], px["bf16"], peak), 2),
         "int4_wo_psnr_db": round(psnr(px["int4_wo"], px["bf16"], peak), 2),
+        "int4_mixed_psnr_db": round(
+            psnr(px["int4_mixed"], px["bf16"], peak), 2),
         "int8_target_db": INT8_TARGET_DB,
         "backend": jax.default_backend(),
         "checked_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    res["pass"] = bool(res["int8_dynamic_psnr_db"] >= INT8_TARGET_DB)
+    # HARD gates: the default serving tier (int8-dynamic) and the tier
+    # the 13B/14B flagship rows ride (mixed int4 since r5 — per-channel
+    # int4-WO is reported for tracking but no headline row uses it).
+    res["pass"] = bool(
+        res["int8_dynamic_psnr_db"] >= INT8_TARGET_DB
+        and res["int4_mixed_psnr_db"] >= INT8_TARGET_DB
+    )
     print(json.dumps(res))
     if json_out:
         with open(json_out, "w") as fh:
