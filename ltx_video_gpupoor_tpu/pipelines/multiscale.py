@@ -89,6 +89,8 @@ class MultiScalePipeline:
         output_type: str = "latent",
         decode_timestep: float = 0.0,
         decode_noise_scale: Optional[float] = None,
+        noise_pass1: Optional[jax.Array] = None,
+        noise_pass2: Optional[jax.Array] = None,
         **kwargs,
     ):
         key = key if key is not None else jax.random.key(0)
@@ -105,6 +107,7 @@ class MultiScalePipeline:
                 prompt_embeds, prompt_mask,
                 height=downscaled_height, width=downscaled_width,
                 num_frames=num_frames, key=k1, output_type="latent",
+                noise=noise_pass1,
                 **first_pass, **kwargs,
             )
 
@@ -129,6 +132,7 @@ class MultiScalePipeline:
                 output_type=output_type,
                 decode_timestep=decode_timestep,
                 decode_noise_scale=decode_noise_scale,
+                noise=noise_pass2,
                 **second, **kwargs,
             )
         return result

@@ -136,6 +136,7 @@ class WanDFPipeline:
         key: Optional[jax.Array] = None,
         output_type: str = "latent",
         attn_mode: str = "auto",
+        noise: Optional[jax.Array] = None,
     ):
         key = key if key is not None else jax.random.key(0)
         cfg = self.model_cfg
@@ -174,9 +175,12 @@ class WanDFPipeline:
         rows = sm.shape[0]
 
         k_noise, k_loop = jax.random.split(key)
-        latents = jax.random.normal(
-            k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim), jnp.float32
-        )
+        if noise is None:  # injectable (deterministic replay / oracles)
+            noise = jax.random.normal(
+                k_noise, (1, f_lat, h_lat, w_lat, self.vae_cfg.z_dim),
+                jnp.float32,
+            )
+        latents = noise
         if prefix_latents is not None:
             latents = latents.at[:, :prefix_len].set(
                 prefix_latents.astype(jnp.float32)

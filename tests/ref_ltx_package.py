@@ -346,7 +346,12 @@ class _Logging:
 
 
 def _mk(name, **attrs):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec on the fake works
+    # (transformers probes e.g. decord that way)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -365,7 +370,9 @@ def install_fakes():
             ConfigMixin=ConfigMixin, ModelMixin=ModelMixin)
     _mk("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
         register_to_config=register_to_config)
-    _mk("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor)
+    _mk("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor,
+        PipelineImageInput=object)
+    _mk("diffusers.video_processor", VideoProcessor=VaeImageProcessor)
     _mk("diffusers.models", AutoencoderKL=AutoencoderKL)
     _mk("diffusers.models.modeling_utils", ModelMixin=ModelMixin)
     _mk("diffusers.models.modeling_outputs",
@@ -400,7 +407,7 @@ def install_fakes():
         DPMSolverMultistepScheduler=DPMSolverMultistepScheduler)
     _mk("diffusers.schedulers.scheduling_utils",
         SchedulerMixin=SchedulerMixin,
-        KarrasDiffusionSchedulers=types.SimpleNamespace(),
+        KarrasDiffusionSchedulers=(),  # iterated for _compatibles lists
         SchedulerOutput=SchedulerOutput)
     _mk("diffusers.utils", BaseOutput=_BaseOutput, deprecate=deprecate,
         logging=_Logging(), is_torch_version=is_torch_version,
@@ -412,6 +419,10 @@ def install_fakes():
     _mk("mmgp", offload=types.SimpleNamespace(
         shared_state={},
         default_verboseLevel=0,
+        set_step_no_for_lora=lambda *a, **k: None,
+        shared_state_get=lambda *a, **k: None,
+        last_offload_obj=types.SimpleNamespace(
+            unload_all=lambda *a, **k: None),
     ))
 
     # CPU pay_attention for ltx_video/models/transformers/attention.py
@@ -427,24 +438,43 @@ def install_fakes():
         return out.transpose(1, 2)
 
     if "wan" not in sys.modules:
-        _mk("wan")
-        _mk("wan.modules")
+        # REAL reference wan package (submodules resolve through
+        # __path__), with only the CUDA-probing attention module faked —
+        # so the Wan pipeline oracles execute the reference's own
+        # text2video/image2video/diffusion_forcing code
+        wan_pkg = _mk("wan")
+        wan_pkg.__path__ = ["/root/reference/wan"]
+        modules_pkg = _mk("wan.modules")
+        modules_pkg.__path__ = ["/root/reference/wan/modules"]
         _mk("wan.modules.attention", pay_attention=pay_attention)
-        _mk("wan.utils")
+        # the reference t5 module evaluates torch.cuda.current_device()
+        # in a class-body default argument at import time; the oracles
+        # substitute their own text encoder, so a stub class suffices
+        _mk("wan.modules.t5", T5EncoderModel=object, T5Encoder=object,
+            T5Decoder=object, T5Model=object)
 
-        def calculate_new_dimensions(canvas_h, canvas_w, h, w,
-                                     fit_into_canvas=True, block_size=16):
-            if fit_into_canvas:
-                scale1 = min(canvas_h / h, canvas_w / w)
-                scale2 = min(canvas_w / h, canvas_h / w)
-                scale = max(scale1, scale2)
-            else:
-                scale = (canvas_h * canvas_w / (h * w)) ** 0.5
-            return (round(h * scale / block_size) * block_size,
-                    round(w * scale / block_size) * block_size)
+    # torchvision / decord are absent in this image; the wan utils
+    # import them at module scope (the oracle paths never call them)
+    if "torchvision" not in sys.modules:
+        tv = _mk("torchvision")
+        tv.transforms = _mk("torchvision.transforms")
 
-        _mk("wan.utils.utils",
-            calculate_new_dimensions=calculate_new_dimensions)
+        def to_tensor(pic):
+            import numpy as _np
+
+            arr = _np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1)).contiguous()
+            return t.float().div(255) if t.dtype == torch.uint8 else t
+
+        _mk("torchvision.transforms.functional", to_tensor=to_tensor)
+    if "decord" not in sys.modules:
+        _mk("decord", VideoReader=None, cpu=None)
+    if "ftfy" not in sys.modules:
+        _mk("ftfy", fix_text=lambda s, **k: s)
+    if "rembg" not in sys.modules:
+        _mk("rembg", remove=None, new_session=None)
 
 
 def import_reference_ltx():
@@ -462,3 +492,14 @@ def import_reference_ltx():
         "ltx_video.pipelines.pipeline_ltx_video"
     )
     return _ltx
+
+
+def import_reference_wan(name):
+    """Import a reference ``wan`` submodule (e.g. ``"text2video"``)
+    against the faked attention/torchvision/decord externals."""
+    install_fakes()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+
+    return importlib.import_module(f"wan.{name}")

@@ -286,3 +286,97 @@ def test_t2v_decoded_frames_match_reference(pipelines):
     assert ref_px.shape == ours_px.shape, (ref_px.shape, ours_px.shape)
     db = _psnr(ref_px, ours_px)
     assert db > 40.0, f"decoded-frame PSNR {db:.1f} dB"
+
+
+def test_multiscale_pipeline_matches_reference(pipelines):
+    """The reference LTXMultiScalePipeline.__call__ (two-pass wiring:
+    downscaled pass 1 -> latent upsampler with un/re-normalize -> AdaIN
+    vs pass-1 stats -> re-noised pass 2 at 2x dims —
+    ``pipeline_ltx_video.py:1782-1903``) against our MultiScalePipeline,
+    final latents. Noise for both passes drawn sequentially from one
+    seeded generator on both sides (prepare_latents draws per pass)."""
+    import types
+
+    m, ref_pipe, jax_pipe = pipelines
+    import ltx_video.models.autoencoders.latent_upsampler as ref_lup
+
+    torch.manual_seed(2)
+    # mid_channels 64: the reference blocks carry GroupNorm(32, mid)
+    ref_up = ref_lup.LatentUpsampler(
+        in_channels=LATENT_CH, mid_channels=64, num_blocks_per_stage=1,
+        dims=3, spatial_upsample=True, temporal_upsample=False,
+    ).eval().float()
+
+    ms = m.LTXMultiScalePipeline(ref_pipe, ref_up)
+
+    pos, neg, mask = _embeds(3)
+    ref_pipe.encode_prompt = (
+        lambda prompt, do_cfg, negative_prompt=None, device=None,
+        text_encoder_max_tokens=256: (
+            pos, mask, neg, mask.as_subclass(_CpuMask))
+    )
+
+    HH = WW = 64  # downscale 2/3 -> 40 (vae stride 4), pass 2 at 80
+    seed = 17
+    ts2 = [0.9094, 0.7250, 0.4219]
+    ref = ms(
+        downscale_factor=2 / 3,
+        first_pass={"num_inference_steps1": 4, "guidance_scale": 3.0},
+        second_pass={"num_inference_steps2": 3,
+                     "timesteps": torch.tensor(ts2),
+                     "guidance_scale": 3.0},
+        height=HH, width=WW, num_frames=FRAMES, frame_rate=25.0,
+        prompt="x", negative_prompt="y",
+        # return_dict=True: the multiscale wrapper feeds pass-1's return
+        # straight into the upsampler, so it must be the bare tensor
+        output_type="latent", return_dict=True,
+        generator=torch.Generator().manual_seed(seed),
+        VAE_tile_size=(0, 0), is_video=True, device=torch.device("cpu"),
+        vae_per_channel_normalize=True, image_cond_noise_scale=0.0,
+        mixed_precision=False, enhance_prompt=False,
+        ltxv_model=types.SimpleNamespace(_interrupt=False),
+        conditioning_items=None,
+    )
+    ref = np.moveaxis(ref.detach().numpy(), 1, -1)  # [b, f, h, w, c]
+
+    # our side: same weights through the production converter, same
+    # sequential noise draws
+    from ltx_video_gpupoor_tpu.models.ltx import latent_upsampler as jlup
+    from ltx_video_gpupoor_tpu.pipelines.multiscale import (
+        MultiScalePipeline,
+    )
+    from ltx_video_gpupoor_tpu.serving.model_zoo import (
+        convert_latent_upsampler,
+    )
+
+    up_sd = {k: v.detach().numpy() for k, v in ref_up.state_dict().items()}
+    up_params = convert_latent_upsampler(up_sd, dtype=jnp.float32)
+    up_cfg = jlup.LatentUpsamplerConfig(
+        in_channels=LATENT_CH, mid_channels=64, num_blocks_per_stage=1,
+    )
+    jms = MultiScalePipeline(
+        pipeline=jax_pipe, upsampler_params=up_params, upsampler_cfg=up_cfg,
+    )
+
+    g = torch.Generator().manual_seed(seed)
+    f1, h1, w1 = jax_pipe.latent_shape(40, 40, FRAMES)
+    n1 = torch.randn(1, f1 * h1 * w1, LATENT_CH, generator=g)
+    f2, h2, w2 = jax_pipe.latent_shape(80, 80, FRAMES)
+    n2 = torch.randn(1, f2 * h2 * w2, LATENT_CH, generator=g)
+
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    ours = np.asarray(jms.generate(
+        embeds, jmask, height=HH, width=WW, num_frames=FRAMES,
+        first_pass={"num_inference_steps": 4, "guidance_scale": 3.0},
+        second_pass={"timesteps": ts2, "guidance_scale": 3.0},
+        output_type="latent",
+        noise_pass1=jnp.asarray(n1.numpy()),
+        noise_pass2=jnp.asarray(n2.numpy()),
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        attn_mode="xla", frame_rate=25.0,
+    ))
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"multiscale final-latent PSNR {db:.1f} dB"
