@@ -65,11 +65,14 @@ def parse_args(argv=None):
     p.add_argument("--transformer-dtype-policy", type=str, default="")
     p.add_argument("--quantize-transformer", action="store_true")
     p.add_argument(
-        "--int8-mode", choices=("dynamic", "wo", "wo_int4"),
+        "--int8-mode", choices=("dynamic", "wo", "wo_int4", "mixed_int4"),
         default="dynamic",
         help="quantized runtime: dynamic-activation int8 MXU (faster), "
-        "int8 weight-only dequant (memory win), or nibble-packed int4 "
-        "weight-only (half the int8 footprint; 13B-class on 16 GiB)",
+        "int8 weight-only dequant (memory win), nibble-packed int4 "
+        "weight-only (half the int8 footprint; 13B-class on 16 GiB), or "
+        "mixed_int4 (per-group int4 bulk + int8 sensitive leaves — "
+        "int4's footprint at int8-class accuracy; the 13B/14B default "
+        "tier since r5, QUANT_GATE.json)",
     )
     p.add_argument("--mixed-precision-transformer", action="store_true")
     p.add_argument("--save-quantized", action="store_true")

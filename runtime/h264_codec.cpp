@@ -45,7 +45,15 @@ struct Encoder {
 
     // global_header: mp4 wants extradata; the raw round-trip wants
     // in-band annex-b headers so decoder needs no side channel.
-    int open(int w, int h, double fps, int crf, bool global_header) {
+    // preset: x264 speed preset for the encode, or nullptr for the
+    // library default ("medium"). The mp4 WRITER uses "veryfast" (the
+    // write is host-side latency on the serving path — measured 7.5 s
+    // of a 22 s full request at medium for 121x704x480 frames; CRF-rate
+    // control keeps quality pinned). The CRF-29 conditioning ROUND-TRIP
+    // keeps the default preset: its job is matching the VAE's training
+    // artifact distribution, not speed.
+    int open(int w, int h, double fps, int crf, bool global_header,
+             const char* preset = nullptr) {
         codec = avcodec_find_encoder_by_name("libx264");
         if (!codec) return -1;
         ctx = avcodec_alloc_context3(codec);
@@ -64,6 +72,7 @@ struct Encoder {
         char crfs[16];
         snprintf(crfs, sizeof crfs, "%d", crf);
         av_opt_set(ctx->priv_data, "crf", crfs, 0);
+        if (preset) av_opt_set(ctx->priv_data, "preset", preset, 0);
         if (avcodec_open2(ctx, codec, nullptr) < 0) return -3;
         sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
                              AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
@@ -173,7 +182,8 @@ int write_mp4_impl(const char* path, int n, int h, int w, double fps,
     };
 
     Encoder enc;
-    int rc = enc.open(w, h, fps, crf, /*global_header=*/true);
+    int rc = enc.open(w, h, fps, crf, /*global_header=*/true,
+                      /*preset=*/"veryfast");
     if (rc) return finish(rc - 30);
 
     AVStream* st = avformat_new_stream(fmt, nullptr);
