@@ -87,14 +87,19 @@ def main():
     # the pipeline concatenates, plus 257 CLIP context tokens through
     # MLPProj). Implies the 14B tiering.
     is_i2v = bool(os.environ.get("BENCH_WAN_I2V"))
+    # BENCH_FFN_CHUNKS: widen the token-chunked FFN on a contended chip
+    # (each doubling halves the 13824-wide FFN intermediate's footprint;
+    # the r5a i2v window OOM'd at the default 4 after back-to-back 14B
+    # runs held the pool)
+    chunks = int(os.environ.get("BENCH_FFN_CHUNKS", "4") or 4)
     if is_i2v:
         from ltx_video_gpupoor_tpu.models.wan.model import WAN_I2V_14B
 
         is_14b = True
-        cfg = dataclasses.replace(WAN_I2V_14B, ffn_chunks=4)
+        cfg = dataclasses.replace(WAN_I2V_14B, ffn_chunks=chunks)
     else:
-        cfg = dataclasses.replace(WAN_T2V_14B, ffn_chunks=4) if is_14b \
-            else WAN_T2V_1_3B
+        cfg = dataclasses.replace(WAN_T2V_14B, ffn_chunks=chunks) \
+            if is_14b else WAN_T2V_1_3B
     sb = os.environ.get("BENCH_SCORE_BOUND")
     if sb:
         cfg = dataclasses.replace(cfg, attention_score_bound=float(sb))
