@@ -380,3 +380,117 @@ def test_multiscale_pipeline_matches_reference(pipelines):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"multiscale final-latent PSNR {db:.1f} dB"
+
+
+def test_v2v_strength_pipeline_matches_reference(pipelines):
+    """Video-to-video: ``media_items`` + ``strength<1`` — the reference
+    encodes the input video, truncates the schedule to timesteps <=
+    strength (``retrieve_timesteps`` max_timestep, ``:190-196``), and
+    noises the media latents to the first kept timestep. Our side uses
+    the production ``serving.orchestrator.build_timesteps`` truncation +
+    ``media_latents``/``noise`` injection."""
+    m, ref_pipe, jax_pipe = pipelines
+    strength = 0.6
+    g = torch.Generator().manual_seed(23)
+    video = torch.rand(1, 3, FRAMES, H, W, generator=g) * 2 - 1
+
+    pos, neg, mask = _embeds(3)
+    out = ref_pipe(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        prompt_embeds=pos, prompt_attention_mask=mask,
+        negative_prompt_embeds=neg,
+        negative_prompt_attention_mask=mask.as_subclass(_CpuMask),
+        num_inference_steps=STEPS, guidance_scale=3.0,
+        generator=torch.Generator().manual_seed(31),
+        media_items=video, strength=strength,
+        output_type="latent", return_dict=False,
+        is_video=True, vae_per_channel_normalize=True,
+        image_cond_noise_scale=0.0, mixed_precision=False,
+        enhance_prompt=False, joint_pass=False,
+        ltxv_model=__import__("types").SimpleNamespace(_interrupt=False),
+    )[0]
+    ref = np.moveaxis(out.detach().numpy(), 1, -1)
+
+    # our side: encode the same video with the same (converted) VAE,
+    # truncate the same uniform schedule with the PRODUCTION helper
+    from ltx_video_gpupoor_tpu.models.ltx import vae as jvae
+    from ltx_video_gpupoor_tpu.pipelines.ltx_pipeline import (
+        _jit_vae_encode,
+    )
+    from ltx_video_gpupoor_tpu.serving.orchestrator import build_timesteps
+
+    vid_j = jnp.asarray(np.moveaxis(video.numpy(), 1, -1))  # [1,F,H,W,3]
+    enc = _jit_vae_encode(jax_pipe.vae_params, jax_pipe.vae_cfg, vid_j)
+    z = jvae.sample_posterior(enc)  # mode (deterministic, both sides)
+    media_latents = jvae.normalize_latents(
+        z, jax_pipe.vae_params["per_channel_statistics"]
+    )
+
+    uniform = [(STEPS - i) / STEPS for i in range(STEPS)]
+    ts = build_timesteps({"timesteps": uniform}, n_media_tokens=0,
+                         max_timestep=strength)
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat, 31).numpy())
+
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    ours = np.asarray(jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        timesteps=[float(t) for t in ts], frame_rate=25.0,
+        guidance_scale=3.0, media_latents=media_latents,
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        output_type="latent", noise=noise, attn_mode="xla",
+    ))
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"v2v final-latent PSNR {db:.1f} dB"
+
+
+def test_stg_pipeline_matches_reference(pipelines):
+    """Spatio-temporal guidance: 3 guidance streams (neg, pos, pos with
+    skipped layers), STG add + rescaling (``:1184-1233``) and the
+    skip-layer mask machinery, end to end."""
+    m, ref_pipe, jax_pipe = pipelines
+    import ltx_video.utils.skip_layer_strategy as ref_sls
+
+    pos, neg, mask = _embeds(3)
+    out = ref_pipe(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        prompt_embeds=pos, prompt_attention_mask=mask,
+        negative_prompt_embeds=neg,
+        negative_prompt_attention_mask=mask.as_subclass(_CpuMask),
+        num_inference_steps=STEPS, guidance_scale=3.0,
+        stg_scale=1.0, rescaling_scale=0.7,
+        skip_layer_strategy=ref_sls.SkipLayerStrategy.AttentionValues,
+        skip_block_list=[1],
+        generator=torch.Generator().manual_seed(41),
+        output_type="latent", return_dict=False,
+        is_video=True, vae_per_channel_normalize=True,
+        image_cond_noise_scale=0.0, mixed_precision=False,
+        enhance_prompt=False, joint_pass=False,
+        ltxv_model=__import__("types").SimpleNamespace(_interrupt=False),
+    )[0]
+    ref = np.moveaxis(out.detach().numpy(), 1, -1)
+
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        SkipLayerStrategy,
+    )
+
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat, 41).numpy())
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    ours = np.asarray(jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        num_inference_steps=STEPS, frame_rate=25.0,
+        guidance_scale=3.0, stg_scale=1.0, rescaling_scale=0.7,
+        skip_layer_strategy=SkipLayerStrategy.AttentionValues,
+        skip_block_list=[1],
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        output_type="latent", noise=noise, attn_mode="xla",
+    ))
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"STG final-latent PSNR {db:.1f} dB"
