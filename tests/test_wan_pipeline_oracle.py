@@ -401,3 +401,81 @@ def test_wan_df_generate_matches_reference(wan_parts):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"Wan DF final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_slg_matches_reference(wan_parts):
+    """Skip-layer guidance: slg_layers applied to the uncond pass inside
+    the window (``text2video.py:494, 536-541``) — the negative stream
+    skips the listed blocks while the cond stream runs them all."""
+    t2v_mod, model, jcfg, jparams = wan_parts
+    prompt, nprompt = "a glass city", "static, blurry"
+    seed = 77
+
+    ref_pipe = _ref_t2v_pipe(t2v_mod, model)
+    with torch.no_grad():
+        ref = ref_pipe.generate(
+            prompt, width=W, height=H, frame_num=FRAMES, shift=SHIFT,
+            sample_solver="unipc", sampling_steps=STEPS,
+            guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+            cfg_star_switch=False, slg_layers=[1],
+            slg_start=0.0, slg_end=1.0,
+            model_filename="t2v", offload_model=False,
+        )
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    f_lat, h_lat, w_lat = FRAMES // 4 + 1, H // 8, W // 8
+    noise_t = torch.randn(ZDIM, f_lat, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    pipe = _jax_pipe(jcfg, jparams)
+    ours = np.asarray(pipe.generate_t2v(
+        ctx, mask, width=W, height=H, frame_num=FRAMES,
+        sampling_steps=STEPS, shift=SHIFT, solver="unipc",
+        guide_scale=GUIDE, noise=noise_j, output_type="latent",
+        cfg_star_switch=False, slg_layers=[1], slg_start=0.0,
+        slg_end=1.0, attn_mode="xla",
+    ))[0]
+
+    assert ref.shape == ours.shape
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan t2v SLG final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_dpm_solver_matches_reference(wan_parts):
+    """dpm++ solver path: the reference's FlowDPMSolverMultistepScheduler
+    with get_sampling_sigmas/retrieve_timesteps (``text2video.py:425-434``)
+    vs our dpm schedule + carried-state stepper."""
+    t2v_mod, model, jcfg, jparams = wan_parts
+    prompt, nprompt = "lanterns on a river", "static, blurry"
+    seed = 55
+
+    ref_pipe = _ref_t2v_pipe(t2v_mod, model)
+    with torch.no_grad():
+        ref = ref_pipe.generate(
+            prompt, width=W, height=H, frame_num=FRAMES, shift=SHIFT,
+            sample_solver="dpm++", sampling_steps=STEPS,
+            guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+            cfg_star_switch=True, cfg_zero_step=CFG_ZERO_STEP,
+            model_filename="t2v", offload_model=False,
+        )
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    f_lat, h_lat, w_lat = FRAMES // 4 + 1, H // 8, W // 8
+    noise_t = torch.randn(ZDIM, f_lat, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    pipe = _jax_pipe(jcfg, jparams)
+    ours = np.asarray(pipe.generate_t2v(
+        ctx, mask, width=W, height=H, frame_num=FRAMES,
+        sampling_steps=STEPS, shift=SHIFT, solver="dpm++",
+        guide_scale=GUIDE, noise=noise_j, output_type="latent",
+        cfg_zero_step=CFG_ZERO_STEP, attn_mode="xla",
+    ))[0]
+
+    assert ref.shape == ours.shape
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan t2v dpm++ final-latent PSNR {db:.1f} dB"
