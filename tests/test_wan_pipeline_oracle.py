@@ -479,3 +479,109 @@ def test_wan_t2v_dpm_solver_matches_reference(wan_parts):
     assert ref.shape == ours.shape
     db = _psnr(ref, ours)
     assert db > 40.0, f"Wan t2v dpm++ final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_vace_matches_reference(wan_parts):
+    """VACE: the reference generate's vace branch — frame/mask encode,
+    64-channel mask reshape, vace_latent concat, context-scale-weighted
+    hint injection at the vace layers (``text2video.py:60-120, 381-397``,
+    ``model.py:789-798``) — against our denoise with the same converted
+    vace weights and the identical injected vace context."""
+    t2v_mod, _, _, _ = wan_parts
+    import torch.nn.functional as Fn
+
+    import wan.modules.model as wm
+
+    Z16 = 16
+    torch.manual_seed(31)
+    model = wm.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS, vace_layers=[0], vace_in_dim=96,
+    ).eval().float()
+    model.enable_teacache = False
+    # capture the state dict BEFORE adapt_vace_model renames the vace
+    # modules into the blocks
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from ltx_video_gpupoor_tpu.core import checkpoint as ckpt
+    from ltx_video_gpupoor_tpu.models.wan.model import WanConfig
+
+    jcfg = WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS, vace_layers=(0,), vace_in_dim=96,
+    )
+    jparams = ckpt.convert_wan_model(sd, jcfg, dtype=jnp.float32)
+
+    prompt, nprompt = "repaint the sky", "static, blurry"
+    seed = 91
+    f_lat, h_lat, w_lat = FRAMES // 4 + 1, H // 8, W // 8
+
+    def fake_encode(frames, tile_size=0, **kw):
+        # deterministic content-dependent stand-in for the Wan VAE
+        # (both frameworks' VAEs are golden-tested separately)
+        out = []
+        for f in frames:  # [3, F, H, W]
+            z = Fn.interpolate(
+                f[None], size=(f_lat, h_lat, w_lat), mode="trilinear",
+                align_corners=False,
+            )[0]
+            z = torch.cat([z * (0.2 + 0.1 * i) for i in range(6)])[:Z16]
+            out.append(z)
+        return out
+
+    pipe = _ref_t2v_pipe(t2v_mod, model)
+    pipe.vae.encode = fake_encode
+    model.adapt_vace_model = None  # attr exists on the class; not used
+    pipe.adapt_vace_model = t2v_mod.WanT2V.adapt_vace_model.__get__(pipe)
+    pipe.adapt_vace_model()
+
+    gi = torch.Generator().manual_seed(5)
+    in_frames = [torch.rand(3, FRAMES, H, W, generator=gi) * 2 - 1]
+    in_masks = [
+        (torch.rand(1, FRAMES, H, W, generator=gi) > 0.5).float()
+    ]
+    in_refs = [None]
+
+    # the identical context our side consumes, via the reference's own
+    # vace encode chain
+    z0 = pipe.vace_encode_frames(in_frames, in_refs, masks=in_masks)
+    m0 = pipe.vace_encode_masks(in_masks, in_refs)
+    z = pipe.vace_latent(z0, m0)[0]  # [96, F', H', W']
+
+    with torch.no_grad():
+        ref = pipe.generate(
+            prompt, input_frames=in_frames, input_masks=in_masks,
+            input_ref_images=in_refs, context_scale=0.8,
+            width=W, height=H, frame_num=FRAMES, shift=SHIFT,
+            sample_solver="unipc", sampling_steps=STEPS,
+            guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+            cfg_star_switch=True, cfg_zero_step=CFG_ZERO_STEP,
+            model_filename="Vace_tiny", offload_model=False,
+        )
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    noise_t = torch.randn(Z16, f_lat, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+    vace_j = jnp.asarray(np.moveaxis(z.numpy(), 0, -1)[None])
+
+    from ltx_video_gpupoor_tpu.pipelines.wan import WanPipeline
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    jpipe = WanPipeline(
+        model_params=jparams, model_cfg=jcfg, vae_params={}, vae_cfg=None,
+        vae_tile_size=0,
+    )
+    ours = np.asarray(jpipe.denoise(
+        noise_j, ctx, mask, jpipe._solve_schedule("unipc", STEPS, SHIFT),
+        guide_scale=GUIDE, cfg_zero_step=CFG_ZERO_STEP,
+        vace_context=vace_j, vace_scale=0.8, attn_mode="xla",
+    ))[0]
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan VACE final-latent PSNR {db:.1f} dB"
