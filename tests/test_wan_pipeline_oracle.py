@@ -585,3 +585,177 @@ def test_wan_t2v_vace_matches_reference(wan_parts):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"Wan VACE final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_phantom_matches_reference(wan_parts):
+    """Phantom: reference ref-image latents appended to the sequence with
+    the 3-call guidance combine (neg + 5.0*(pos_i - neg) +
+    guide*(pos_it - pos_i), ``text2video.py:503-551``) against our
+    denoise's ref_latents path, final latents (ref rows stripped)."""
+    t2v_mod, model, jcfg, jparams = wan_parts
+    import torch.nn.functional as Fn
+
+    prompt, nprompt = "a subject in a new scene", "static, blurry"
+    seed = 67
+    f_lat, h_lat, w_lat = FRAMES // 4 + 1, H // 8, W // 8
+
+    def fake_encode(frames, tile_size=0, **kw):
+        out = []
+        for f in frames:  # [3, F, H, W]
+            z = Fn.interpolate(
+                f[None], size=(f.shape[1], h_lat, w_lat),
+                mode="trilinear", align_corners=False,
+            )[0]
+            z = torch.cat([z * (0.2 + 0.1 * i) for i in range(6)])[:ZDIM]
+            out.append(z)
+        return out
+
+    pipe = _ref_t2v_pipe(t2v_mod, model)
+    pipe.vae.encode = fake_encode
+
+    from PIL import Image
+
+    ref_img = Image.fromarray(
+        (np.linspace(0, 255, H * W * 3).reshape(H, W, 3) % 256
+         ).astype(np.uint8))
+
+    with torch.no_grad():
+        ref = pipe.generate(
+            prompt, input_ref_images=[ref_img],
+            width=W, height=H, frame_num=FRAMES, shift=SHIFT,
+            sample_solver="unipc", sampling_steps=STEPS,
+            guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+            cfg_star_switch=True, cfg_zero_step=CFG_ZERO_STEP,
+            model_filename="t2v", offload_model=False,
+        )
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)  # [f, h, w, c]
+
+    # identical ref latents via the reference's own get_vae_latents
+    ref_lat = pipe.get_vae_latents([ref_img], pipe.device)  # [z, 1, h, w]
+    R = ref_lat.shape[1]
+    # the reference draws ONE noise tensor over f_lat+R rows; our API
+    # keeps ref rows separate, so slice the shared draw
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    noise_full = torch.randn(ZDIM, f_lat + R, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(
+        np.moveaxis(noise_full[:, :f_lat].numpy(), 0, -1)[None])
+    ref_j = jnp.asarray(np.moveaxis(ref_lat.numpy(), 0, -1)[None])
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    jpipe = _jax_pipe(jcfg, jparams)
+    ours = np.asarray(jpipe.denoise(
+        noise_j, ctx, mask, jpipe._solve_schedule("unipc", STEPS, SHIFT),
+        guide_scale=GUIDE, cfg_zero_step=CFG_ZERO_STEP,
+        ref_latents=ref_j, ref_latents_neg=jnp.zeros_like(ref_j),
+        attn_mode="xla",
+    ))[0]
+
+    # reference output keeps only the non-ref rows (":-R" strip)
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan Phantom final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_recammaster_matches_reference(wan_parts, monkeypatch):
+    """ReCamMaster: the reference target_camera branch — source-video
+    latents concatenated on the frame axis, camera pose embedding added
+    through cam_encoder with the identity projector
+    (``text2video.py:368-378, 489-494``, ``model.py:800-808``) — against
+    our denoise's source_latents/cam_emb path. 81 frames: the reference
+    camera loader is hardcoded to the 81-frame trajectory."""
+    t2v_mod, _, _, _ = wan_parts
+    import torch.nn.functional as Fn
+
+    import wan.modules.model as wm
+
+    Z16 = 16
+    FR = 81
+    torch.manual_seed(47)
+    model = wm.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS, recammaster=True,
+    ).eval().float()
+    model.enable_teacache = False
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from ltx_video_gpupoor_tpu.core import checkpoint as ckpt
+    from ltx_video_gpupoor_tpu.models.wan.model import WanConfig
+
+    jcfg = WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS, recammaster=True,
+    )
+    jparams = ckpt.convert_wan_model(sd, jcfg, dtype=jnp.float32)
+
+    prompt, nprompt = "orbit the subject", "static, blurry"
+    seed = 29
+    f_lat, h_lat, w_lat = (FR - 1) // 4 + 1, H // 8, W // 8
+
+    def fake_encode(frames, tile_size=0, **kw):
+        out = []
+        for f in frames:  # [3, F, H, W]
+            z = Fn.interpolate(
+                f[None], size=(f_lat, h_lat, w_lat), mode="trilinear",
+                align_corners=False,
+            )[0]
+            z = torch.cat([z * (0.2 + 0.1 * i) for i in range(6)])[:Z16]
+            out.append(z)
+        return out
+
+    pipe = _ref_t2v_pipe(t2v_mod, model)
+    pipe.vae.encode = fake_encode
+    pipe.vae.model.z_dim = Z16  # this branch runs the 16-ch latent
+
+    gi = torch.Generator().manual_seed(8)
+    src_video = (torch.rand(FR, H, W, 3, generator=gi) * 255)
+
+    # the camera loader reads "wan/camera_extrinsics.json" relative to CWD
+    monkeypatch.chdir("/root/reference")
+    with torch.no_grad():
+        ref = pipe.generate(
+            prompt, input_video=src_video.clone(), target_camera="3",
+            width=W, height=H, frame_num=FR, shift=SHIFT,
+            sample_solver="unipc", sampling_steps=STEPS,
+            guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+            cfg_star_switch=True, cfg_zero_step=CFG_ZERO_STEP,
+            model_filename="t2v", offload_model=False,
+        )
+    monkeypatch.chdir("/root/repo")
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)
+
+    # our side: identical source latents (the same deterministic fake
+    # encode applied to the same normalized video) + our packaged camera
+    # preset (golden-equal to the reference trajectory)
+    src_norm = src_video.permute(3, 0, 1, 2).float().div(127.5).sub(1.0)
+    src_lat = fake_encode([src_norm])[0]
+    src_j = jnp.asarray(np.moveaxis(src_lat.numpy(), 0, -1)[None])
+
+    from ltx_video_gpupoor_tpu.utils.camera import get_camera_embedding
+
+    cam_j = jnp.asarray(
+        np.asarray(get_camera_embedding(3), np.float32)[None])
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    noise_t = torch.randn(Z16, f_lat, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+
+    from ltx_video_gpupoor_tpu.pipelines.wan import WanPipeline
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    jpipe = WanPipeline(
+        model_params=jparams, model_cfg=jcfg, vae_params={}, vae_cfg=None,
+        vae_tile_size=0,
+    )
+    ours = np.asarray(jpipe.denoise(
+        noise_j, ctx, mask, jpipe._solve_schedule("unipc", STEPS, SHIFT),
+        guide_scale=GUIDE, cfg_zero_step=CFG_ZERO_STEP,
+        source_latents=src_j, cam_emb=cam_j, attn_mode="xla",
+    ))[0]
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan ReCamMaster final-latent PSNR {db:.1f} dB"
