@@ -133,6 +133,10 @@ class WanDFPipeline:
         overlap_noise: int = 0,
         fps: int = 24,
         prefix_video: Optional[jax.Array] = None,  # [1, Fp, H, W, 3]
+        # pre-encoded prefix latents [1, Fp', H', W', z] — bypasses the
+        # VAE encode (sliding-window continuations already hold latents;
+        # also the oracle-injection path)
+        prefix_latents: Optional[jax.Array] = None,
         key: Optional[jax.Array] = None,
         output_type: str = "latent",
         attn_mode: str = "auto",
@@ -149,11 +153,11 @@ class WanDFPipeline:
             causal_block_size = 1
 
         prefix_len = 0
-        prefix_latents = None
-        if prefix_video is not None:
+        if prefix_latents is None and prefix_video is not None:
             prefix_latents = wan_vae._tile_encode(
                 self.vae_params, self.vae_cfg, prefix_video
             )
+        if prefix_latents is not None:
             prefix_len = prefix_latents.shape[1]
             trunc = prefix_len % causal_block_size
             if trunc:

@@ -759,3 +759,123 @@ def test_wan_t2v_recammaster_matches_reference(wan_parts, monkeypatch):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"Wan ReCamMaster final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_df_prefix_matches_reference(wan_parts):
+    """Diffusion-forcing continuation from a start image: the reference
+    encodes the prefix, pins its latent rows, and pre-completes them in
+    the timestep matrix (``diffusion_forcing.py:268-297``); ours consumes
+    the identical injected prefix latents."""
+    _ = wan_parts
+    df_mod = import_reference_wan("diffusion_forcing")
+    import torch.nn.functional as Fn
+
+    import wan.modules.model as wm
+
+    torch.manual_seed(61)
+    Z16 = 16
+    model = wm.WanModel(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS,
+    ).eval().float()
+    model.enable_teacache = False
+
+    from ltx_video_gpupoor_tpu.core import checkpoint as ckpt
+    from ltx_video_gpupoor_tpu.models.wan.model import WanConfig
+
+    jcfg = WanConfig(
+        model_type="t2v", patch_size=(1, 2, 2), text_len=TEXT_LEN,
+        in_dim=Z16, dim=DIM, ffn_dim=FFN, freq_dim=FREQ,
+        text_dim=TEXT_DIM, out_dim=Z16, num_heads=HEADS,
+        num_layers=LAYERS,
+    )
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    jparams = ckpt.convert_wan_model(sd, jcfg, dtype=jnp.float32)
+
+    prompt, nprompt = "the scene continues", "static, blurry"
+    seed = 9
+    FR = 17
+    f_lat, h_lat, w_lat = (FR - 1) // 4 + 1, H // 8, W // 8
+
+    def fake_encode(frames, tile_size=0, **kw):
+        if isinstance(frames, torch.Tensor):  # DF passes a batched tensor
+            frames = [frames[0]]
+        out = []
+        for f in frames:  # [3, F, H, W]
+            fl = (f.shape[1] - 1) // 4 + 1
+            z = Fn.interpolate(
+                f[None].float(), size=(fl, h_lat, w_lat),
+                mode="trilinear", align_corners=False,
+            )[0]
+            z = torch.cat([z * (0.2 + 0.1 * i) for i in range(6)])[:Z16]
+            out.append(z)
+        return out
+
+    captured = []
+    pipe = df_mod.DTT2V.__new__(df_mod.DTT2V)
+    pipe.device = torch.device("cpu")
+    pipe.config = __import__("types").SimpleNamespace(
+        num_train_timesteps=1000)
+    pipe.rank = 0
+    pipe.dtype = torch.float32
+    pipe.num_train_timesteps = 1000
+    pipe.param_dtype = torch.float32
+    pipe.text_encoder = _fake_t5
+    pipe.vae_stride = (4, 8, 8)
+    pipe.patch_size = (1, 2, 2)
+    pipe.vae = __import__("types").SimpleNamespace(
+        model=__import__("types").SimpleNamespace(z_dim=Z16),
+        encode=fake_encode,
+        decode=lambda x0, tile_size=0, **kw: (captured.append(
+            x0.clone()), x0)[1],
+    )
+    pipe.model = model
+    pipe.scheduler = df_mod.FlowUniPCMultistepScheduler()
+    pipe._interrupt = False
+
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.linspace(0, 255, H * W * 3).reshape(H, W, 3) % 256
+         ).astype(np.uint8))
+    with torch.no_grad():
+        pipe.generate(
+            prompt, n_prompt=nprompt, image_start=[img],
+            height=H, width=W, frame_num=FR,
+            sampling_steps=STEPS, shift=SHIFT, guide_scale=GUIDE,
+            seed=seed, ar_step=0, causal_block_size=1,
+            causal_attention=False, fps=24,
+        )
+    ref = np.moveaxis(captured[0][0].detach().numpy(), 0, -1)
+
+    # identical prefix latents: the reference's own preprocessing chain
+    arr = np.array(img.resize((W, H))).transpose(2, 0, 1)
+    pv = torch.tensor(arr).unsqueeze(1).float() / (255.0 / 2.0) - 1.0
+    prefix_lat = fake_encode(pv.unsqueeze(0))[0]  # [z, 1, h, w]
+    prefix_j = jnp.asarray(np.moveaxis(prefix_lat.numpy(), 0, -1)[None])
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    noise_t = torch.randn((Z16, f_lat, h_lat, w_lat), generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+
+    from ltx_video_gpupoor_tpu.pipelines.wan_df import WanDFPipeline
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    jpipe = WanDFPipeline(
+        model_params=jparams, model_cfg=jcfg, vae_params={},
+        vae_cfg=__import__("types").SimpleNamespace(z_dim=Z16),
+        vae_tile_size=None,
+    )
+    ours = np.asarray(jpipe.generate(
+        ctx, mask, height=H, width=W, frame_num=FR,
+        sampling_steps=STEPS, shift=SHIFT, guide_scale=GUIDE,
+        ar_step=0, causal_block_size=1, fps=24,
+        prefix_latents=prefix_j, noise=noise_j,
+        output_type="latent", attn_mode="xla",
+    ))[0]
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"Wan DF-prefix final-latent PSNR {db:.1f} dB"
