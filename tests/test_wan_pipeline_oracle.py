@@ -879,3 +879,75 @@ def test_wan_df_prefix_matches_reference(wan_parts):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"Wan DF-prefix final-latent PSNR {db:.1f} dB"
+
+
+def test_wan_t2v_teacache_matches_reference(wan_parts):
+    """TeaCache: the reference's runtime skip state machine
+    (``model.py:1028-1092``: e-distance accumulation against the
+    auto-calibrated threshold from ``compute_teacache_threshold``,
+    residual reuse on skipped steps) executed inside WanT2V.generate,
+    against our precomputed-mask + residual-reuse path
+    (``teacache_skip_schedule`` + masked forward). The runtime decisions
+    depend only on the timesteps, so the two formulations must agree —
+    this is the executed-reference certificate behind the TeaCache
+    serving rows."""
+    t2v_mod, model, jcfg, jparams = wan_parts
+    from ltx_video_gpupoor_tpu.pipelines.wan import TEACACHE_COEFFICIENTS
+
+    prompt, nprompt = "drifting snow", "static, blurry"
+    seed = 19
+    MULT = 1.75
+    STEPS_TC = 12  # enough steps for real skip decisions
+    # identity rescale: the production 14B polynomial maps the TINY
+    # random model's e-distances outside the 0.01-0.6 threshold search
+    # band (zero skips); the oracle pins the state machine, not the 14B
+    # calibration constants, so both sides run the same identity poly
+    COEFFS = [0.0, 0.0, 0.0, 0.05, 0.0]
+
+    ref_pipe = _ref_t2v_pipe(t2v_mod, model)
+    model.enable_teacache = True
+    model.coefficients = COEFFS
+    model.teacache_start_step = 0
+    model.teacache_multiplier = MULT
+    model.num_steps = STEPS_TC
+    model.teacache_skipped_steps = 0
+    try:
+        with torch.no_grad():
+            ref = ref_pipe.generate(
+                prompt, width=W, height=H, frame_num=FRAMES, shift=SHIFT,
+                sample_solver="unipc", sampling_steps=STEPS_TC,
+                guide_scale=GUIDE, n_prompt=nprompt, seed=seed,
+                cfg_star_switch=True, cfg_zero_step=CFG_ZERO_STEP,
+                model_filename="t2v", offload_model=False,
+            )
+        skipped = model.teacache_skipped_steps
+    finally:
+        model.enable_teacache = False
+    assert skipped > 0, "oracle must exercise real skips"
+    ref = np.moveaxis(ref.detach().numpy(), 0, -1)
+
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    f_lat, h_lat, w_lat = FRAMES // 4 + 1, H // 8, W // 8
+    noise_t = torch.randn(ZDIM, f_lat, h_lat, w_lat, generator=g)
+    noise_j = jnp.asarray(np.moveaxis(noise_t.numpy(), 0, -1)[None])
+
+    ctx, mask = _context_jax(prompt, nprompt)
+    pipe = _jax_pipe(jcfg, jparams)
+    TEACACHE_COEFFICIENTS["oracle"] = COEFFS
+    try:
+        ours = np.asarray(pipe.generate_t2v(
+            ctx, mask, width=W, height=H, frame_num=FRAMES,
+            sampling_steps=STEPS_TC, shift=SHIFT, solver="unipc",
+            guide_scale=GUIDE, noise=noise_j, output_type="latent",
+            cfg_zero_step=CFG_ZERO_STEP, attn_mode="xla",
+            teacache_multiplier=MULT, teacache_model="oracle",
+        ))[0]
+    finally:
+        TEACACHE_COEFFICIENTS.pop("oracle", None)
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, (
+        f"Wan TeaCache final-latent PSNR {db:.1f} dB "
+        f"(reference skipped {skipped} steps)"
+    )
