@@ -512,3 +512,58 @@ def test_usp_ltx_pipeline_matches_single_device(mesh8):
     pipe_sp = dc.replace(pipe, sp_mesh=mesh8)
     out = np.asarray(pipe_sp.generate(emb, mask, **kwargs))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_mixed_int4_tp_shardings_match_single_device(mesh8):
+    """r5: the mixed int4 tier (per-group int4 bulk + int8 sensitive
+    leaves) shards over 'tp' — the packed int4 weight splits like its
+    bf16 kernel, the 2-D per-group scale mirrors the kernel spec on
+    out-split layers and replicates on in-split — and the SPMD forward
+    matches the unsharded run."""
+    from jax.sharding import PartitionSpec as P
+
+    from ltx_video_gpupoor_tpu.models.ltx import transformer3d as t3d
+    from ltx_video_gpupoor_tpu.ops.quant import quantize_params
+    from ltx_video_gpupoor_tpu.parallel.sharding import (
+        transformer_param_shardings,
+    )
+
+    cfg = t3d.LTXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=16,
+        out_channels=16, num_layers=2, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        t3d.init_params(jax.random.key(0), cfg),
+    )
+    params = quantize_params(params, mode="mixed_int4")
+    sh = transformer_param_shardings(mesh8, params)
+    attn1 = sh["blocks"]["attn1"]
+    assert attn1["to_q"]["w_int4"].spec == P(None, None, "tp")
+    # per-group scale [L, in/g, out]: out on tp (mirrors the kernel)
+    assert attn1["to_q"]["scale"].spec == P(None, None, "tp")
+    # in-split kernel: per-group scale replicates (group dim of tiny
+    # configs need not divide tp)
+    assert attn1["to_out"]["w_int4"].spec == P(None, "tp", None)
+    assert attn1["to_out"]["scale"].spec == P()
+    # sensitive leaves landed on int8-WO and replicate (unmatched rules)
+    assert "w_int8" in sh["adaln"]["linear"]
+
+    b, s, sc = 2, 32, 8
+    lat = jax.random.normal(jax.random.key(1), (b, s, 16), jnp.bfloat16)
+    coords = jnp.tile(
+        jax.random.uniform(jax.random.key(2), (1, 3, s), jnp.float32, 0, 8),
+        (b, 1, 1),
+    )
+    cap = jax.random.normal(jax.random.key(3), (b, sc, 32), jnp.bfloat16)
+    cmask = jnp.ones((b, sc), jnp.int32)
+    t = jnp.full((b,), 0.4, jnp.float32)
+    fn = jax.jit(lambda p: t3d.forward(p, cfg, lat, coords, t, cap, cmask,
+                                       attn_mode="xla"))
+    ref = fn(params)
+    out = fn(jax.tree.map(jax.device_put, params, sh))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
