@@ -494,3 +494,61 @@ def test_stg_pipeline_matches_reference(pipelines):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"STG final-latent PSNR {db:.1f} dB"
+
+
+def test_guidance_schedule_bucketing_matches_reference(pipelines):
+    """Per-timestep guidance buckets: list-valued guidance_scale /
+    stg_scale / rescaling_scale / skip_block_list resolved through
+    guidance_timesteps (``:959-1016`` guidance_mapping), with the
+    per-step zeroing of sub-1 CFG values — the distilled 13B configs'
+    contract — end to end."""
+    m, ref_pipe, jax_pipe = pipelines
+    import ltx_video.utils.skip_layer_strategy as ref_sls
+
+    pos, neg, mask = _embeds(3)
+    g_ts = [1.0, 0.5, 0.2]
+    g_scales = [3.0, 1.0, 2.0]     # the 1.0 bucket zeroes CFG (":982")
+    stg_scales = [1.0, 0.5, 0.0]
+    resc = [0.7, 0.9, 1.0]
+    skips = [[1], [0], []]
+    out = ref_pipe(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        prompt_embeds=pos, prompt_attention_mask=mask,
+        negative_prompt_embeds=neg,
+        negative_prompt_attention_mask=mask.as_subclass(_CpuMask),
+        num_inference_steps=STEPS,
+        guidance_scale=g_scales, stg_scale=stg_scales,
+        rescaling_scale=resc, guidance_timesteps=g_ts,
+        skip_layer_strategy=ref_sls.SkipLayerStrategy.AttentionValues,
+        skip_block_list=skips,
+        generator=torch.Generator().manual_seed(53),
+        output_type="latent", return_dict=False,
+        is_video=True, vae_per_channel_normalize=True,
+        image_cond_noise_scale=0.0, mixed_precision=False,
+        enhance_prompt=False, joint_pass=False,
+        ltxv_model=__import__("types").SimpleNamespace(_interrupt=False),
+    )[0]
+    ref = np.moveaxis(out.detach().numpy(), 1, -1)
+
+    from ltx_video_gpupoor_tpu.models.ltx.transformer3d import (
+        SkipLayerStrategy,
+    )
+
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat, 53).numpy())
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    ours = np.asarray(jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        num_inference_steps=STEPS, frame_rate=25.0,
+        guidance_scale=g_scales, stg_scale=stg_scales,
+        rescaling_scale=resc, guidance_timesteps=g_ts,
+        skip_layer_strategy=SkipLayerStrategy.AttentionValues,
+        skip_block_list=skips,
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        output_type="latent", noise=noise, attn_mode="xla",
+    ))
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"guidance-bucketing final-latent PSNR {db:.1f} dB"
