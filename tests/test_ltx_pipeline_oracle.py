@@ -552,3 +552,54 @@ def test_guidance_schedule_bucketing_matches_reference(pipelines):
     assert ref.shape == ours.shape, (ref.shape, ours.shape)
     db = _psnr(ref, ours)
     assert db > 40.0, f"guidance-bucketing final-latent PSNR {db:.1f} dB"
+
+
+def test_skip_inference_steps_matches_reference(pipelines):
+    """skip_initial/final_inference_steps (the dev-config contract,
+    ``retrieve_timesteps`` ``:176-188``): the reference slices the
+    schedule and noises to the first KEPT timestep; ours resolves the
+    same slice through the production build_timesteps."""
+    m, ref_pipe, jax_pipe = pipelines
+    pos, neg, mask = _embeds(3)
+    SKIP_I, SKIP_F = 2, 1
+    out = ref_pipe(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        prompt_embeds=pos, prompt_attention_mask=mask,
+        negative_prompt_embeds=neg,
+        negative_prompt_attention_mask=mask.as_subclass(_CpuMask),
+        num_inference_steps=STEPS, guidance_scale=3.0,
+        skip_initial_inference_steps=SKIP_I,
+        skip_final_inference_steps=SKIP_F,
+        generator=torch.Generator().manual_seed(59),
+        output_type="latent", return_dict=False,
+        is_video=True, vae_per_channel_normalize=True,
+        image_cond_noise_scale=0.0, mixed_precision=False,
+        enhance_prompt=False, joint_pass=False,
+        ltxv_model=__import__("types").SimpleNamespace(_interrupt=False),
+    )[0]
+    ref = np.moveaxis(out.detach().numpy(), 1, -1)
+
+    from ltx_video_gpupoor_tpu.serving.orchestrator import build_timesteps
+
+    uniform = [(STEPS - i) / STEPS for i in range(STEPS)]
+    ts = build_timesteps(
+        {"timesteps": uniform, "skip_initial_inference_steps": SKIP_I,
+         "skip_final_inference_steps": SKIP_F}, n_media_tokens=0,
+    )
+    assert len(ts) == STEPS - SKIP_I - SKIP_F
+
+    f_lat, h_lat, w_lat = jax_pipe.latent_shape(H, W, FRAMES)
+    noise = jnp.asarray(_noise(f_lat, h_lat, w_lat, 59).numpy())
+    embeds = jnp.asarray(torch.cat([neg, pos]).numpy())
+    jmask = jnp.asarray(torch.cat([mask, mask]).numpy().astype(np.int32))
+    ours = np.asarray(jax_pipe.generate(
+        embeds, jmask, height=H, width=W, num_frames=FRAMES,
+        timesteps=[float(t) for t in ts], frame_rate=25.0,
+        guidance_scale=3.0,
+        sampler="Uniform", shifting=None, target_shift_terminal=None,
+        output_type="latent", noise=noise, attn_mode="xla",
+    ))
+
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    db = _psnr(ref, ours)
+    assert db > 40.0, f"skip-steps final-latent PSNR {db:.1f} dB"
